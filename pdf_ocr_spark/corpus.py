@@ -1,0 +1,266 @@
+"""Deterministic synthetic interleaved-document corpus (FIXTURES.md).
+
+Every document is a PURE function of ``(doc_id, seed)`` — any row can be
+regenerated independently on any executor, and the pytest oracle can
+evaluate per-document without the full corpus in memory. No external data.
+
+Corpora (doc_id prefix selects the kernel):
+  pdfish-NNNNNN  positioned text spans + media, packed offsets
+                 ``page*1_000_000 + y_centi*1_000 + x``
+  html-NNNNNN    one ``kind='html'`` span holding the page source
+  mixed-NNNNNN   sequence-indexed text/media spans with coercion /
+                 validation cases
+
+Archetypes mirror the reference's test fixtures (SURVEY.md §5,
+docpact tests/test_deterministic.py, tests/test_table_runs.py).
+"""
+
+from __future__ import annotations
+
+import random
+
+DEFAULT_SEED = 42
+
+_WORDS = (
+    "wheat barley canola iron coal grain cargo vessel port berth tonne "
+    "export terminal draft laycan charter bulk panamax handy freight "
+    "market report summary outlook stable strong weak rising falling"
+).split()
+_PORTS = ["GERALDTON", "KWINANA", "ALBANY", "ESPERANCE", "BUNBURY", "NEWCASTLE"]
+_HEADERS = ["Port", "Vessel", "Tonnage", "ETA", "Cargo", "Grade"]
+_GRADES_VALID = ["A1", "A2", "B1", "B2", "C1"]
+_GRADES_BAD = ["ZZ", "Q9", "XX"]
+
+
+def _rng(doc_id: str, seed: int) -> random.Random:
+    return random.Random(f"{seed}:{doc_id}")
+
+
+def _word(r: random.Random) -> str:
+    return r.choice(_WORDS)
+
+
+def _sentence(r: random.Random, n: int | None = None) -> str:
+    n = n or r.randint(5, 12)
+    return " ".join(_word(r) for _ in range(n)).capitalize() + "."
+
+
+def _pack(page: int, y: int, x: int) -> int:
+    return page * 1_000_000 + y * 1_000 + x
+
+
+# ----------------------------------------------------------------- pdfish
+
+
+_Y_BUDGET = 860  # keep all span y < 1000 (packed-offset page band)
+
+
+def _pdfish_table_rows(r, spans, page, y, cols, n_rows, with_header=True):
+    if with_header:
+        for ci, x in enumerate(cols):
+            spans.append(
+                ("pdf_text", _HEADERS[ci % len(_HEADERS)], "", _pack(page, y, x))
+            )
+        y += 20
+    for _ in range(n_rows):
+        if y > _Y_BUDGET:
+            break
+        for ci, x in enumerate(cols):
+            jitter = r.randint(0, 3)
+            if ci == 0:
+                cell = r.choice(_PORTS).title()
+            elif ci == 2 or ci >= 4:
+                cell = f"{r.randint(1, 99)},{r.randint(100, 999)}"
+            else:
+                cell = _word(r)
+            spans.append(("pdf_text", cell, "", _pack(page, y + jitter, x)))
+        y += 20
+    return y
+
+
+def _gen_pdfish(doc_id: str, r: random.Random, mega: bool = False) -> list[tuple]:
+    spans: list[tuple] = []
+    archetype = r.choice(
+        ["flat", "sectioned", "multirow", "side_by_side", "transposed"]
+    )
+    n_pages = r.randint(40, 120) if mega else r.randint(1, 3)
+    for page in range(n_pages):
+        y = 50
+        ncols = r.randint(3, 6)
+        cols = sorted(r.sample(range(10, 900, 40), ncols))
+        # leading title text
+        spans.append(("pdf_text", _sentence(r, 6), "", _pack(page, y, 10)))
+        y += 100
+        if archetype == "flat" or mega:
+            y = _pdfish_table_rows(r, spans, page, y, cols, r.randint(5, 50))
+        elif archetype == "sectioned":
+            for _ in range(r.randint(2, 4)):
+                if y > _Y_BUDGET - 120:
+                    break
+                spans.append(("pdf_text", r.choice(_PORTS), "", _pack(page, y, cols[0])))
+                y += 30
+                y = _pdfish_table_rows(r, spans, page, y, cols, r.randint(3, 8))
+                # aggregation total row: single numeric span
+                spans.append(
+                    ("pdf_text", f"{r.randint(100, 999)},000", "",
+                     _pack(page, y, cols[2] if len(cols) > 2 else cols[-1]))
+                )
+                y += 30
+        elif archetype == "multirow":
+            y = _pdfish_table_rows(r, spans, page, y, cols, 0)
+            for _ in range(r.randint(4, 10)):
+                if y > _Y_BUDGET - 40:
+                    break
+                for ci, x in enumerate(cols):
+                    spans.append(
+                        ("pdf_text", _word(r), "", _pack(page, y + r.randint(0, 3), x))
+                    )
+                y += 20
+                for x in cols[:2]:
+                    spans.append(
+                        ("pdf_text", f"{r.randint(10, 99)}:{r.randint(10, 59)}", "",
+                         _pack(page, y + r.randint(0, 3), x))
+                    )
+                y += 20
+        elif archetype == "side_by_side":
+            lcols = [c // 3 + 10 for c in cols[: max(2, ncols // 2)]]
+            rcols = [c // 3 + 600 for c in cols[: max(2, ncols // 2)]]
+            y0 = y
+            y = _pdfish_table_rows(r, spans, page, y0, lcols, r.randint(4, 9))
+            y2 = _pdfish_table_rows(r, spans, page, y0, rcols, r.randint(4, 9))
+            y = max(y, y2)
+        else:  # transposed
+            labels = ["Vessel", "Port", "Tonnage", "ETA", "Grade"]
+            for li, lab in enumerate(labels[: r.randint(3, 5)]):
+                spans.append(("pdf_text", lab, "", _pack(page, y, cols[0])))
+                spans.append(
+                    ("pdf_text", f"{r.randint(1, 9)},{r.randint(100, 999)}", "",
+                     _pack(page, y + r.randint(0, 3), cols[1]))
+                )
+                y += 20
+        # interleave media spans between blocks (fixed tail band keeps the
+        # packed y inside the 0..999 page range)
+        for k in range(r.randint(0, 2)):
+            spans.append(
+                ("media", "", f"img://{doc_id}/p{page}/{k}",
+                 _pack(page, 900 + 15 * k, 100))
+            )
+        # trailing footnotes at fixed bottom-of-page positions
+        if r.random() < 0.7:
+            spans.append(
+                ("pdf_text", f"* Note: {_sentence(r, 5)}", "", _pack(page, 950, 10))
+            )
+        if r.random() < 0.3:
+            spans.append(
+                ("pdf_text", f"Source: {_word(r)} bureau", "", _pack(page, 970, 10))
+            )
+        if r.random() < 0.1:
+            spans.append(("pdf_text", "   ", "", _pack(page, 990, 10)))
+    return spans
+
+
+# ------------------------------------------------------------------- html
+
+
+def _gen_html(doc_id: str, r: random.Random) -> list[tuple]:
+    nav_links = "".join(
+        f'<li><a href="/{_word(r)}">{_word(r).title()}</a></li>' for _ in range(5)
+    )
+    paras = "".join(f"<p>{_sentence(r)} {_sentence(r)}</p>" for _ in range(r.randint(2, 5)))
+    n_imgs = r.randint(0, 3)
+    imgs = "".join(
+        f'<img src="img://{doc_id}/{k}" alt="fig{k}">' for k in range(n_imgs)
+    )
+    # table with a colspan header and one rowspan cell
+    body_rows = "".join(
+        f"<tr><td>{r.choice(_PORTS).title()}</td><td>{_word(r)}</td>"
+        f"<td>{r.randint(1, 99)},{r.randint(100, 999)}</td></tr>"
+        for _ in range(r.randint(2, 6))
+    )
+    table = (
+        "<table><thead><tr><th colspan=\"2\">Shipment</th><th>Tonnage</th></tr></thead>"
+        f"<tbody><tr><td rowspan=\"2\">{r.choice(_PORTS).title()}</td>"
+        f"<td>{_word(r)}</td><td>{r.randint(1, 9)},{r.randint(100, 999)}</td></tr>"
+        f"<tr><td>{_word(r)}</td><td>{r.randint(1, 9)},{r.randint(100, 999)}</td></tr>"
+        f"{body_rows}</tbody></table>"
+    )
+    sidebar = "".join(f'<a href="/{_word(r)}">{_word(r)}</a> ' for _ in range(8))
+    html = (
+        "<html><head><title>report</title><style>p{color:#000}</style></head><body>"
+        f"<nav><ul>{nav_links}</ul></nav>"
+        f"<header><p>{_word(r).title()} weekly — your {_word(r)} portal</p></header>"
+        f'<div class="cookie-banner"><p>We use cookies. <a href="#">Accept</a></p></div>'
+        f"<aside><p>{sidebar}</p></aside>"
+        f"<main><h1>{_sentence(r, 4)[:-1]}</h1>{paras}{imgs}{table}"
+        f"<p>{_sentence(r)}</p></main>"
+        f'<footer><p>© 2026 {_word(r)} inc — <a href="/privacy">Privacy</a></p></footer>'
+        "</body></html>"
+    )
+    return [("html", html, "", 0)]
+
+
+# ------------------------------------------------------------------ mixed
+
+
+def _gen_mixed(doc_id: str, r: random.Random) -> list[tuple]:
+    spans: list[tuple] = []
+    idx = 0
+
+    def add(kind, text, ref=""):
+        nonlocal idx
+        spans.append((kind, text, ref, idx))
+        idx += 1
+
+    add("text", f"title: {_sentence(r, 4)}")
+    for _ in range(r.randint(5, 15)):
+        kind_roll = r.random()
+        if kind_roll < 0.15:
+            add("media", "", f"img://{doc_id}/{idx}")
+        elif kind_roll < 0.35:
+            # coercion cases (docpact tests/test_serialize_coerce.py)
+            add("text", r.choice([
+                "amount: 1,234", "amount: 55826,3", "amount: (123)",
+                "amount: 12.5%", "amount: $4,500", "flag: yes", "flag: no",
+                "amount: 1 234",
+            ]))
+        elif kind_roll < 0.5:
+            grade = r.choice(_GRADES_VALID + _GRADES_BAD)
+            add("text", f"grade: {grade}")
+        elif kind_roll < 0.6:
+            # normalization cases (docpact tests/test_normalize.py)
+            add("text", "the quick  “brown” — fox​")
+        elif kind_roll < 0.65:
+            add("text", "   ")  # drops as empty
+        else:
+            add("text", _sentence(r))
+    return spans
+
+
+# ------------------------------------------------------------------- API
+
+
+def corpus_of(doc_id: str) -> str:
+    return doc_id.split("-", 1)[0]
+
+
+def generate_doc(doc_id: str, seed: int = DEFAULT_SEED) -> list[tuple]:
+    """Input spans for one document — pure function of (doc_id, seed)."""
+    r = _rng(doc_id, seed)
+    c = corpus_of(doc_id)
+    if c == "pdfish":
+        return _gen_pdfish(doc_id, r)
+    if c == "mega":
+        return _gen_pdfish(doc_id, r, mega=True)
+    if c == "html":
+        return _gen_html(doc_id, r)
+    if c == "mixed":
+        return _gen_mixed(doc_id, r)
+    raise ValueError(f"unknown corpus for doc_id {doc_id!r}")
+
+
+def doc_ids(n_docs: int, skew_docs: int = 0, corpora=("pdfish", "html", "mixed")) -> list[str]:
+    """Deterministic doc_id list: round-robin across corpora plus
+    ``skew_docs`` mega documents (FIXTURES.md scale tiers)."""
+    ids = [f"{corpora[i % len(corpora)]}-{i:06d}" for i in range(n_docs)]
+    ids += [f"mega-{i:06d}" for i in range(skew_docs)]
+    return ids

@@ -1,0 +1,249 @@
+"""The Spark extraction pipeline (the engine's hot path).
+
+Design (SURVEY.md §7, BASELINE.json north_rule):
+
+  - **DataFrame + vectorized pandas UDFs only** — each document batch is
+    processed whole inside ``mapInPandas`` (Arrow transfer); there is no
+    per-row Python and no driver-side loop over documents.
+  - **No shuffle for the common case**: a document is one row, so the
+    small-doc path is a pure map — scan → mapInPandas → write. At 10^12
+    docs the only shuffles are (a) the optional explicit repartition by
+    salted doc-hash for balanced task sizing and (b) page-grain
+    reassembly for the few skewed mega-documents.
+  - **Skew handling**: docs with > ``big_doc_threshold`` spans are
+    exploded to ``(doc_id, page)`` grain (pages are independent in the
+    layout kernel), extracted in parallel, and reassembled with
+    ``sort_array(collect_list(struct(page, ...)))`` so ordering never
+    depends on partition iteration order (SURVEY.md §7.3).
+  - **Media routing**: for sequence-offset corpora, ``kind='media'``
+    spans bypass the text kernel entirely (columnar ``filter`` on the
+    span array), and are merged back by original offset with
+    ``array_sort`` + an index-``transform`` re-sequencing — the
+    north_rule's "repartition media-heavy spans separately before
+    ordered reassembly".
+
+Kernel dispatch is by doc_id prefix (corpus), mirroring the reference's
+per-format extractor dispatch (docpact pipeline.py:94-149).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..corpus import corpus_of
+from ..kernels.common import merge_metrics, new_metrics
+from ..kernels.htmlk import extract_html_doc
+from ..kernels.mixed import extract_mixed, extract_mixed_text
+from ..kernels.pdfish import extract_pdfish, extract_pdfish_page_spans
+from .schema import (
+    OUTPUT_SCHEMA,
+    PAGE_OUTPUT_SCHEMA,
+    metrics_dict,
+    span_dicts,
+    span_tuples,
+)
+
+BIG_DOC_THRESHOLD = 4000  # spans; FIXTURES.md median doc is ~10^2
+
+_KERNELS = {
+    "pdfish": extract_pdfish,
+    "mega": extract_pdfish,
+    "html": extract_html_doc,
+    "mixed": extract_mixed,
+}
+
+
+# --------------------------------------------------------- UDF batch fns
+
+
+def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Whole-document extraction over an Arrow batch (small-doc path)."""
+    for pdf in batches:
+        out_spans, out_metrics = [], []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            kernel = _KERNELS.get(corpus_of(doc_id))
+            if kernel is None:
+                # a malformed row must never kill a 10^12-doc job: emit
+                # zero spans and count the drop (surfaces in the ledger)
+                n = len(spans)
+                m = new_metrics(n)
+                m["dropped"] = n
+                m["drop_reasons"] = {"unknown_corpus": n} if n else {}
+                out_spans.append([])
+                out_metrics.append(metrics_dict(m))
+                continue
+            spans_out, m = kernel(span_tuples(spans))
+            out_spans.append(span_dicts(spans_out))
+            out_metrics.append(metrics_dict(m))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "spans": out_spans, "metrics": out_metrics}
+        )
+
+
+def _extract_page_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Page-grain extraction (mega-doc path). Offsets stay page-local;
+    the reassembly stage re-sequences them document-wide."""
+    for pdf in batches:
+        out_spans, out_metrics = [], []
+        for spans in pdf["spans"]:
+            spans_out, m = extract_pdfish_page_spans(span_tuples(spans))
+            out_spans.append(span_dicts(spans_out))
+            out_metrics.append(metrics_dict(m))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "page": pdf["page"],
+                "spans": out_spans,
+                "metrics": out_metrics,
+            }
+        )
+
+
+def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge a mega-doc's per-page results: pages ascending, offsets
+    re-sequenced 0..n-1, metrics summed (kernels.common.merge_metrics —
+    the same function the oracle uses)."""
+    pdf = pdf.sort_values("page")
+    spans = []
+    for page_spans in pdf["spans"]:
+        spans.extend(page_spans)
+    spans = [
+        {
+            "kind": s["kind"],
+            "text": s["text"],
+            "media_ref": s["media_ref"],
+            "offset": i,
+        }
+        for i, s in enumerate(spans)
+    ]
+    m = merge_metrics(
+        [
+            {
+                "spans_in": mm["spans_in"],
+                "spans_out": mm["spans_out"],
+                "dropped": mm["dropped"],
+                "drop_reasons": dict(mm["drop_reasons"]),
+            }
+            for mm in pdf["metrics"]
+        ]
+    )
+    m["spans_out"] = len(spans)
+    return pd.DataFrame(
+        {
+            "doc_id": [pdf["doc_id"].iloc[0]],
+            "spans": [spans],
+            "metrics": [metrics_dict(m)],
+        }
+    )
+
+
+# ------------------------------------------------------------- pipeline
+
+
+def extract(
+    df: DataFrame,
+    big_doc_threshold: int = BIG_DOC_THRESHOLD,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """input (doc_id, spans) -> output (doc_id, spans, metrics).
+
+    ``salt_partitions``: explicit repartition by salted doc-hash before the
+    UDF so a pathological input layout (e.g. all mega-docs in one input
+    file) cannot pin a single task. Defaults to None = trust the scan's
+    split sizing (maxPartitionBytes) — the right default when the input
+    is well-laid-out Parquet/Iceberg.
+    """
+    df = df.withColumn("_n", F.size("spans"))
+
+    small = df.filter(F.col("_n") <= big_doc_threshold).drop("_n")
+    if salt_partitions:
+        # hash+salt keeps sibling mega-docs apart even with identical ids
+        small = small.repartition(
+            salt_partitions, F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions))
+        )
+    small_out = small.mapInPandas(_extract_batch, schema=OUTPUT_SCHEMA)
+
+    big = df.filter(F.col("_n") > big_doc_threshold).drop("_n")
+    # explode to page grain (pages are independent in the layout kernel)
+    pages = (
+        big.select("doc_id", F.explode("spans").alias("s"))
+        .withColumn("page", (F.col("s.offset") / F.lit(1_000_000)).cast("long"))
+        .groupBy("doc_id", "page")
+        .agg(F.sort_array(F.collect_list("s")).alias("spans"))
+    )
+    big_pages = pages.mapInPandas(_extract_page_batch, schema=PAGE_OUTPUT_SCHEMA)
+    big_out = big_pages.groupBy("doc_id").applyInPandas(
+        _reassemble_group, schema=OUTPUT_SCHEMA
+    )
+
+    return small_out.unionByName(big_out)
+
+
+def extract_routed_media(df: DataFrame) -> DataFrame:
+    """Sequence-offset corpora (mixed): route ``kind='media'`` spans
+    around the text kernel columnar-side, then ordered-merge by original
+    offset. Equivalent to ``extract`` on mixed docs (tested); demonstrates
+    the north_rule media-separation plan shape.
+
+    All the routing/merging below is pure Catalyst (higher-order array
+    functions) — only the text kernel crosses into Python."""
+    routed = df.select(
+        "doc_id",
+        F.expr("filter(spans, s -> s.kind = 'media')").alias("media_spans"),
+        F.expr("filter(spans, s -> s.kind != 'media')").alias("spans"),
+        F.size("spans").alias("_spans_in"),
+    )
+
+    def _text_only(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_spans, out_metrics = [], []
+            for spans in pdf["spans"]:
+                # keep ORIGINAL offsets so media interleaves back exactly
+                spans_out, m = extract_mixed_text(span_tuples(spans))
+                out_spans.append(span_dicts(spans_out))
+                out_metrics.append(metrics_dict(m))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_spans": pdf["media_spans"],
+                    "_spans_in": pdf["_spans_in"],
+                    "spans": out_spans,
+                    "metrics": out_metrics,
+                }
+            )
+
+    schema = (
+        "doc_id string, media_spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, _spans_in int, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>, metrics "
+        "struct<spans_in:int,spans_out:int,dropped:int,"
+        "drop_reasons:map<string,int>>"
+    )
+    extracted = routed.mapInPandas(_text_only, schema=schema)
+
+    # Ordered reassembly, fully columnar: union text output (original
+    # offsets preserved by extract_mixed_text) with the routed media spans,
+    # sort by original offset (offset is the struct's sort-significant
+    # field once reordered first), then re-sequence to 0..n-1.
+    merged = extracted.select(
+        "doc_id",
+        F.expr(
+            "transform("
+            "  array_sort("
+            "    concat(spans, media_spans),"
+            "    (a, b) -> case when a.offset < b.offset then -1"
+            "                   when a.offset > b.offset then 1 else 0 end),"
+            "  (s, i) -> struct(s.kind as kind, s.text as text,"
+            "                   s.media_ref as media_ref, i as offset))"
+        ).alias("spans"),
+        F.struct(
+            F.col("_spans_in").alias("spans_in"),
+            (F.col("metrics.spans_out") + F.size("media_spans")).alias("spans_out"),
+            F.col("metrics.dropped").alias("dropped"),
+            F.col("metrics.drop_reasons").alias("drop_reasons"),
+        ).alias("metrics"),
+    )
+    return merged

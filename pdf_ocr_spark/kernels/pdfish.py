@@ -1,0 +1,273 @@
+"""PDF-style layout extraction kernel (pure Python, no Spark imports).
+
+Re-expresses the semantics (NOT the code) of the reference pipeline:
+  - y-clustering of spans into rows ......... docpact spatial_text.py:310-325
+  - reading-order render (rows asc, x asc) .. spatial_text.py:350-373
+  - XY-cut side-by-side split (gap > 3x median column gap)
+    ....................................... compress.py:1885-1934
+  - table-run detection via shared column anchors
+    ....................................... compress.py:1048-1383
+  - single-span numeric table continuation .. compress.py:1192-1208
+  - section-label test (all caps, >3 chars, no colon)
+    ....................................... compress.py:1211-1238
+  - footnote rejection patterns ............. filter.py:40-56
+  - header estimation (non-numeric first run row)
+    ....................................... compress.py:1469-1509 (simplified)
+
+Input spans carry a packed ``offset``: ``page*1_000_000 + y_centi*1_000
++ x`` (integer centipoint grid — float-free determinism, FIXTURES.md).
+Output spans are ordered reading-order with ``offset = 0..n-1``.
+
+Pages are independent: ``extract_page`` is the unit of work so skewed
+mega-documents can be exploded to ``(doc_id, page)`` grain on Spark and
+reassembled by page order (SURVEY.md §4 item 1).
+"""
+
+from __future__ import annotations
+
+import re
+from statistics import median
+
+from .common import (
+    KIND_CELL,
+    KIND_HEADING,
+    KIND_MEDIA,
+    KIND_SECTION,
+    KIND_TEXT,
+    drop,
+    finalize,
+    merge_metrics,
+    new_metrics,
+)
+from .normalize import normalize_text
+
+Y_CLUSTER_TOL = 8  # centipoints; generator jitter is <= 3
+COL_ANCHOR_TOL = 15  # x tolerance for shared column anchors
+MIN_SHARED_ANCHORS = 2  # table-run rule (compress.py:1340-1365 analogue)
+
+_FOOTNOTE_RES = [
+    re.compile(r"^\*+\s"),
+    re.compile(r"^note[:\s]", re.I),
+    re.compile(r"^\d+[.)]\s*(source|note)", re.I),
+    re.compile(r"^source[:\s]", re.I),
+    re.compile(r"^[†‡§]"),
+]
+_SECTION_RE = re.compile(r"^[A-Z][A-Z &/-]{3,}$")
+_NUMERIC_CELL_RE = re.compile(r"^\(?[+-]?[\d,. ]+%?\)?$")
+
+
+def decode_offset(off: int) -> tuple[int, int, int]:
+    """packed offset -> (page, y_centi, x)."""
+    page, rem = divmod(off, 1_000_000)
+    y, x = divmod(rem, 1_000)
+    return page, y, x
+
+
+def _cluster_rows(items: list[tuple[int, int, str, str, str]]) -> list[list]:
+    """Greedy y-clustering: sort by y, merge gaps <= Y_CLUSTER_TOL
+    (spatial_text.py:310-325 semantics). items = (y, x, kind, text, ref)."""
+    if not items:
+        return []
+    # full-tuple sort: output must not depend on input span order (the
+    # skew path reassembles spans via sort_array, the whole-doc path gets
+    # generation order — both must cluster identically; SURVEY.md §7.3)
+    items = sorted(items)
+    rows: list[list] = [[items[0]]]
+    last_y = items[0][0]
+    for it in items[1:]:
+        if it[0] - last_y <= Y_CLUSTER_TOL:
+            rows[-1].append(it)
+        else:
+            rows.append([it])
+        last_y = it[0]
+    for r in rows:
+        r.sort(key=lambda s: s[1])
+    return rows
+
+
+def _split_side_by_side(rows: list[list]) -> list[list[list]]:
+    """One-level recursive XY-cut (compress.py:1885-1934 semantics): find an
+    x-gap > 3x the median inter-span gap present in >= 60% of multi-span
+    rows; emit the left block's rows, then the right block's."""
+    gaps = []
+    for r in rows:
+        for a, b in zip(r, r[1:]):
+            gaps.append(b[1] - a[1])
+    if len(gaps) < 4:
+        return [rows]
+    med = median(gaps)
+    threshold = 3 * med
+    # candidate cut x: midpoints of gaps exceeding the threshold
+    cut_votes: dict[int, int] = {}
+    multi = [r for r in rows if len(r) >= 2]
+    for r in multi:
+        for a, b in zip(r, r[1:]):
+            if b[1] - a[1] > threshold:
+                mid = (a[1] + b[1]) // 2
+                bucket = mid // 50 * 50
+                cut_votes[bucket] = cut_votes.get(bucket, 0) + 1
+    if not cut_votes:
+        return [rows]
+    cut, votes = max(cut_votes.items(), key=lambda kv: (kv[1], -kv[0]))
+    if votes < max(2, int(0.6 * len(multi))):
+        return [rows]
+    left = [[s for s in r if s[1] < cut] for r in rows]
+    right = [[s for s in r if s[1] >= cut] for r in rows]
+    left = [r for r in left if r]
+    right = [r for r in right if r]
+    if not left or not right:
+        return [rows]
+    return [left, right]
+
+
+def _is_footnote(text: str) -> bool:
+    return any(rx.match(text) for rx in _FOOTNOTE_RES)
+
+
+def _is_section_label(row: list) -> bool:
+    """All-caps, >3 chars, no colon, single span (compress.py:1211-1238)."""
+    if len(row) != 1 or row[0][2] != "pdf_text":
+        return False
+    t = row[0][3].strip()
+    return bool(_SECTION_RE.match(t)) and ":" not in t
+
+
+def _is_numeric_continuation(row: list) -> bool:
+    """Single numeric/parenthesized span stays in a table run
+    (compress.py:1192-1208)."""
+    if len(row) != 1 or row[0][2] != "pdf_text":
+        return False
+    return bool(_NUMERIC_CELL_RE.match(row[0][3].strip()))
+
+
+def _shares_anchors(xs_a: list[int], xs_b: list[int]) -> bool:
+    shared = 0
+    for xa in xs_a:
+        if any(abs(xa - xb) <= COL_ANCHOR_TOL for xb in xs_b):
+            shared += 1
+    need = max(MIN_SHARED_ANCHORS, int(0.6 * min(len(xs_a), len(xs_b))))
+    return shared >= need
+
+
+def _detect_table_runs(rows: list[list]) -> list[bool]:
+    """Mark rows belonging to table runs: maximal sequences of multi-span
+    rows sharing column anchors, plus numeric single-span continuations
+    (compress.py:1048-1383 semantics, simplified)."""
+    in_table = [False] * len(rows)
+    i = 0
+    while i < len(rows):
+        if len(rows[i]) < 2:
+            i += 1
+            continue
+        run = [i]
+        j = i + 1
+        while j < len(rows):
+            if len(rows[j]) >= 2:
+                xs_prev = [s[1] for s in rows[run[-1]]]
+                xs_cur = [s[1] for s in rows[j]]
+                if _shares_anchors(xs_prev, xs_cur):
+                    run.append(j)
+                    j += 1
+                    continue
+                break
+            if _is_numeric_continuation(rows[j]):
+                run.append(j)
+                j += 1
+                continue
+            break
+        if len([k for k in run if len(rows[k]) >= 2]) >= 2:
+            for k in run:
+                in_table[k] = True
+        i = max(j, i + 1)
+    return in_table
+
+
+def _row_is_header(row: list) -> bool:
+    """A table-run row with no numeric cell is a header row
+    (compress.py:1469-1509 simplified: data rows carry numbers)."""
+    texts = [s[3] for s in row if s[2] == "pdf_text"]
+    return bool(texts) and not any(_NUMERIC_CELL_RE.match(t.strip()) for t in texts)
+
+
+def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> list:
+    """Extract one page. items = (y, x, kind, text, media_ref) tuples.
+    Returns ordered (kind, text, media_ref) triples for the page."""
+    out: list[tuple[str, str, str]] = []
+    rows = _cluster_rows(items)
+    for block in _split_side_by_side(rows):
+        in_table = _detect_table_runs(block)
+        header_seen_for_run = False
+        for idx, row in enumerate(block):
+            if not in_table[idx]:
+                header_seen_for_run = False
+            # media spans are emitted at their reading-order position
+            media = [s for s in row if s[2] == "media"]
+            texts = [s for s in row if s[2] != "media"]
+            for s in media:
+                out.append((KIND_MEDIA, "", s[4]))
+            if not texts:
+                continue
+            if len(texts) == 1 and _is_footnote(texts[0][3].strip()):
+                drop(metrics, "footnote")
+                continue
+            if in_table[idx]:
+                is_hdr = not header_seen_for_run and _row_is_header(texts)
+                if is_hdr:
+                    header_seen_for_run = True
+                    for s in texts:
+                        out.append((KIND_HEADING, normalize_text(s[3]), ""))
+                else:
+                    for s in texts:
+                        out.append((KIND_CELL, normalize_text(s[3]), ""))
+            elif _is_section_label(texts):
+                out.append((KIND_SECTION, normalize_text(texts[0][3]), ""))
+            else:
+                for s in texts:
+                    out.append((KIND_TEXT, normalize_text(s[3]), ""))
+    return out
+
+
+def extract_pdfish_page_spans(spans: list[tuple]) -> tuple[list, dict]:
+    """Extract from spans known to be on a single page (skew-explode path).
+    Same contract as extract_pdfish but without page grouping."""
+    metrics = new_metrics(len(spans))
+    items = []
+    for kind, text, ref, off in spans:
+        _p, y, x = decode_offset(off)
+        if kind != "media" and not (text or "").strip():
+            drop(metrics, "empty")
+            continue
+        items.append((y, x, kind, text or "", ref or ""))
+    out = extract_page(items, metrics)
+    return finalize([(k, t, m, 0) for k, t, m in out], metrics)
+
+
+def extract_pdfish(spans: list[tuple]) -> tuple[list, dict]:
+    """Whole-document extraction: group by page, extract each page in
+    order, re-sequence offsets 0..n-1. Returns (out_spans, metrics)."""
+    pages: dict[int, list] = {}
+    metrics = new_metrics(len(spans))
+    for kind, text, ref, off in spans:
+        page, y, x = decode_offset(off)
+        if kind != "media" and not (text or "").strip():
+            drop(metrics, "empty")
+            continue
+        pages.setdefault(page, []).append((y, x, kind, text or "", ref or ""))
+    out: list[tuple[str, str, str]] = []
+    for page in sorted(pages):
+        out.extend(extract_page(pages[page], metrics))
+    return finalize([(k, t, m, 0) for k, t, m in out], metrics)
+
+
+def reassemble_pages(page_results: list[tuple[int, list, dict]]) -> tuple[list, dict]:
+    """Merge per-page extraction results (page, spans, metrics) back into a
+    document: pages ascending, offsets re-sequenced. Mirrors the Spark-side
+    sorted collect_list reassembly so oracle == pipeline on mega-docs."""
+    page_results = sorted(page_results, key=lambda p: p[0])
+    out = []
+    for _page, spans, _m in page_results:
+        out.extend(spans)
+    metrics = merge_metrics([m for _p, _s, m in page_results])
+    spans, _ = finalize(out, new_metrics())
+    metrics["spans_out"] = len(spans)
+    return spans, metrics

@@ -1,0 +1,244 @@
+"""Pure-kernel unit tests (no Spark) — mirrors the reference's
+inline-fixture unit-test style (docpact tests/test_deterministic.py,
+tests/test_normalize.py, tests/test_serialize_coerce.py)."""
+
+from __future__ import annotations
+
+from pdf_ocr_spark.kernels.htmlk import expand_grid, extract_html
+from pdf_ocr_spark.kernels.mixed import extract_mixed, extract_mixed_text
+from pdf_ocr_spark.kernels.normalize import (
+    coerce_value,
+    detect_cell_type,
+    normalize_text,
+)
+from pdf_ocr_spark.kernels.pdfish import extract_pdfish
+
+
+def P(page, y, x):
+    return page * 1_000_000 + y * 1_000 + x
+
+
+# ------------------------------------------------------------ normalize
+
+
+def test_normalize_cases():
+    assert normalize_text("a b") == "a b"
+    assert normalize_text("‘q’ “w”") == "'q' \"w\""
+    assert normalize_text("a – b — c") == "a - b - c"
+    assert normalize_text("z​w﻿") == "zw"
+    assert normalize_text("a   b    c") == "a b c"
+    assert normalize_text("  x  ") == "x"
+    # idempotent
+    s = "a  “b” — c​"
+    assert normalize_text(normalize_text(s)) == normalize_text(s)
+
+
+def test_coerce_cases():
+    assert coerce_value("1,234") == "1234"
+    assert coerce_value("55826,3") == "55826.3"
+    assert coerce_value("(123)") == "-123"
+    assert coerce_value("12.5%") == "12.5"
+    assert coerce_value("$4,500") == "4500"
+    assert coerce_value("1 234") == "1234"
+    assert coerce_value("yes") == "true"
+    assert coerce_value("No") == "false"
+    assert coerce_value("+42") == "42"
+    assert coerce_value("hello world") == "hello world"
+    assert coerce_value("1.234.567") == "1.234.567"  # ambiguous -> unchanged
+
+
+def test_detect_cell_type():
+    assert detect_cell_type("2024-01-31") == "DATE"
+    assert detect_cell_type("31/01/2024") == "DATE"
+    assert detect_cell_type("15-Mar-24") == "DATE"
+    assert detect_cell_type("1,234.5") == "NUMBER"
+    assert detect_cell_type("(123)") == "NUMBER"
+    assert detect_cell_type("wheat") == "STRING"
+
+
+# --------------------------------------------------------------- pdfish
+
+
+def test_pdfish_flat_table_reading_order():
+    spans = [
+        ("pdf_text", "Intro line", "", P(0, 50, 10)),
+        # header row (y=150)
+        ("pdf_text", "Port", "", P(0, 150, 10)),
+        ("pdf_text", "Tonnage", "", P(0, 150, 200)),
+        # data rows with y jitter <= 3
+        ("pdf_text", "Albany", "", P(0, 170, 10)),
+        ("pdf_text", "1,234", "", P(0, 172, 200)),
+        ("pdf_text", "Kwinana", "", P(0, 190, 10)),
+        ("pdf_text", "2,500", "", P(0, 191, 200)),
+        ("media", "", "img://x/1", P(0, 260, 100)),
+        ("pdf_text", "* Note: footnote to drop", "", P(0, 300, 10)),
+    ]
+    out, m = extract_pdfish(spans)
+    assert [(k, t, r) for k, t, r, _ in out] == [
+        ("text", "Intro line", ""),
+        ("heading", "Port", ""),
+        ("heading", "Tonnage", ""),
+        ("cell", "Albany", ""),
+        ("cell", "1,234", ""),
+        ("cell", "Kwinana", ""),
+        ("cell", "2,500", ""),
+        ("media", "", "img://x/1"),
+    ]
+    assert [o for _, _, _, o in out] == list(range(8))
+    assert m["drop_reasons"] == {"footnote": 1}
+    assert m["spans_in"] == 9 and m["spans_out"] == 8 and m["dropped"] == 1
+
+
+def test_pdfish_section_and_aggregation():
+    spans = [
+        ("pdf_text", "GERALDTON", "", P(0, 50, 10)),
+        ("pdf_text", "Vessel", "", P(0, 80, 10)),
+        ("pdf_text", "Qty", "", P(0, 80, 200)),
+        ("pdf_text", "ship", "", P(0, 100, 10)),
+        ("pdf_text", "100", "", P(0, 100, 200)),
+        ("pdf_text", "boat", "", P(0, 120, 10)),
+        ("pdf_text", "200", "", P(0, 120, 200)),
+        # single-span numeric aggregation row stays in the run as a cell
+        ("pdf_text", "337,000", "", P(0, 140, 200)),
+    ]
+    out, _ = extract_pdfish(spans)
+    kinds = [k for k, _, _, _ in out]
+    assert kinds[0] == "section"
+    assert out[0][1] == "GERALDTON"
+    assert kinds[1:3] == ["heading", "heading"]
+    assert kinds[3:] == ["cell"] * 5
+    assert out[-1][1] == "337,000"
+
+
+def test_pdfish_side_by_side_split():
+    spans = []
+    # left table x in {10, 60}; right table x in {600, 660}; 5 rows
+    for i in range(5):
+        y = 100 + 20 * i
+        spans += [
+            ("pdf_text", f"L{i}a", "", P(0, y, 10)),
+            ("pdf_text", f"{i}00", "", P(0, y, 60)),
+            ("pdf_text", f"R{i}a", "", P(0, y, 600)),
+            ("pdf_text", f"{i}11", "", P(0, y, 660)),
+        ]
+    out, _ = extract_pdfish(spans)
+    texts = [t for _, t, _, _ in out]
+    # all left-block spans precede all right-block spans (XY-cut order)
+    left_idx = [i for i, t in enumerate(texts) if t.startswith("L") or t.endswith("00")]
+    right_idx = [i for i, t in enumerate(texts) if t.startswith("R") or t.endswith("11")]
+    assert max(left_idx) < min(right_idx)
+
+
+def test_pdfish_multi_page_order_and_empty_drop():
+    spans = [
+        ("pdf_text", "page1 text", "", P(1, 50, 10)),
+        ("pdf_text", "page0 text", "", P(0, 50, 10)),
+        ("pdf_text", "   ", "", P(0, 80, 10)),
+    ]
+    out, m = extract_pdfish(spans)
+    assert [t for _, t, _, _ in out] == ["page0 text", "page1 text"]
+    assert m["drop_reasons"] == {"empty": 1}
+
+
+# ----------------------------------------------------------------- html
+
+
+def test_expand_grid_colspan_rowspan():
+    rows = [
+        [{"text": "A", "colspan": 2, "rowspan": 1}, {"text": "B", "colspan": 1, "rowspan": 1}],
+        [{"text": "C", "colspan": 1, "rowspan": 2}, {"text": "D", "colspan": 1, "rowspan": 1},
+         {"text": "E", "colspan": 1, "rowspan": 1}],
+        [{"text": "F", "colspan": 1, "rowspan": 1}, {"text": "G", "colspan": 1, "rowspan": 1}],
+    ]
+    assert expand_grid(rows) == [
+        ["A", "A", "B"],
+        ["C", "D", "E"],
+        ["C", "F", "G"],
+    ]
+
+
+def test_html_boilerplate_strip():
+    html = (
+        "<html><body>"
+        "<nav><ul><li><a href='/'>Home</a></li><li><a href='/x'>X</a></li></ul></nav>"
+        "<div class='cookie-banner'><p>We use cookies <a href='#'>OK</a></p></div>"
+        "<main><h1>Title Here</h1>"
+        "<p>This is the main article content with plenty of plain text in it.</p>"
+        "<img src='img://d/0'>"
+        "<table><tr><th>H1</th><th>H2</th></tr><tr><td>a</td><td>b</td></tr></table>"
+        "</main>"
+        "<footer><p>(c) corp <a href='/p'>Privacy</a></p></footer>"
+        "</body></html>"
+    )
+    out, m = extract_html(html)
+    assert [(k, t, r) for k, t, r, _ in out] == [
+        ("heading", "Title Here", ""),
+        ("text", "This is the main article content with plenty of plain text in it.", ""),
+        ("media", "", "img://d/0"),
+        ("cell", "H1", ""),
+        ("cell", "H2", ""),
+        ("cell", "a", ""),
+        ("cell", "b", ""),
+    ]
+    assert m["drop_reasons"]["boilerplate"] >= 3  # nav li*2 collapse + cookie + footer
+
+
+def test_html_link_density():
+    html = (
+        "<html><body><main>"
+        "<p><a href='/a'>one</a> <a href='/b'>two</a> <a href='/c'>three</a> x</p>"
+        "<p>A genuinely long paragraph of real content without any links at all, "
+        "definitely dense enough.</p>"
+        "</main></body></html>"
+    )
+    out, m = extract_html(html)
+    assert len(out) == 1 and out[0][0] == "text"
+    assert m["drop_reasons"]["boilerplate"] == 1
+
+
+# ---------------------------------------------------------------- mixed
+
+
+def test_mixed_validation_and_coercion():
+    spans = [
+        ("text", "title: Weekly report", "", 0),
+        ("text", "amount: 1,234", "", 1),
+        ("text", "grade: A1", "", 2),
+        ("text", "grade: ZZ", "", 3),  # invalid -> dropped
+        ("media", "", "img://m/4", 4),
+        ("text", "  ", "", 5),  # empty -> dropped
+        ("text", "(500)", "", 6),
+    ]
+    out, m = extract_mixed(spans)
+    assert [(k, t, r) for k, t, r, _ in out] == [
+        ("text", "title: Weekly report", ""),
+        ("text", "amount: 1234", ""),
+        ("text", "grade: A1", ""),
+        ("media", "", "img://m/4"),
+        ("text", "-500", ""),
+    ]
+    assert m["drop_reasons"] == {"invalid_value": 1, "empty": 1}
+    assert [o for _, _, _, o in out] == list(range(5))
+
+
+def test_mixed_missing_required_field():
+    out, m = extract_mixed([("text", "no fields here", "", 0)])
+    assert m["drop_reasons"].get("missing_required_field") == 1
+
+
+def test_mixed_text_routing_equivalence():
+    """Routing media around the text kernel + offset merge == full kernel."""
+    spans = [
+        ("text", "title: x", "", 0),
+        ("media", "", "img://1", 1),
+        ("text", "grade: ZZ", "", 2),
+        ("text", "amount: 1,234", "", 3),
+        ("media", "", "img://2", 4),
+    ]
+    full, _ = extract_mixed(spans)
+    text_only = [s for s in spans if s[0] != "media"]
+    media = [("media", "", s[2], s[3]) for s in spans if s[0] == "media"]
+    routed, _ = extract_mixed_text(text_only)
+    merged = sorted(routed + media, key=lambda s: s[3])
+    merged = [(k, t, r, i) for i, (k, t, r, _o) in enumerate(merged)]
+    assert merged == full

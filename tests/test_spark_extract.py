@@ -1,0 +1,81 @@
+"""Spark-vs-oracle golden span-sequence equality (the correctness gate:
+BASELINE.json north_rule — per-document equality on
+(kind, text, media_ref, order))."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_ocr_spark.corpus import doc_ids
+from pdf_ocr_spark.extract.pipeline import extract, extract_routed_media
+from pdf_ocr_spark.oracle import oracle
+from pdf_ocr_spark.sources.synthetic import synthetic_corpus
+
+from .conftest import rows_to_tuples
+
+
+def _assert_golden(result_rows, expected_ids):
+    got = {r.doc_id: r for r in result_rows}
+    assert set(got) == set(expected_ids)
+    for doc_id in expected_ids:
+        exp_spans, exp_metrics = oracle(doc_id)
+        row = got[doc_id]
+        assert rows_to_tuples(row.spans) == exp_spans, f"span mismatch: {doc_id}"
+        m = row.metrics
+        assert m.spans_in == exp_metrics["spans_in"], doc_id
+        assert m.spans_out == exp_metrics["spans_out"], doc_id
+        assert m.dropped == exp_metrics["dropped"], doc_id
+        assert dict(m.drop_reasons) == exp_metrics["drop_reasons"], doc_id
+
+
+@pytest.mark.spark
+def test_golden_equality_t1(spark):
+    """t1 smoke tier: 60 docs across all three corpora + 1 mega doc
+    through the skew (page-explode) path."""
+    ids = doc_ids(60, skew_docs=1)
+    df = synthetic_corpus(spark, 60, skew_docs=1, partitions=8)
+    out = extract(df)
+    _assert_golden(out.collect(), ids)
+
+
+@pytest.mark.spark
+def test_skew_path_equals_whole_doc_path(spark):
+    """The page-explode mega-doc path must produce byte-identical spans to
+    the whole-document kernel (ordering never from partition order)."""
+    df = synthetic_corpus(spark, 0, skew_docs=2)
+    forced_skew = extract(df, big_doc_threshold=10)  # force explode path
+    whole = extract(df, big_doc_threshold=10**9)  # force whole-doc path
+    a = {r.doc_id: rows_to_tuples(r.spans) for r in forced_skew.collect()}
+    b = {r.doc_id: rows_to_tuples(r.spans) for r in whole.collect()}
+    assert a == b
+
+
+@pytest.mark.spark
+def test_media_routed_path_equals_kernel(spark):
+    """Columnar media routing (filter/array_sort/transform) == full kernel."""
+    ids = [f"mixed-{i:06d}" for i in range(2, 90, 3)]
+    df = synthetic_corpus(spark, 90).filter("doc_id like 'mixed-%'")
+    routed = extract_routed_media(df)
+    _assert_golden(routed.collect(), ids)
+
+
+@pytest.mark.spark
+def test_salted_repartition_preserves_golden(spark):
+    ids = doc_ids(30)
+    df = synthetic_corpus(spark, 30, partitions=2)
+    out = extract(df, salt_partitions=16)
+    _assert_golden(out.collect(), ids)
+
+
+@pytest.mark.spark
+def test_output_schema_stable(spark):
+    df = synthetic_corpus(spark, 3)
+    out = extract(df)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "spans", "metrics"]
+    span_type = out.schema["spans"].dataType.elementType
+    assert [f.name for f in span_type.fields] == [
+        "kind",
+        "text",
+        "media_ref",
+        "offset",
+    ]
