@@ -1,0 +1,13 @@
+"""Query registry: every module exposes QUERIES (name -> (spark, sf_dir)
+-> DataFrame) and ORACLE (name -> DuckDB SQL twin)."""
+
+from __future__ import annotations
+
+ALL_QUERIES: dict = {}
+ALL_ORACLES: dict = {}
+
+from . import extract_q, functions_q, setops_arrays, tpch, windows  # noqa: E402
+
+for _mod in (tpch, windows, setops_arrays, functions_q, extract_q):
+    ALL_QUERIES.update(_mod.QUERIES)
+    ALL_ORACLES.update(_mod.ORACLE)

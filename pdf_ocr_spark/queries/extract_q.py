@@ -1,0 +1,107 @@
+"""Extraction-pipeline queries (rows-only: kernels are not SQL-expressible).
+
+The flagship derives an interleaved span table from the REAL documents
+parquet (sentences → text spans + deterministic media refs, mixed-corpus
+shape), runs the full extraction pipeline, and explodes the ordered
+output spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..extract.pipeline import extract
+from ..sources.synthetic import synthetic_corpus
+from .base import t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _doc_spans_from_documents(spark, sf):
+    """documents(text) -> (doc_id, spans) in mixed-corpus shape: one text
+    span per sentence-ish chunk, a media span every 4th chunk, sequence
+    offsets. Pure column ops (split / posexplode / collect_list)."""
+    docs = t(spark, sf, "documents").select(
+        F.concat(F.lit("mixed-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.split(F.col("text"), " ").alias("words"),
+    )
+    # chunk words into groups of 8 -> one span per chunk
+    chunks = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, int(ceil(size(words)/8.0)) - 1),"
+            " i -> concat_ws(' ', slice(words, i*8 + 1, 8)))"
+        ).alias("chunks"),
+    )
+    spans = chunks.select(
+        "doc_id",
+        F.expr(
+            "transform(chunks, (c, i) -> struct("
+            " case when i % 4 = 3 then 'media' else 'text' end as kind,"
+            " case when i % 4 = 3 then '' else c end as text,"
+            " case when i % 4 = 3 then concat('img://', doc_id, '/', i) else '' end as media_ref,"
+            " i as offset))"
+        ).alias("spans"),
+    )
+    # prepend the required title field span (mixed contract)
+    return spans.select(
+        "doc_id",
+        F.expr(
+            "transform(concat(array(struct('text' as kind,"
+            " concat('title: doc ', doc_id) as text, '' as media_ref,"
+            " 0 as offset)), spans), (s, i) -> struct(s.kind as kind,"
+            " s.text as text, s.media_ref as media_ref, i as offset))"
+        ).alias("spans"),
+    )
+
+
+def flagship(spark, sf):
+    inp = _doc_spans_from_documents(spark, sf)
+    out = extract(inp)
+    return out.select(
+        "doc_id",
+        F.col("metrics.spans_in").alias("spans_in"),
+        F.col("metrics.spans_out").alias("spans_out"),
+        F.col("metrics.dropped").alias("dropped"),
+        F.explode("spans").alias("span"),
+    ).select(
+        "doc_id",
+        "spans_in",
+        "spans_out",
+        "dropped",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+QUERIES["x01_extract_documents"] = flagship
+
+
+def x02_extract_synthetic(spark, sf):
+    """Full three-corpus synthetic extraction, summarized per corpus.
+    Deterministic (seeded corpus + deterministic kernels)."""
+    docs = t(spark, sf, "documents")
+    n = docs.count() // 2  # scale corpus with sf tier
+    inp = synthetic_corpus(spark, n, skew_docs=max(1, n // 500))
+    out = extract(inp)
+    return (
+        out.select(
+            F.split("doc_id", "-")[0].alias("corpus"),
+            F.col("metrics.spans_in").alias("spans_in"),
+            F.col("metrics.spans_out").alias("spans_out"),
+            F.col("metrics.dropped").alias("dropped"),
+        )
+        .groupBy("corpus")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("spans_in").alias("spans_in"),
+            F.sum("spans_out").alias("spans_out"),
+            F.sum("dropped").alias("dropped"),
+        )
+    )
+
+
+QUERIES["x02_extract_synthetic"] = x02_extract_synthetic

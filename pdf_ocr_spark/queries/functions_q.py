@@ -1,0 +1,234 @@
+"""Scalar-function queries (SURVEY.md §2.8): normalization, cell-type
+lattice, number coercion, multi-format dates, fuzzy distance, regex
+extraction, JSON access — each with a DuckDB twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import cell_type_col, coerce_number_col, normalize_col
+from .base import sql_dsum_expr, t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle:
+            ORACLE[name] = oracle
+        return fn
+
+    return reg
+
+
+@q(
+    "q27_normalize_text",
+    oracle="""
+SELECT doc_id,
+       TRIM(REGEXP_REPLACE(
+         REPLACE(REPLACE(REPLACE(
+           REGEXP_REPLACE(text || CHR(160) || ' “x”  –  y​z', '[​‌‍﻿]', '', 'g'),
+           CHR(160), ' '), '“', '"'), '”', '"')
+         .replace('–', '-'),
+         ' {2,}', ' ', 'g')) AS norm_text
+FROM documents
+""",
+)
+def q27(spark, sf):
+    """normalization chain (docpact normalize.py:14-46) — messy suffix is
+    appended so the chain has real work to do."""
+    d = t(spark, sf, "documents")
+    messy = F.concat(
+        F.col("text"), F.lit("  “x”  –  y​z")
+    )
+    return d.select("doc_id", normalize_col(messy).alias("norm_text"))
+
+
+@q(
+    "q28_cell_type_lattice",
+    oracle="""
+WITH cells AS (
+  SELECT STRFTIME(l_shipdate, '%Y-%m-%d') AS c FROM lineitem
+  UNION ALL SELECT CAST(l_quantity AS VARCHAR) FROM lineitem
+  UNION ALL SELECT l_returnflag FROM lineitem)
+SELECT CASE
+         WHEN REGEXP_MATCHES(TRIM(c), '^\\d{4}-\\d{2}-\\d{2}$') THEN 'DATE'
+         WHEN REGEXP_MATCHES(TRIM(c), '^\\(?[+-]?[$€£]?\\s?\\d{1,3}([ ,.]\\d{3})*([.,]\\d+)?%?\\)?$') THEN 'NUMBER'
+         ELSE 'STRING'
+       END AS cell_type,
+       COUNT(*) AS n
+FROM cells GROUP BY 1
+""",
+)
+def q28(spark, sf):
+    """CellType lattice (docpact heuristics.py:117-172) over a synthetic
+    cell stream built from real columns."""
+    li = t(spark, sf, "lineitem")
+    dates = li.select(F.date_format("l_shipdate", "yyyy-MM-dd").alias("c"))
+    nums = li.select(F.col("l_quantity").cast("string").alias("c"))
+    strs = li.select(F.col("l_returnflag").alias("c"))
+    cells = dates.unionAll(nums).unionAll(strs)
+    return cells.select(cell_type_col(F.col("c")).alias("cell_type")).groupBy(
+        "cell_type"
+    ).agg(F.count("*").alias("n"))
+
+
+_COERCE_SQL = r"""
+  CASE WHEN REGEXP_MATCHES(cell, '^\(.*\)$')
+       THEN -TRY_CAST(REGEXP_REPLACE(REGEXP_REPLACE(cell, '^\((.*)\)$', '\1', 'g'), '[$,]', '', 'g') AS DOUBLE)
+       ELSE TRY_CAST(
+         CASE WHEN REGEXP_MATCHES(REGEXP_REPLACE(cell, '[$]', '', 'g'), '^[+-]?[0-9,]*,[0-9]{1,2}$')
+                   AND NOT CONTAINS(cell, '.')
+              THEN REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(cell, '[$]', '', 'g'), '^(.*),([0-9]{1,2})$', '\1#\2', 'g'), ',', '', 'g'), '#', '.')
+              ELSE REGEXP_REPLACE(REGEXP_REPLACE(cell, '[$]', '', 'g'), ',', '', 'g')
+         END AS DOUBLE)
+  END"""
+
+_Q29_ORACLE = """
+WITH formatted AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN
+                CAST(CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS VARCHAR) || ',' ||
+                LPAD(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % 1000 AS VARCHAR), 3, '0')
+              WHEN o_orderkey % 4 = 1 THEN '(' || CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR) || ')'
+              WHEN o_orderkey % 4 = 2 THEN '$' || CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)
+              ELSE CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR) || ',5'
+         END AS cell
+  FROM orders)
+SELECT {dsum} AS total_coerced,
+  COUNT(*) AS n
+FROM formatted
+""".format(dsum=sql_dsum_expr(_COERCE_SQL, 2))
+
+
+@q("q29_number_coercion", oracle=_Q29_ORACLE)
+def q29(spark, sf):
+    """value coercion round-trip (docpact serialize.py:435-495): format
+    numbers as messy strings (US thousands / accounting parens / currency /
+    EU decimal), coerce back columnar, sum exactly."""
+    o = t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    ip = F.floor(F.col("o_totalprice")).cast("bigint")
+    us = F.concat(
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").cast("string"),
+        F.lit(","),
+        F.lpad((ip % 1000).cast("string"), 3, "0"),
+    )
+    cell = (
+        F.when(ok % 4 == 0, us)
+        .when(ok % 4 == 1, F.concat(F.lit("("), ip.cast("string"), F.lit(")")))
+        .when(ok % 4 == 2, F.concat(F.lit("$"), ip.cast("string")))
+        .otherwise(F.concat(ip.cast("string"), F.lit(",5")))
+    )
+    coerced = coerce_number_col(cell)
+    return o.select(cell.alias("cell"), coerced.alias("v")).agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("total_coerced"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "q30_date_roundtrip",
+    oracle="""
+SELECT STRFTIME(STRPTIME(STRFTIME(o_orderdate, '%d-%b-%Y'), '%d-%b-%Y'),
+                '%Y-%m-%d') AS iso_date,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+""",
+)
+def q30(spark, sf):
+    """multi-format date parse/format (docpact serialize.py:107-189):
+    format to '15-Mar-1995', parse back through the coalesce chain, emit
+    ISO."""
+    from ..functions import parse_date_multi
+
+    o = t(spark, sf, "orders")
+    noisy = F.date_format("o_orderdate", "dd-MMM-yyyy")
+    return (
+        o.select(
+            F.date_format(parse_date_multi(noisy), "yyyy-MM-dd").alias("iso_date")
+        )
+        .groupBy("iso_date")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q31_levenshtein",
+    oracle="""
+SELECT c_mktsegment,
+       MIN(LEVENSHTEIN(c_name, 'Customer#000000042')) AS min_dist,
+       MAX(LEVENSHTEIN(c_name, 'Customer#000000042')) AS max_dist
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def q31(spark, sf):
+    """edit-distance scoring — builtin analogue of the reference's fuzzy
+    matching (docpact filter.py:130-160 uses rapidfuzz WRatio; the
+    vectorized-rapidfuzz variant is q45, rows-only)."""
+    c = t(spark, sf, "customer")
+    d = F.levenshtein("c_name", F.lit("Customer#000000042"))
+    return c.groupBy("c_mktsegment").agg(
+        F.min(d).alias("min_dist"), F.max(d).alias("max_dist")
+    )
+
+
+@q(
+    "q32_regex_extract_ids",
+    oracle="""
+SELECT c_mktsegment,
+       SUM(CAST(REGEXP_EXTRACT(c_name, 'Customer#(\\d+)', 1) AS BIGINT)) AS id_sum,
+       COUNT(*) AS n
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def q32(spark, sf):
+    """regexp_extract (docpact heuristics.py:442-603 RH-pattern family)."""
+    c = t(spark, sf, "customer")
+    cid = F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint")
+    return c.groupBy("c_mktsegment").agg(
+        F.sum(cid).alias("id_sum"), F.count("*").alias("n")
+    )
+
+
+@q(
+    "q33_json_props",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS k_sum,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def q33(spark, sf):
+    """per-row JSON access (the reference only loads contract JSON on the
+    driver — contracts.py:113; this is the row-level generalization)."""
+    e = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count("*").alias("n")
+    )
+
+
+@q(
+    "q34_string_formats",
+    oracle="""
+SELECT UPPER(c_mktsegment) AS up, LOWER(c_mktsegment) AS lo,
+       REPLACE(LOWER(TRIM(c_mktsegment)), ' ', '_') AS snake,
+       COUNT(*) AS n
+FROM customer GROUP BY 1, 2, 3
+""",
+)
+def q34(spark, sf):
+    """string case formats (docpact serialize.py:284-337)."""
+    from ..functions import string_format_col
+
+    c = t(spark, sf, "customer")
+    seg = F.col("c_mktsegment")
+    return c.groupBy(
+        string_format_col(seg, "upper").alias("up"),
+        string_format_col(seg, "lower").alias("lo"),
+        string_format_col(seg, "snake").alias("snake"),
+    ).agg(F.count("*").alias("n"))

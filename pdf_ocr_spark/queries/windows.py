@@ -1,0 +1,271 @@
+"""Window-shaped operators (SURVEY.md §2.5, §2.6): sessionization (the
+y-clustering pattern), latest-per-key, top-k per group, running sums,
+alternation counts, periodic record grouping, median gaps.
+
+Every window ORDER BY ends in a unique key so both engines evaluate
+identical frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from .base import dsum, sql_dsum, t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle:
+            ORACLE[name] = oracle
+        return fn
+
+    return reg
+
+
+@q(
+    "q11_latest_order_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn = 1
+""",
+)
+def q11(spark, sf):
+    """latest/earliest filter (docpact contracts.py:295-300)."""
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@q(
+    "q12_top3_per_group",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey,
+                                     l_linenumber) AS rn
+  FROM lineitem)
+WHERE rn <= 3
+""",
+)
+def q12(spark, sf):
+    """top-3 pattern (docpact compress.py:1496 span-count modes)."""
+    li = t(spark, sf, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@q(
+    "q13_sessionize_events",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps)
+SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+FROM sess GROUP BY user_id
+""",
+)
+def q13(spark, sf):
+    """Gap-based sessionization — the same lag/cumsum pattern as the
+    reference's y-row clustering (docpact spatial_text.py:310-325),
+    applied to a time axis."""
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.expr("unix_seconds(cast(ts as timestamp))")
+    gap = ep - F.lag(ep).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        e.withColumn("new_session", new_s)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@q(
+    "q14_running_supplier_revenue",
+    oracle=f"""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
+FROM lineitem
+""",
+)
+def q14(spark, sf):
+    li = t(spark, sf, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_rev"),
+    )
+
+
+@q(
+    "q15_mode_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority AS mode_priority
+FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+WHERE rn = 1
+""",
+)
+def q15(spark, sf):
+    """mode()/most_common (docpact compress.py:203-213, 579-591)."""
+    o = t(spark, sf, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").count()
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("count"), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+
+
+@q(
+    "q16_zebra_alternations",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+  FROM events
+), alt AS (
+  SELECT user_id,
+         CASE WHEN is_click <> LAG(is_click)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS flip
+  FROM flagged)
+SELECT user_id, SUM(flip) AS n_alternations
+FROM alt GROUP BY user_id
+""",
+)
+def q16(spark, sf):
+    """Alternation counting (docpact zebra detection compress.py:232-292)."""
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    is_click = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    df = e.withColumn("is_click", is_click)
+    flip = F.when(
+        F.col("is_click") != F.lag("is_click").over(w), 1
+    ).otherwise(0)
+    return (
+        df.withColumn("flip", flip)
+        .groupBy("user_id")
+        .agg(F.sum("flip").alias("n_alternations"))
+    )
+
+
+@q(
+    "q17_multirow_period",
+    oracle="""
+WITH numbered AS (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id,
+       (rn - 1) // 2 AS pair_id,
+       COUNT(*) AS n_in_pair,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS pair_value
+FROM numbered
+GROUP BY user_id, (rn - 1) // 2
+""",
+)
+def q17(spark, sf):
+    """Periodic multi-row record merge (docpact compress.py:1390-1466):
+    rows grouped into period-2 records by row_number."""
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("pair_id", F.floor((F.col("rn") - 1) / 2).cast("bigint"))
+        .groupBy("user_id", "pair_id")
+        .agg(
+            F.count("*").alias("n_in_pair"),
+            dsum("value").alias("pair_value"),
+        )
+    )
+
+
+@q(
+    "q18_median_event_gap",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT user_id,
+       QUANTILE_CONT(gap_us, 0.5) AS median_gap_us,
+       COUNT(gap_us) AS n_gaps
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def q18(spark, sf):
+    """Median-based adaptive thresholds (docpact spatial_text.py:297-308
+    median char width; compress.py:929-936 median column gap)."""
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.expr("unix_micros(cast(ts as timestamp))")
+    gap = ep - F.lag(ep).over(w)
+    return (
+        e.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.expr("percentile(gap_us, 0.5)").alias("median_gap_us"),
+            F.count("gap_us").alias("n_gaps"),
+        )
+    )

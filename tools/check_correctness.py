@@ -1,0 +1,132 @@
+"""Local replica of the round-driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and, where an
+oracle_sql() entry exists, the same query on DuckDB over the same parquet
+tables; compares row count, column names, and an order-insensitive
+value hash (doubles rounded to 6 significant-ish decimals, like any sane
+float-tolerant comparator).
+
+Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, (decimal.Decimal,)):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows: list[dict]) -> str:
+    cols = sorted(rows[0].keys()) if rows else []
+    lines = sorted(
+        "|".join(_norm_cell(r[c]) for c in cols) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from pdf_ocr_spark.session import get_spark
+
+    spark = get_spark(app="check-correctness", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [r.asDict() for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            orows = con.sql(oracles[name]).df().to_dict("records")
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        scols, ocols = (
+            sorted(srows[0].keys()) if srows else sorted(c.name for c in sdf.schema),
+            sorted(orows[0].keys()) if orows else [],
+        )
+        ok_rows = len(srows) == len(orows)
+        ok_cols = not (srows and orows) or scols == ocols
+        sh, oh = value_hash(srows), value_hash(orows)
+        ok_hash = sh == oh
+        status = "PASS" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status} {name}: rows {len(srows)}/{len(orows)} "
+            f"cols={'ok' if ok_cols else f'{scols} vs {ocols}'} "
+            f"hash={'ok' if ok_hash else f'{sh} vs {oh}'} [{time.time()-t0:.1f}s]"
+        )
+        if status == "FAIL" and srows and orows:
+            sset = {value_hash([r]) for r in srows}
+            oset = {value_hash([r]) for r in orows}
+            s_only = [r for r in srows if value_hash([r]) not in oset][:3]
+            o_only = [r for r in orows if value_hash([r]) not in sset][:3]
+            for r in s_only:
+                print("   spark-only:", {k: r[k] for k in sorted(r)[:8]})
+            for r in o_only:
+                print("   duck-only: ", {k: r[k] for k in sorted(r)[:8]})
+    spark.stop()
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
