@@ -6,8 +6,15 @@ from __future__ import annotations
 ALL_QUERIES: dict = {}
 ALL_ORACLES: dict = {}
 
-from . import extract_q, functions_q, setops_arrays, tpch, windows  # noqa: E402
+from . import (  # noqa: E402
+    dedup,
+    extract_q,
+    functions_q,
+    setops_arrays,
+    tpch,
+    windows,
+)
 
-for _mod in (tpch, windows, setops_arrays, functions_q, extract_q):
+for _mod in (tpch, windows, setops_arrays, functions_q, extract_q, dedup):
     ALL_QUERIES.update(_mod.QUERIES)
     ALL_ORACLES.update(_mod.ORACLE)

@@ -1,0 +1,408 @@
+"""Training-data deduplication operators over the ``documents`` table.
+
+Large-scale pipelines dedup before training; the reference (a per-document
+extractor) has no cross-doc dedup, so these are the Spark-native additions
+the north_star's 10^12-doc corpus needs.  Every operator is pure DataFrame
+API (no Python UDFs) so Catalyst/Tungsten run the whole plan JVM-side, and
+each has a DuckDB oracle twin.
+
+Cross-engine portable primitives (identical in Spark and DuckDB):
+  - tokens:   regexp_extract_all(lower(text), '[a-z0-9]+')
+  - H32(s):   first 8 hex chars of md5(s) as a bigint
+              Spark  conv(substring(md5(s),1,8),16,10)::bigint
+              DuckDB ('0x' || substr(md5(s),1,8))::BIGINT
+  - minhash:  lexicographic min over md5 hex strings (uniform => valid
+              min-wise hash, no integer math needed)
+
+Scale notes (100 TB): every step is shuffle-on-key with map-side partial
+aggregation; candidate generation is banded LSH so the pairwise join is on
+(band_id, band_key) buckets, never all-pairs; exact-jaccard verification
+joins only LSH candidates.  Band rows r=2/bands b=8 are tuned for the tiny
+test corpus -- at production scale raise r (e.g. 4x32) to keep bucket sizes
+bounded; skewed buckets are then the only hotspot and AQE handles them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle:
+            ORACLE[name] = oracle
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------------------- helpers
+TOKEN_RE = "[a-z0-9]+"
+
+
+def _tokens(col="text"):
+    return F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+
+
+def _h32(col):
+    """Portable 32-bit hash of a string column (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def sql_h32(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}),1,8))::BIGINT)"
+
+
+def _shingles(tok_col="toks"):
+    """Distinct word 3-grams from a token array (empty if < 3 tokens)."""
+    expr = (
+        f"array_distinct(transform(sequence(1, size({tok_col})-2), "
+        f"i -> concat_ws(' ', {tok_col}[i-1], {tok_col}[i], {tok_col}[i+1])))"
+    )
+    return F.when(F.size(F.col(tok_col)) >= 3, F.expr(expr)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+SQL_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(toks)-2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+def _doc_shingles(spark, sf):
+    """(doc_id, lang, sh) exploded distinct word-3-gram shingles."""
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", "lang", _tokens().alias("toks"))
+        .select("doc_id", "lang", F.explode(_shingles()).alias("sh"))
+    )
+
+
+SQL_DOC_SHINGLES = f"""
+  SELECT doc_id, lang, unnest({SQL_SHINGLES}) AS sh
+  FROM (SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents)
+"""
+
+
+# ---------------------------------------------------------------- d01
+@q(
+    "d01_exact_dedup",
+    oracle="""
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def d01(spark, sf):
+    """Exact dedup: hash-groupBy on whitespace-normalized text.
+
+    Scale: one shuffle on a uniform 128-bit key; partial agg map-side;
+    at 10^12 docs this is the cheapest possible dedup (no pairwise work).
+    """
+    d = t(spark, sf, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.groupBy(F.md5(norm).alias("norm_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------- d02
+_N_HASH = 16
+_BANDS = 8  # 2 rows per band
+
+
+def _sql_minhash_sig() -> str:
+    mins = ",\n         ".join(
+        f"min(md5({i} || '#' || sh)) AS h{i}" for i in range(_N_HASH)
+    )
+    return f"SELECT doc_id, {mins}\n  FROM doc_sh GROUP BY doc_id"
+
+
+def _sql_bands() -> str:
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {j} AS band_id, md5(h{2 * j} || h{2 * j + 1}) AS band_key FROM sig"
+        for j in range(_BANDS)
+    )
+    return arms
+
+
+@q(
+    "d02_minhash_lsh_dedup",
+    oracle=f"""
+WITH doc_sh AS ({SQL_DOC_SHINGLES}),
+sig AS ({_sql_minhash_sig()}),
+bands AS ({_sql_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN doc_sh sa ON sa.doc_id = c.doc_a
+  JOIN doc_sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+""",
+)
+def d02(spark, sf):
+    """MinHash+LSH near-dup: shingle -> 16 minhashes -> 8 banded buckets ->
+    bucket self-join -> exact-Jaccard verify of candidates only.
+
+    Minhash value = lexicographic min of md5('<seed>#'||shingle) hex strings
+    (uniform hash => valid min-wise sampling, portable across engines).
+    Scale: the only joins are equi-joins on band buckets and on shingles
+    restricted to candidates; no all-pairs stage anywhere.
+    """
+    doc_sh = _doc_shingles(spark, sf).drop("lang")
+    sig = doc_sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("sh")))).alias(f"h{i}")
+            for i in range(_N_HASH)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{j}, md5(concat(h{2 * j}, h{2 * j + 1}))" for j in range(_BANDS)
+    )
+    bands = sig.select(
+        "doc_id",
+        F.expr(f"stack({_BANDS}, {stack_args}) AS (band_id, band_key)"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa, sb = doc_sh.alias("sa"), doc_sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.sh") == F.col("sa.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("za.n") + F.col("zb.n") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- d03
+_SIM_BITS = 16
+_SIM_HAMMING = 3
+
+
+def _sql_simhash() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN ({sql_h32('tok')} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIM_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIM_BITS)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS tok
+  FROM documents
+),
+sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums)
+"""
+
+
+@q(
+    "d03_simhash_dedup",
+    oracle=f"""
+WITH {_sql_simhash()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIM_HAMMING}
+""",
+)
+def d03(spark, sf):
+    """SimHash near-dup: 16-bit token-frequency simhash per doc, pairs at
+    hamming distance <= 3.
+
+    Scale: the fingerprint build is one shuffle; at 10^12 docs the pair
+    stage would pivot to bucketing on (simhash >> k) prefixes instead of
+    the demo self-join (same semantics, bounded buckets).
+    """
+    toks = (
+        t(spark, sf, "documents")
+        .select("doc_id", _tokens().alias("toks"))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .withColumn("h", _h32(F.col("tok")))
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIM_BITS)
+        ]
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIM_BITS)
+    )
+    fp = sums.select(
+        "doc_id", F.expr(f"CAST({fp_expr} AS BIGINT)").alias("simhash")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SIM_HAMMING)
+    )
+
+
+# ---------------------------------------------------------------- d04
+@q(
+    "d04_ngram_jaccard_dedup",
+    oracle=f"""
+WITH doc_sh AS ({SQL_DOC_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM doc_sh a
+  JOIN doc_sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.01
+""",
+)
+def d04(spark, sf):
+    """Exact n-gram Jaccard within a blocking key (lang): the inverted-index
+    formulation -- join on shingle, never all-pairs.
+
+    Scale: pair generation is an equi-join on (sh, lang); hot shingles are
+    the skew risk -> production variant drops shingles with document
+    frequency above a cap (they contribute ~0 to Jaccard), which also
+    bounds the join fan-out.
+    """
+    doc_sh = _doc_shingles(spark, sf)
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = doc_sh.alias("a"), doc_sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("za.n") + F.col("zb.n") - F.col("n_inter")
+    )
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.01)
+    )
+
+
+# ---------------------------------------------------------------- d05
+@q(
+    "d05_embedding_cosine_dedup",
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.25
+""",
+)
+def d05(spark, sf):
+    """Embedding-cosine near-dup within a blocking key (label).
+
+    Cosine is computed JVM-side with higher-order array functions
+    (zip_with + aggregate) -- no Python in the loop.  Scale: blocking key
+    bounds the pair count; production variant blocks on LSH buckets
+    (see s02) instead of a given label.
+    """
+    e = t(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    na = F.expr("sqrt(aggregate(a.v, 0D, (acc, x) -> acc + x * x))")
+    nb = F.expr("sqrt(aggregate(b.v, 0D, (acc, x) -> acc + x * x))")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot / (na * nb)).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.25)
+    )
