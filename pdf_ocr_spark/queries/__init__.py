@@ -10,11 +10,14 @@ from . import (  # noqa: E402
     dedup,
     extract_q,
     functions_q,
+    multimodal_q,
     setops_arrays,
+    similarity,
+    textstats,
     tpch,
     windows,
 )
 
-for _mod in (tpch, windows, setops_arrays, functions_q, extract_q, dedup):
+for _mod in (tpch, windows, setops_arrays, functions_q, extract_q, dedup, similarity, textstats, multimodal_q):
     ALL_QUERIES.update(_mod.QUERIES)
     ALL_ORACLES.update(_mod.ORACLE)

@@ -1,0 +1,113 @@
+"""Multimodal queries: binary media columns + typed metadata, decoded /
+feature-extracted in Arrow-batched ``mapInPandas`` (operators.multimodal).
+
+The synthetic media payload is ``unhex(md5(text))`` (16 deterministic
+bytes per document) so the mapInPandas plumbing is exercised end-to-end
+while staying verifiable against a DuckDB oracle that recomputes the same
+metadata from the md5 hex directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    DECODE_SCHEMA,
+    FEATURE_SCHEMA,
+    decode_batches,
+    feature_batches,
+)
+from .base import t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle:
+            ORACLE[name] = oracle
+        return fn
+
+    return reg
+
+
+def _media(spark, sf):
+    """(doc_id, media_blob): the opaque binary media column."""
+    return t(spark, sf, "documents").select(
+        "doc_id", F.unhex(F.md5("text")).alias("media_blob")
+    )
+
+
+# ---------------------------------------------------------------- m01
+@q(
+    "m01_media_decode",
+    oracle="""
+SELECT doc_id,
+       (('0x' || substr(md5(text), 1, 4))::INT % 1920 + 16) AS width,
+       (('0x' || substr(md5(text), 5, 4))::INT % 1080 + 16) AS height,
+       (['png','jpeg','webp','gif'])
+         [('0x' || substr(md5(text), 9, 2))::INT % 4 + 1] AS format,
+       16 AS n_bytes
+FROM documents
+""",
+)
+def m01(spark, sf):
+    """Media decode via mapInPandas: binary blob -> (width, height,
+    format, n_bytes) typed metadata.  Real plumbing, stubbed codec
+    (operators/multimodal.py)."""
+    return _media(spark, sf).mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------- m02
+@q(
+    "m02_media_feature",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+)
+SELECT doc_id,
+       list_sum(list_transform(generate_series(1, 16),
+                i -> ('0x' || substr(h, 2*i - 1, 2))::BIGINT))::DOUBLE
+         / 16.0 AS mean_byte,
+       16 AS n_bytes
+FROM b
+""",
+)
+def m02(spark, sf):
+    """Per-blob feature extraction (mean byte value) via mapInPandas --
+    the Arrow-batched stand-in for an embedding model over media."""
+    return _media(spark, sf).mapInPandas(feature_batches, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------- m03
+_FPS = 30
+_STRIDE = 15
+
+
+@q(
+    "m03_frame_sample",
+    oracle=f"""
+SELECT doc_id,
+       unnest(generate_series(0, (n_chars % 120 + 1) * {_FPS} - 1,
+                              {_STRIDE})) AS frame_idx
+FROM documents
+""",
+)
+def m03(spark, sf):
+    """Video frame sampling plan: fake duration (n_chars-derived), 30 fps,
+    every 15th frame -> exploded (doc_id, frame_idx) work list.
+
+    At scale this work list is what gets repartitioned to decode
+    executors -- the explode is the fan-out operator, one row per frame
+    task, and the per-frame decode is the same mapInPandas shape as m01.
+    """
+    d = t(spark, sf, "documents")
+    dur = F.col("n_chars") % 120 + 1
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), dur * _FPS - 1, F.lit(_STRIDE))
+        ).alias("frame_idx"),
+    )

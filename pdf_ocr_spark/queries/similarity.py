@@ -1,0 +1,283 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Approximate-nearest-neighbor operators a training-data pipeline needs:
+  s01  brute-force cosine top-k         (correctness baseline)
+  s02  random-hyperplane LSH bucketed   (scale path: search one bucket)
+  s03  IVF coarse quantizer: per-label centroid build (exact decimal sums)
+  s04  IVF probe: route query to nearest centroid, search that cell only
+
+All cosine/dot math runs JVM-side via higher-order array functions
+(zip_with + aggregate -- sequential left fold, deterministic); the LSH
+hyperplanes are literal doubles generated from a fixed seed and inlined
+into BOTH the Spark plan and the DuckDB oracle so the two engines share
+bit-identical constants.
+
+Scale notes (100 TB): s01 is O(N) per query -- the baseline only.  s02
+prunes to one of 2^H buckets (bucket id is computable at scan time, so a
+bucket-partitioned table turns this into partition pruning).  s03/s04 is
+IVF: centroid build is one shuffle on (label, pos) with exact decimal
+partial sums; probe touches 1/k of the data.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from .base import t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle:
+            ORACLE[name] = oracle
+        return fn
+
+    return reg
+
+
+DIM = 64
+N_PLANES = 8
+_rng = random.Random(20260816)
+HYPERPLANES = [
+    [round(_rng.uniform(-1.0, 1.0), 9) for _ in range(DIM)]
+    for _ in range(N_PLANES)
+]
+
+
+def _vd(col="embedding"):
+    """array<float> -> array<double>, element-exact."""
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+
+
+def _cos(a: str, b: str):
+    dot = _dot(a, b)
+    na = F.expr(f"sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x))")
+    nb = F.expr(f"sqrt(aggregate({b}, 0D, (acc, x) -> acc + x * x))")
+    return dot / (na * nb)
+
+
+def _plane_lit(j: int) -> str:
+    """Spark SQL literal array for hyperplane j."""
+    return "array(" + ", ".join(f"{v!r}D" for v in HYPERPLANES[j]) + ")"
+
+
+def _plane_sql(j: int) -> str:
+    """DuckDB literal list for hyperplane j."""
+    return "[" + ", ".join(repr(v) for v in HYPERPLANES[j]) + "]"
+
+
+def _bucket_expr(vec: str) -> str:
+    """Spark SQL: LSH bucket id = sum_j (dot(v, H_j) >= 0) << j."""
+    bits = [
+        f"(CASE WHEN aggregate(zip_with({vec}, {_plane_lit(j)}, (x, y) -> x * y), "
+        f"0D, (acc, x) -> acc + x) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = [
+        f"(CASE WHEN list_dot_product({vec}, {_plane_sql(j)}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+# ---------------------------------------------------------------- s01
+@q(
+    "s01_ann_bruteforce_topk",
+    oracle="""
+WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       list_cosine_similarity(e.embedding::DOUBLE[], qv.v) AS cosine
+FROM embeddings e, qv
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+""",
+)
+def s01(spark, sf):
+    """Brute-force cosine top-k: broadcast the query vector, scan all rows.
+
+    The O(N) baseline every ANN variant is checked against; the broadcast
+    keeps it a single narrow scan (no shuffle except the final top-k).
+    """
+    e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", _cos("v", "qv").alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- s02
+@q(
+    "s02_ann_lsh_bucket",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+),
+qb AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT b.vec_id, b.bucket,
+       list_cosine_similarity(b.v, qb.qv) AS cosine
+FROM b, qb
+WHERE b.bucket = qb.qbucket AND b.vec_id <> 0
+ORDER BY cosine DESC, b.vec_id
+LIMIT 5
+""",
+)
+def s02(spark, sf):
+    """Random-hyperplane LSH ANN: 8 signed projections -> 256 buckets;
+    search only the query's bucket.
+
+    Scale path: bucket id is a deterministic function of the vector, so a
+    production table is written partitioned/bucketed by it and the probe
+    becomes partition pruning -- the scan reads 1/256 of the data.
+    """
+    e = t(spark, sf, "embeddings").select(
+        "vec_id",
+        _vd().alias("v"),
+    )
+    b = e.withColumn("bucket", F.expr(_bucket_expr("v")))
+    qb = (
+        b.filter(F.col("vec_id") == 0)
+        .select(F.col("v").alias("qv"), F.col("bucket").alias("qbucket"))
+    )
+    return (
+        b.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qb))
+        .filter(F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", "bucket", _cos("v", "qv").alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------- s03
+@q(
+    "s03_ivf_centroids",
+    oracle="""
+SELECT label, pos,
+       CAST(sum(CAST(embedding[pos]::DOUBLE AS DECIMAL(28,9))) AS DOUBLE)
+         / count(*) AS centroid
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(pos)
+GROUP BY label, pos
+""",
+)
+def s03(spark, sf):
+    """IVF coarse-quantizer build: element-wise per-label centroids.
+
+    Float sums across rows are order-dependent, so partial sums use exact
+    DECIMAL(28,9) (associative) and only the final mean is a double --
+    bit-stable under any partitioning.  One shuffle on (label, pos).
+    """
+    e = t(spark, sf, "embeddings")
+    return (
+        e.select("label", F.posexplode(_vd()).alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), "val")
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,9)")).cast("double")
+                / F.count("*")
+            ).alias("centroid")
+        )
+    )
+
+
+# ---------------------------------------------------------------- s04
+_SQL_CENTROIDS = """
+cent AS (
+  SELECT label, pos,
+         CAST(sum(CAST(embedding[pos]::DOUBLE AS DECIMAL(28,9))) AS DOUBLE)
+           / count(*) AS c
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(pos)
+  GROUP BY label, pos
+),
+cvec AS (
+  SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+)
+"""
+
+
+@q(
+    "s04_ivf_probe_topk",
+    oracle=f"""
+WITH {_SQL_CENTROIDS},
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+best AS (
+  SELECT c.label
+  FROM cvec c, qv
+  ORDER BY list_cosine_similarity(c.cv, qv.v) DESC, c.label
+  LIMIT 1
+)
+SELECT e.vec_id, e.label,
+       list_cosine_similarity(e.embedding::DOUBLE[], qv.v) AS cosine
+FROM embeddings e, qv, best
+WHERE e.label = best.label AND e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 5
+""",
+)
+def s04(spark, sf):
+    """IVF probe: route the query to its nearest centroid (cosine), then
+    brute-force only that cell (1/k of the data at scale).
+
+    Centroid list is tiny -> broadcast; the cell filter is a partition-
+    prunable predicate when the table is partitioned by the IVF cell id.
+    """
+    e = t(spark, sf, "embeddings")
+    cent = (
+        e.select("label", F.posexplode(_vd()).alias("pos0", "val"))
+        .groupBy("label", F.col("pos0").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,9)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    cvec = cent.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"
+        ).alias("cv")
+    )
+    qv = (
+        e.filter(F.col("vec_id") == 0)
+        .select(_vd().alias("qv"))
+    )
+    best = (
+        cvec.crossJoin(F.broadcast(qv))
+        .select("label", _cos("cv", "qv").alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("label"))
+        .limit(1)
+        .select(F.col("label").alias("best_label"))
+    )
+    return (
+        e.select("vec_id", "label", _vd().alias("v"))
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(best), F.col("label") == F.col("best_label"))
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", _cos("v", "qv").alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )

@@ -1,0 +1,258 @@
+"""Text-analysis operators over the ``documents`` table: language ID,
+quality scoring, token counting, document fingerprinting.
+
+These are the per-document scoring passes a training-data pipeline runs
+before filtering/dedup (cf. C4/Gopher-style quality rules, public).  All
+are pure columnar expressions (regex + higher-order array functions) --
+zero Python in the executors, whole plan stays in WholeStageCodegen.
+
+Scale notes (100 TB): every query is a narrow map over the scan (no
+shuffle at all except the driver-side result fetch) -- these pipelines
+are scan-bound, which is exactly what you want: they scale linearly with
+executors and read only the ``text`` column (column pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import t
+from .dedup import SQL_TOKENS, _tokens
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle:
+            ORACLE[name] = oracle
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------------------- t01
+# Tiny stopword marker lists (public, language-characteristic function
+# words).  Scores = fraction of tokens in each language's marker set;
+# argmax with fixed tie-break order = predicted language.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "una", "por", "para", "con", "que"],
+}
+
+
+def _marker_arr(lang: str) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + ")"
+
+
+def _marker_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+
+
+def _t01_oracle() -> str:
+    scores = ",\n       ".join(
+        f"len(list_filter(toks, x -> list_contains({_marker_sql(lg)}, x)))"
+        f"::DOUBLE / greatest(len(toks), 1) AS score_{lg}"
+        for lg in LANG_MARKERS
+    )
+    langs = list(LANG_MARKERS)
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lg in langs[1:]:
+        pred = f"CASE WHEN score_{lg} > {best} THEN '{lg}' ELSE {pred} END"
+        best = f"greatest({best}, score_{lg})"
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents),
+scored AS (SELECT doc_id, lang, {scores} FROM toks)
+SELECT doc_id, lang AS labeled_lang, {pred} AS pred_lang,
+       score_en, score_de, score_fr, score_es
+FROM scored
+"""
+
+
+@q("t01_language_id", oracle=_t01_oracle())
+def t01(spark, sf):
+    """N-gram/stopword-heuristic language ID: per-language marker-token
+    ratio, argmax with a fixed tie-break order (later language wins only
+    on a strictly greater score)."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.col("lang").alias("labeled_lang"), _tokens().alias("toks")
+    )
+    for lg in LANG_MARKERS:
+        d = d.withColumn(
+            f"score_{lg}",
+            F.expr(
+                f"size(filter(toks, x -> array_contains({_marker_arr(lg)}, x)))"
+                f" / cast(greatest(size(toks), 1) as double)"
+            ),
+        )
+    langs = list(LANG_MARKERS)
+    pred = F.lit(langs[0])
+    best = F.col(f"score_{langs[0]}")
+    for lg in langs[1:]:
+        pred = F.when(F.col(f"score_{lg}") > best, F.lit(lg)).otherwise(pred)
+        best = F.greatest(best, F.col(f"score_{lg}"))
+    return d.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("pred_lang"),
+        *[f"score_{lg}" for lg in LANG_MARKERS],
+    )
+
+
+# ---------------------------------------------------------------- t02
+_STOPWORDS_SQL = _marker_sql("en")
+_STOPWORDS_ARR = _marker_arr("en")
+
+
+@q(
+    "t02_quality_score",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         {SQL_TOKENS} AS toks,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_unique,
+         len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))
+           AS n_stop,
+         n_punct, n_digit
+  FROM f
+)
+SELECT doc_id, n_chars, n_tokens,
+       n_unique::DOUBLE / greatest(n_tokens, 1) AS unique_ratio,
+       n_stop::DOUBLE / greatest(n_tokens, 1) AS stopword_ratio,
+       n_punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+       n_digit::DOUBLE / greatest(n_chars, 1) AS digit_ratio,
+       CASE WHEN n_tokens >= 20
+             AND n_unique::DOUBLE / greatest(n_tokens, 1) >= 0.2
+             AND n_digit::DOUBLE / greatest(n_chars, 1) <= 0.2
+            THEN 1 ELSE 0 END AS keep
+FROM g
+""",
+)
+def t02(spark, sf):
+    """Gopher-style quality signals: length, unique-token ratio, stopword
+    ratio, punctuation/digit density, and a boolean keep rule."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        _tokens().alias("toks"),
+        F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).alias("n_punct"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).alias("n_digit"),
+    )
+    g = d.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique"),
+        F.expr(
+            f"size(filter(toks, x -> array_contains({_STOPWORDS_ARR}, x)))"
+        ).alias("n_stop"),
+        "n_punct",
+        "n_digit",
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1))
+    nc = F.greatest(F.col("n_chars"), F.lit(1))
+    uniq = F.col("n_unique").cast("double") / nt
+    stop = F.col("n_stop").cast("double") / nt
+    punct = F.col("n_punct").cast("double") / nc
+    digit = F.col("n_digit").cast("double") / nc
+    keep = (
+        F.when(
+            (F.col("n_tokens") >= 20) & (uniq >= 0.2) & (digit <= 0.2), 1
+        ).otherwise(0)
+    )
+    return g.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        uniq.alias("unique_ratio"),
+        stop.alias("stopword_ratio"),
+        punct.alias("punct_ratio"),
+        digit.alias("digit_ratio"),
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------- t03
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@q(
+    "t03_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe_tokens,
+       length(text)::DOUBLE
+         / greatest(len(regexp_extract_all(lower(text), '{_BPE_RE}')), 1)
+         AS chars_per_token
+FROM documents
+""",
+)
+def t03(spark, sf):
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (letter runs / digit runs / single punctuation), chars-per-token."""
+    d = t(spark, sf, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)
+    )
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (
+            F.length("text").cast("double")
+            / F.greatest(bpe, F.lit(1)).cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------- t04
+_FP_MOD = 2147483647  # 2^31 - 1
+_FP_MUL = 1000003
+
+
+@q(
+    "t04_doc_fingerprint",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(toks,
+             x -> ('0x' || substr(md5(x), 1, 5))::BIGINT)),
+         (acc, v) -> (acc * {_FP_MUL} + v) % {_FP_MOD}) AS fingerprint
+FROM toks
+""",
+)
+def t04(spark, sf):
+    """Rolling polynomial hash over the token stream (order-sensitive doc
+    fingerprint, Karp-Rabin style): acc = (acc*M + h20(tok)) mod (2^31-1).
+
+    h20 = first 5 md5 hex chars (20 bits) keeps acc*M + v inside int64.
+    """
+    d = t(spark, sf, "documents").select("doc_id", _tokens().alias("toks"))
+    hv = (
+        "transform(toks, x -> cast(conv(substring(md5(x), 1, 5), 16, 10) "
+        "as bigint))"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"aggregate({hv}, cast(0 as bigint), "
+            f"(acc, v) -> (acc * {_FP_MUL} + v) % {_FP_MOD})"
+        ).alias("fingerprint"),
+    )

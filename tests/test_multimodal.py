@@ -1,0 +1,65 @@
+"""Unit tests for the multimodal mapInPandas kernels (no Spark session:
+the kernels are plain batch-iterator functions, tested at the pandas
+level exactly as executors run them)."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from pdf_ocr_spark.operators.multimodal import (
+    IMG_FORMATS,
+    decode_batches,
+    decode_image_real,
+    fake_decode,
+    feature_batches,
+)
+
+
+def _blob(text: str) -> bytes:
+    return hashlib.md5(text.encode()).digest()
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")
+
+
+def test_fake_decode_deterministic_and_bounded():
+    b = _blob("hello")
+    assert fake_decode(b) == fake_decode(b)
+    w, h, fmt = fake_decode(b)
+    assert 16 <= w < 1936 and 16 <= h < 1096
+    assert fmt in IMG_FORMATS
+
+
+def test_decode_batches_one_row_per_input_across_batches():
+    batches = [
+        pd.DataFrame({"doc_id": [1, 2], "media_blob": [_blob("a"), _blob("b")]}),
+        pd.DataFrame({"doc_id": [3], "media_blob": [_blob("c")]}),
+    ]
+    out = list(decode_batches(iter(batches)))
+    assert len(out) == 2  # batch shape preserved (streamed, not concat)
+    all_rows = pd.concat(out)
+    assert list(all_rows.columns) == [
+        "doc_id", "width", "height", "format", "n_bytes",
+    ]
+    assert list(all_rows["doc_id"]) == [1, 2, 3]
+    assert (all_rows["n_bytes"] == 16).all()
+
+
+def test_feature_mean_byte_matches_manual_sum():
+    b = _blob("xyz")
+    out = pd.concat(
+        feature_batches(iter([pd.DataFrame({"doc_id": [7], "media_blob": [b]})]))
+    )
+    assert out["mean_byte"].iloc[0] == sum(b) / len(b)
+
+
+def test_registry_is_consistent():
+    from pdf_ocr_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    assert set(ALL_ORACLES) <= set(ALL_QUERIES)
+    # every new training-data operator family is registered
+    for prefix in ("d0", "s0", "t0", "m0"):
+        assert any(k.startswith(prefix) for k in ALL_QUERIES), prefix
