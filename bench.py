@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured with the noop sink (full plan runs, nothing
+collected to the driver).  The flagship extraction job also reports
+docs/sec (extra key, the BASELINE.json headline unit); scaling-efficiency
+evidence lives in tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Representative of every operator family: relational core, windows,
+# dedup, similarity, text analysis, multimodal, extraction flagship.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_revenue_topk",
+    "q05_local_supplier",
+    "q09_shipped_parts",
+    "q12_top3_per_group",
+    "q13_sessionize_events",
+    "q18_median_event_gap",
+    "d01_exact_dedup",
+    "d02_minhash_lsh_dedup",
+    "d04_ngram_jaccard_dedup",
+    "s01_ann_bruteforce_topk",
+    "s03_ivf_centroids",
+    "t01_language_id",
+    "t02_quality_score",
+    "t04_doc_fingerprint",
+    "m01_media_decode",
+    "x01_extract_documents",
+]
+
+
+def main() -> None:
+    from pdf_ocr_spark.queries import ALL_QUERIES
+    from pdf_ocr_spark.session import get_spark
+
+    spark = get_spark(cpus=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up codegen/arrow paths so q1 doesn't pay session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = ALL_QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    extract_sec = times.get("x01_extract_documents", 0.0)
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": CPUS,
+                "extract_docs_per_sec": round(n_docs / extract_sec, 2)
+                if extract_sec
+                else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

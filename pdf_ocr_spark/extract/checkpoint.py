@@ -51,6 +51,7 @@ def run_resumable(
     n_buckets: int = 32,
     chunk_buckets: int = 8,
     big_doc_threshold: int = BIG_DOC_THRESHOLD,
+    salt_partitions: int | None = None,
     fail_after_chunks: int | None = None,
     run_id: str | None = None,
 ) -> dict:
@@ -67,7 +68,9 @@ def run_resumable(
     processed = 0
     for ci, chunk in enumerate(chunks):
         chunk_df = work.filter(F.col("bucket").isin(chunk))
-        out = extract(chunk_df.select("doc_id", "spans"), big_doc_threshold)
+        out = extract(
+            chunk_df.select("doc_id", "spans"), big_doc_threshold, salt_partitions
+        )
         out = _bucketed(out, n_buckets)
         # idempotent commit: dynamic partition overwrite replaces exactly
         # the buckets in this chunk

@@ -59,6 +59,97 @@ _KERNELS = {
 # --------------------------------------------------------- UDF batch fns
 
 
+def _extract_batch_arrow(batches):
+    """mapInArrow kernel for the small-doc path.
+
+    The pandas route materializes every span as a Python dict twice
+    (Arrow->pandas object column in, pandas->Arrow inference out); that
+    object churn is ~40% of worker CPU and is memory-bandwidth-bound,
+    which is exactly what degrades multi-worker scaling.  Here the
+    nested list<struct> column is flattened ONCE into four primitive
+    arrays, kernels consume zip()-ed tuples, and the output is rebuilt
+    with ListArray.from_arrays -- no dicts, no pandas, no type inference.
+    """
+    import pyarrow as pa
+
+    map_ty = pa.map_(pa.string(), pa.int32())
+    metrics_ty = pa.struct(
+        [
+            ("spans_in", pa.int32()),
+            ("spans_out", pa.int32()),
+            ("dropped", pa.int32()),
+            ("drop_reasons", map_ty),
+        ]
+    )
+    for rb in batches:
+        doc_ids = rb.column(0).to_pylist()
+        la = rb.column(1)
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        lengths = pa.compute.list_value_length(la).to_pylist()
+        flat = la.flatten()
+        tuples = list(
+            zip(
+                flat.field(0).to_pylist(),
+                flat.field(1).to_pylist(),
+                flat.field(2).to_pylist(),
+                flat.field(3).to_pylist(),
+            )
+        )
+        out_k: list = []
+        out_t: list = []
+        out_m: list = []
+        out_o: list = []
+        offsets = [0]
+        metrics = []
+        pos = 0
+        for doc_id, n in zip(doc_ids, lengths):
+            doc_spans = tuples[pos : pos + n]
+            pos += n
+            kernel = _KERNELS.get(corpus_of(doc_id))
+            if kernel is None:
+                m = new_metrics(n)
+                m["dropped"] = n
+                m["drop_reasons"] = {"unknown_corpus": n} if n else {}
+                spans_out = []
+            else:
+                spans_out, m = kernel(doc_spans)
+            for k, t, mr, o in spans_out:
+                out_k.append(k)
+                out_t.append(t)
+                out_m.append(mr)
+                out_o.append(o)
+            offsets.append(len(out_k))
+            metrics.append(
+                {
+                    "spans_in": int(m["spans_in"]),
+                    "spans_out": int(m["spans_out"]),
+                    "dropped": int(m["dropped"]),
+                    "drop_reasons": list(m["drop_reasons"].items()),
+                }
+            )
+        spans_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(out_k, pa.string()),
+                pa.array(out_t, pa.string()),
+                pa.array(out_m, pa.string()),
+                pa.array(out_o, pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans_out_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), spans_struct
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc_ids, pa.string()),
+                spans_out_arr,
+                pa.array(metrics, metrics_ty),
+            ],
+            names=["doc_id", "spans", "metrics"],
+        )
+
+
 def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Whole-document extraction over an Arrow batch (small-doc path)."""
     for pdf in batches:
@@ -147,6 +238,7 @@ def extract(
     df: DataFrame,
     big_doc_threshold: int = BIG_DOC_THRESHOLD,
     salt_partitions: int | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """input (doc_id, spans) -> output (doc_id, spans, metrics).
 
@@ -164,9 +256,21 @@ def extract(
         small = small.repartition(
             salt_partitions, F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions))
         )
-    small_out = small.mapInPandas(_extract_batch, schema=OUTPUT_SCHEMA)
+    if use_arrow:
+        small_out = small.select("doc_id", "spans").mapInArrow(
+            _extract_batch_arrow, schema=OUTPUT_SCHEMA
+        )
+    else:
+        small_out = small.mapInPandas(_extract_batch, schema=OUTPUT_SCHEMA)
 
     big = df.filter(F.col("_n") > big_doc_threshold).drop("_n")
+    if salt_partitions:
+        # mega-docs cluster in few input splits (they're written together
+        # and size-based split planning can't see row cost), so without
+        # this the whole explode of 10^6-span docs runs in one task — a
+        # serial floor that caps scaling. Spread docs first; the explode
+        # then parallelizes per doc, and page grain fans out further.
+        big = big.repartition(salt_partitions, "doc_id")
     # explode to page grain (pages are independent in the layout kernel)
     pages = (
         big.select("doc_id", F.explode("spans").alias("s"))

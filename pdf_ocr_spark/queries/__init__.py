@@ -7,6 +7,7 @@ ALL_QUERIES: dict = {}
 ALL_ORACLES: dict = {}
 
 from . import (  # noqa: E402
+    analytics_ext,
     dedup,
     extract_q,
     functions_q,
@@ -18,6 +19,6 @@ from . import (  # noqa: E402
     windows,
 )
 
-for _mod in (tpch, windows, setops_arrays, functions_q, extract_q, dedup, similarity, textstats, multimodal_q):
+for _mod in (tpch, windows, setops_arrays, functions_q, extract_q, dedup, similarity, textstats, multimodal_q, analytics_ext):
     ALL_QUERIES.update(_mod.QUERIES)
     ALL_ORACLES.update(_mod.ORACLE)

@@ -1,0 +1,222 @@
+"""Extended analytics: rollup/grouping-sets aggregation, winnowing
+fingerprints, and end-to-end dedup survivor materialization.
+
+Rounds out the engine beyond the reference's operator set (SURVEY.md
+§2.4 notes the reference has no grouping sets -- an analytics engine a
+reference user switches to still needs them) and completes the dedup
+story: d02/d04 emit candidate PAIRS, x-dedup here materializes the
+surviving corpus (keep lowest doc_id per duplicate component edge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import sql_dsum_expr, t
+from .dedup import SQL_DOC_SHINGLES, _doc_shingles
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle:
+            ORACLE[name] = oracle
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------------------- q35
+@q(
+    "q35_rollup_revenue",
+    oracle=f"""
+SELECT coalesce(r.r_name, '<all>') AS region,
+       coalesce(n.n_name, '<all>') AS nation,
+       {sql_dsum_expr("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def q35(spark, sf):
+    """Hierarchical rollup (region -> nation -> grand total) with
+    decimal-exact sums; nulls from the rollup replaced by a sentinel so
+    the value-hash comparison is unambiguous."""
+    li = t(spark, sf, "lineitem")
+    su = t(spark, sf, "supplier")
+    na = t(spark, sf, "nation")
+    re = t(spark, sf, "region")
+    j = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+# ---------------------------------------------------------------- t05
+_WIN_K = 4  # shingle size (tokens)
+_WIN_W = 5  # winnowing window
+
+
+@q(
+    "t05_winnowing_fingerprints",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - {_WIN_K - 1}),
+           i -> struct_pack(pos := i,
+                h := ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+                      || toks[i+2] || ' ' || toks[i+3]), 1, 8))::BIGINT))
+           AS hs
+  FROM toks
+  WHERE len(toks) >= {_WIN_K}
+),
+wins AS (
+  SELECT doc_id, u.w.pos AS pos, u.w.h AS h,
+         min(u.w.h) OVER (PARTITION BY doc_id
+                          ORDER BY u.w.pos
+                          ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+           AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM grams, unnest(hs) AS u(w)
+)
+SELECT DISTINCT doc_id, h AS fingerprint
+FROM wins
+WHERE h = wmin AND pos >= {_WIN_W}
+""",
+)
+def t05(spark, sf):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    public): k-gram hashes -> per-window minimum -> selected fingerprints.
+
+    Pure window functions over the exploded k-gram stream -- the local
+    min-selection is the same lag/frame machinery as sessionization, all
+    JVM-side.  Scale: narrow map + one window per doc partition.
+    """
+    from .dedup import TOKEN_RE
+
+    d = (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_RE), 0
+            ).alias("toks"),
+        )
+        .filter(F.size("toks") >= _WIN_K)
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_WIN_K - 1}), "
+                f"i -> struct(i as pos, "
+                f"cast(conv(substring(md5(concat_ws(' ', toks[i-1], toks[i], "
+                f"toks[i+1], toks[i+2])), 1, 8), 16, 10) as bigint) as h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    from pyspark.sql import Window as W
+
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    return (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .filter((F.col("h") == F.col("wmin")) & (F.col("pos") >= _WIN_W))
+        .select("doc_id", F.col("h").alias("fingerprint"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- x03
+@q(
+    "x03_dedup_survivors",
+    oracle=f"""
+WITH doc_sh AS ({SQL_DOC_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM doc_sh a
+  JOIN doc_sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT i.doc_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.02
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+LEFT JOIN (SELECT DISTINCT doc_b FROM dups) x ON x.doc_b = d.doc_id
+WHERE x.doc_b IS NULL
+""",
+)
+def x03(spark, sf):
+    """End-to-end dedup: materialize the surviving corpus.  Pair
+    generation as d04 (inverted-index Jaccard, lang-blocked), keep policy
+    = drop the higher doc_id of every duplicate pair (union-to-lowest
+    representative after transitive propagation is policy; the common
+    production choice, edge-drop, is used here).  Survivors come from a
+    LEFT ANTI join -- no row ever duplicates.
+    """
+    doc_sh = _doc_shingles(spark, sf).persist()
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = doc_sh.alias("a"), doc_sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("za.n") + F.col("zb.n") - F.col("n_inter")
+    )
+    dups = (
+        inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.02)
+        .select("doc_b")
+        .distinct()
+    )
+    d = t(spark, sf, "documents")
+    return d.join(
+        dups, d.doc_id == dups.doc_b, "left_anti"
+    ).select("doc_id", "lang", "n_chars")

@@ -173,15 +173,21 @@ def d02(spark, sf):
     Minhash value = lexicographic min of md5('<seed>#'||shingle) hex strings
     (uniform hash => valid min-wise sampling, portable across engines).
     Scale: the only joins are equi-joins on band buckets and on shingles
-    restricted to candidates; no all-pairs stage anywhere.
+    restricted to candidates; no all-pairs stage anywhere.  The exploded
+    shingle table feeds four branches (signatures, sizes, both verify-join
+    sides) -> persist it so tokenize+explode runs once; the production
+    pipeline materializes it to storage between stages for the same reason.
     """
-    doc_sh = _doc_shingles(spark, sf).drop("lang")
+    doc_sh = _doc_shingles(spark, sf).drop("lang").persist()
+    # sig is tiny (one row/doc) but expensive (16 min-aggs over the
+    # shingle explosion) and feeds BOTH sides of the band self-join:
+    # persist it or the aggregation runs twice.
     sig = doc_sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("sh")))).alias(f"h{i}")
             for i in range(_N_HASH)
         ]
-    )
+    ).persist()
     stack_args = ", ".join(
         f"{j}, md5(concat(h{2 * j}, h{2 * j + 1}))" for j in range(_BANDS)
     )
@@ -334,7 +340,7 @@ def d04(spark, sf):
     frequency above a cap (they contribute ~0 to Jaccard), which also
     bounds the join fan-out.
     """
-    doc_sh = _doc_shingles(spark, sf)
+    doc_sh = _doc_shingles(spark, sf).persist()
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = doc_sh.alias("a"), doc_sh.alias("b")
     inter = (

@@ -37,12 +37,15 @@ def synthetic_corpus(
     skew_docs: int = 0,
     seed: int = DEFAULT_SEED,
     partitions: int | None = None,
+    id_offset: int = 0,
 ) -> DataFrame:
     """(doc_id, spans) DataFrame: round-robin pdfish/html/mixed docs plus
-    ``skew_docs`` mega documents (FIXTURES.md scale tiers)."""
+    ``skew_docs`` mega documents (FIXTURES.md scale tiers).  ``id_offset``
+    shifts the doc-id range so successive drops don't collide (streaming
+    ingestion tests)."""
     n_corp = len(_CORPORA)
     base = (
-        spark.range(n_docs)
+        spark.range(id_offset, id_offset + n_docs)
         .withColumn(
             "doc_id",
             F.concat(
