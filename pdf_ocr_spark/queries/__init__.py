@@ -16,9 +16,10 @@ from . import (  # noqa: E402
     similarity,
     textstats,
     tpch,
+    validation_q,
     windows,
 )
 
-for _mod in (tpch, windows, setops_arrays, functions_q, extract_q, dedup, similarity, textstats, multimodal_q, analytics_ext):
+for _mod in (tpch, windows, setops_arrays, functions_q, extract_q, dedup, similarity, textstats, multimodal_q, analytics_ext, validation_q):
     ALL_QUERIES.update(_mod.QUERIES)
     ALL_ORACLES.update(_mod.ORACLE)

@@ -1,0 +1,107 @@
+"""Contract-validation queries over the ``documents`` table: the
+operators/validation.py compiler applied with a concrete contract, plus
+the corpus-level violation histogram. Both have DuckDB oracle twins (the
+compiled rules are plain scalar SQL)."""
+
+from __future__ import annotations
+
+from ..operators.validation import validate, violation_histogram
+from .base import t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle:
+            ORACLE[name] = oracle
+        return fn
+
+    return reg
+
+
+# The documents-table contract (same vocabulary as the reference's JSON
+# contracts: closed value sets, regex patterns, numeric ranges, required
+# fields).
+DOC_CONTRACT = {
+    "lang": {"valid_values": ["en", "de", "fr", "es"], "not_null": True},
+    "source": {"pattern": r"src\d+", "not_null": True},
+    "n_chars": {"min": 50, "max": 400},
+    "text": {"not_null": True},
+}
+
+_SQL_CHECKS = """
+  (lang IN ('en','de','fr','es') OR lang IS NULL)            AS ok_lang_valid_values,
+  (lang IS NOT NULL AND length(lang) > 0)                    AS ok_lang_not_null,
+  (regexp_full_match(source, 'src[0-9]+') OR source IS NULL) AS ok_source_pattern,
+  (source IS NOT NULL AND length(source) > 0)                AS ok_source_not_null,
+  (CAST(n_chars AS DOUBLE) >= 50 OR n_chars IS NULL)         AS ok_n_chars_min,
+  (CAST(n_chars AS DOUBLE) <= 400 OR n_chars IS NULL)        AS ok_n_chars_max,
+  (text IS NOT NULL AND length(text) > 0)                    AS ok_text_not_null
+"""
+
+_SQL_VIOL = """
+  list_sort(
+    [v FOR v IN [
+       CASE WHEN NOT ok_lang_valid_values THEN 'lang.valid_values' END,
+       CASE WHEN NOT ok_lang_not_null     THEN 'lang.not_null' END,
+       CASE WHEN NOT ok_source_pattern    THEN 'source.pattern' END,
+       CASE WHEN NOT ok_source_not_null   THEN 'source.not_null' END,
+       CASE WHEN NOT ok_n_chars_min       THEN 'n_chars.min' END,
+       CASE WHEN NOT ok_n_chars_max       THEN 'n_chars.max' END,
+       CASE WHEN NOT ok_text_not_null     THEN 'text.not_null' END
+     ] IF v IS NOT NULL]) AS violations
+"""
+
+
+@q(
+    "v01_contract_validation",
+    oracle=f"""
+WITH checked AS (SELECT doc_id, {_SQL_CHECKS} FROM documents),
+tagged AS (SELECT doc_id, {_SQL_VIOL},
+                  ok_lang_valid_values, ok_lang_not_null, ok_source_pattern,
+                  ok_source_not_null, ok_n_chars_min, ok_n_chars_max,
+                  ok_text_not_null
+           FROM checked)
+SELECT doc_id, ok_lang_valid_values, ok_lang_not_null, ok_source_pattern,
+       ok_source_not_null, ok_n_chars_min, ok_n_chars_max, ok_text_not_null,
+       coalesce(array_to_string(violations, ','), '') AS violations_csv,
+       len(violations) AS n_violations,
+       len(violations) = 0 AS valid
+FROM tagged
+""",
+)
+def v01(spark, sf):
+    """Contract validation as assert columns (north_star: DataFrame
+    filter/assert columns instead of SHACL metadata).  The violations
+    array is surfaced as a CSV string: array-valued result columns
+    round-trip differently through comparator toolchains (numpy repr vs
+    list repr), so hash-compared outputs stay scalar."""
+    from pyspark.sql import functions as F
+
+    out = validate(t(spark, sf, "documents"), DOC_CONTRACT).drop(
+        "text", "lang", "source", "n_chars"
+    )
+    return out.withColumn(
+        "violations_csv", F.array_join("violations", ",")
+    ).drop("violations")
+
+
+@q(
+    "v02_violation_histogram",
+    oracle=f"""
+WITH checked AS (SELECT doc_id, {_SQL_CHECKS} FROM documents),
+tagged AS (SELECT doc_id, {_SQL_VIOL} FROM checked)
+SELECT u.v AS violation, count(*) AS n_docs
+FROM tagged, unnest(violations) AS u(v)
+GROUP BY 1
+""",
+)
+def v02(spark, sf):
+    """Corpus-level validation metrics: violation tag -> document count
+    (the reference's validation report as one explode+groupBy)."""
+    return violation_histogram(
+        validate(t(spark, sf, "documents"), DOC_CONTRACT)
+    )

@@ -44,6 +44,8 @@ def _norm_cell(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if type(v).__name__ == "ndarray":  # duckdb->pandas list columns
+        return "[" + ",".join(_norm_cell(x) for x in v.tolist()) + "]"
     return str(v)
 
 
