@@ -236,6 +236,78 @@ def _gen_mixed(doc_id: str, r: random.Random) -> list[tuple]:
     return spans
 
 
+# ------------------------------------------------------------------- grid
+
+
+def _gen_grid(doc_id: str, r: random.Random) -> list[tuple]:
+    """Spreadsheet-shaped doc: 1-2 sheets of header+data cells with merged
+    ranges, hidden rows/cols, aggregation totals, trailing footnotes and
+    trailing empty columns (docpact xlsx_extractor.py synthetic-fixture
+    analogue, tests/generate_synthetic_xlsx.py)."""
+    spans: list[tuple] = []
+
+    def pack(sheet, row, col):
+        return sheet * 1_000_000 + row * 1_000 + col
+
+    for sheet in range(r.randint(1, 2)):
+        ncols = r.randint(3, 5)
+        nrows = r.randint(4, 10)
+        # header row 0
+        for c in range(ncols):
+            spans.append(
+                ("grid_cell", _HEADERS[c % len(_HEADERS)], "", pack(sheet, 0, c))
+            )
+        # data rows 1..nrows
+        for row in range(1, nrows + 1):
+            for c in range(ncols):
+                val = (
+                    r.choice(_PORTS).title()
+                    if c == 0
+                    else f"{r.randint(1, 99)},{r.randint(100, 999)}"
+                    if c >= 2
+                    else _word(r)
+                )
+                spans.append(("grid_cell", val, "", pack(sheet, row, c)))
+        # merged range in the data area (top-left keeps its value)
+        if r.random() < 0.6 and nrows >= 3:
+            r0 = r.randint(1, nrows - 1)
+            spans.append(
+                ("grid_merge", f"{r0},0,{r0 + 1},0", "", pack(sheet, r0, 0))
+            )
+        # hidden row / column
+        if r.random() < 0.5:
+            spans.append(
+                ("grid_hidden_row", str(r.randint(1, nrows)), "",
+                 pack(sheet, 0, 0))
+            )
+        if r.random() < 0.3:
+            spans.append(
+                ("grid_hidden_col", str(ncols - 1), "", pack(sheet, 0, 0))
+            )
+        # aggregation total row
+        agg_row = nrows + 1
+        spans.append(("grid_cell", "Total", "", pack(sheet, agg_row, 0)))
+        spans.append(
+            ("grid_cell", f"{r.randint(100, 999)},000", "",
+             pack(sheet, agg_row, 2 if ncols > 2 else ncols - 1))
+        )
+        # trailing footnote row(s)
+        if r.random() < 0.7:
+            spans.append(
+                ("grid_cell", f"* Note: {_sentence(r, 4)}", "",
+                 pack(sheet, agg_row + 1, 0))
+            )
+        # trailing empty column (value-less cells)
+        spans.append(("grid_cell", "  ", "", pack(sheet, 1, ncols)))
+        # embedded chart/image
+        if r.random() < 0.4:
+            spans.append(
+                ("media", "", f"img://{doc_id}/s{sheet}",
+                 pack(sheet, r.randint(1, nrows), 1))
+            )
+    return spans
+
+
 # ------------------------------------------------------------------- API
 
 
@@ -255,6 +327,8 @@ def generate_doc(doc_id: str, seed: int = DEFAULT_SEED) -> list[tuple]:
         return _gen_html(doc_id, r)
     if c == "mixed":
         return _gen_mixed(doc_id, r)
+    if c == "grid":
+        return _gen_grid(doc_id, r)
     raise ValueError(f"unknown corpus for doc_id {doc_id!r}")
 
 

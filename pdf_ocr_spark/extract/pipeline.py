@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..corpus import corpus_of
 from ..kernels.common import merge_metrics, new_metrics
+from ..kernels.gridk import extract_grid_doc
 from ..kernels.htmlk import extract_html_doc
 from ..kernels.mixed import extract_mixed, extract_mixed_text
 from ..kernels.pdfish import extract_pdfish, extract_pdfish_page_spans
@@ -53,6 +54,7 @@ _KERNELS = {
     "mega": extract_pdfish,
     "html": extract_html_doc,
     "mixed": extract_mixed,
+    "grid": extract_grid_doc,
 }
 
 

@@ -1,0 +1,182 @@
+"""Grid/spreadsheet extraction kernel (pure Python, no Spark imports).
+
+Re-expresses the semantics (NOT the code) of the reference's
+grid-shaped extractors — the XLSX family (SURVEY.md §2.1–2.2):
+  - merged-cell expansion (top-left value fills the range)
+      ................................. docpact xlsx_extractor.py:237-318
+  - hidden row/column skip (XH3) ...... xlsx_extractor.py:319-346
+  - aggregation-row strip (total/subtotal leaders)
+      ................................. xlsx_extractor.py:983-1034
+  - trailing footnote-row strip ....... xlsx_extractor.py:924-981
+  - trailing empty-column trim ........ xlsx_extractor.py:794-922
+  - header row = first non-numeric row  (header estimation analogue)
+
+Input spans (corpus ``grid-``):
+  kind='grid_cell'        text=value        offset=sheet*1_000_000+row*1_000+col
+  kind='grid_merge'       text='r0,c0,r1,c1' (inclusive range, top-left holds value)
+  kind='grid_hidden_row'  text=row index
+  kind='grid_hidden_col'  text=col index
+  kind='media'            media_ref set    offset as grid_cell (embedded chart/img)
+
+Output: ordered (heading|cell|media) spans, row-major per sheet, offsets
+re-sequenced 0..n-1; dropped rows/cols counted in metrics drop_reasons
+(hidden_row, hidden_col, aggregation_row, footnote_row).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .common import (
+    KIND_CELL,
+    KIND_HEADING,
+    KIND_MEDIA,
+    drop,
+    finalize,
+    new_metrics,
+)
+from .normalize import normalize_text
+
+_AGG_RE = re.compile(r"^\s*(grand\s+)?(sub)?total\b", re.I)
+_FOOTNOTE_RE = re.compile(r"^\s*(\*+\s|note[:\s]|source[:\s])", re.I)
+_NUM_RE = re.compile(r"^\(?[+-]?[\d,. ]+%?\)?$")
+
+
+def decode_grid_offset(off: int) -> tuple[int, int, int]:
+    sheet, rem = divmod(off, 1_000_000)
+    row, col = divmod(rem, 1_000)
+    return sheet, row, col
+
+
+def _expand_merges(cells: dict, merges: list[tuple[int, int, int, int]]) -> None:
+    """Fill every cell of each merged range with the top-left value
+    (xlsx_extractor.py:237-318 semantics)."""
+    for r0, c0, r1, c1 in merges:
+        val = cells.get((r0, c0), "")
+        for r in range(r0, r1 + 1):
+            for c in range(c0, c1 + 1):
+                cells[(r, c)] = val
+
+
+def _extract_sheet(
+    cells: dict,
+    media: list[tuple[int, int, str]],
+    merges: list,
+    hidden_rows: set[int],
+    hidden_cols: set[int],
+    metrics: dict,
+) -> list[tuple[str, str, str]]:
+    _expand_merges(cells, merges)
+
+    for (r, c) in list(cells):
+        if r in hidden_rows:
+            del cells[(r, c)]
+            drop(metrics, "hidden_row")
+        elif c in hidden_cols:
+            del cells[(r, c)]
+            drop(metrics, "hidden_col")
+
+    if not cells and not media:
+        return []
+
+    rows = sorted({r for r, _c in cells})
+    cols = sorted({c for _r, c in cells})
+
+    # trailing empty-column trim: drop trailing columns whose every cell
+    # is blank (xlsx_extractor.py:794-922)
+    while cols:
+        last = cols[-1]
+        if any((r, last) in cells and cells[(r, last)].strip() for r in rows):
+            break
+        for r in rows:
+            cells.pop((r, last), None)
+        cols.pop()
+
+    def row_values(r):
+        return [cells.get((r, c), "") for c in cols]
+
+    # trailing footnote-row strip: bottom-up single-filled-cell rows
+    # matching footnote patterns (xlsx_extractor.py:924-981)
+    while rows:
+        vals = [v for v in row_values(rows[-1]) if v.strip()]
+        if len(vals) == 1 and _FOOTNOTE_RE.match(vals[0]):
+            for c in cols:
+                cells.pop((rows[-1], c), None)
+            rows.pop()
+            drop(metrics, "footnote_row")
+        else:
+            break
+
+    out: list[tuple[str, str, str]] = []
+    media_by_row: dict[int, list] = {}
+    for r, c, ref in media:
+        media_by_row.setdefault(r, []).append((c, ref))
+
+    header_emitted = False
+    for r in rows:
+        vals = row_values(r)
+        filled = [v for v in vals if v.strip()]
+        if not filled:
+            continue
+        # aggregation-row strip (xlsx_extractor.py:983-1034)
+        if _AGG_RE.match(filled[0]):
+            drop(metrics, "aggregation_row", len(filled))
+            continue
+        is_header = not header_emitted and not any(
+            _NUM_RE.match(v.strip()) for v in filled
+        )
+        kind = KIND_HEADING if is_header else KIND_CELL
+        if is_header:
+            header_emitted = True
+        for c, v in zip(cols, vals):
+            if v.strip():
+                out.append((kind, normalize_text(v), ""))
+        for c, ref in sorted(media_by_row.pop(r, [])):
+            out.append((KIND_MEDIA, "", ref))
+    # media on rows without cells (e.g. below the table), row order
+    for r in sorted(media_by_row):
+        for c, ref in sorted(media_by_row[r]):
+            out.append((KIND_MEDIA, "", ref))
+    return out
+
+
+def extract_grid_doc(spans: list[tuple]) -> tuple[list, dict]:
+    """Whole-document grid extraction: sheets ascending, each sheet
+    expanded/filtered/trimmed, offsets re-sequenced 0..n-1."""
+    metrics = new_metrics(len(spans))
+    sheets: dict[int, dict] = {}
+
+    def sheet(s):
+        return sheets.setdefault(
+            s,
+            {"cells": {}, "media": [], "merges": [],
+             "hidden_rows": set(), "hidden_cols": set()},
+        )
+
+    for kind, text, ref, off in spans:
+        s, r, c = decode_grid_offset(off)
+        sh = sheet(s)
+        if kind == "grid_cell":
+            sh["cells"][(r, c)] = text or ""
+        elif kind == "media":
+            sh["media"].append((r, c, ref or ""))
+        elif kind == "grid_merge":
+            r0, c0, r1, c1 = (int(x) for x in (text or "").split(","))
+            sh["merges"].append((r0, c0, r1, c1))
+        elif kind == "grid_hidden_row":
+            sh["hidden_rows"].add(int(text))
+        elif kind == "grid_hidden_col":
+            sh["hidden_cols"].add(int(text))
+        else:
+            drop(metrics, "unknown_kind")
+
+    out: list[tuple[str, str, str]] = []
+    for s in sorted(sheets):
+        sh = sheets[s]
+        out.extend(
+            _extract_sheet(
+                sh["cells"], sh["media"], sh["merges"],
+                sh["hidden_rows"], sh["hidden_cols"], metrics,
+            )
+        )
+    return finalize([(k, t, m, 0) for k, t, m in out], metrics)

@@ -105,3 +105,31 @@ def x02_extract_synthetic(spark, sf):
 
 
 QUERIES["x02_extract_synthetic"] = x02_extract_synthetic
+
+
+def x04_extract_grid(spark, sf):
+    """Grid/spreadsheet-corpus extraction (kernels/gridk.py: merged-cell
+    expansion, hidden row/col skip, aggregation/footnote strip, trailing
+    trim), summarized per drop reason. Deterministic; rows-only check."""
+    from ..corpus import generate_doc
+    from ..extract.pipeline import extract
+    from ..extract.schema import INPUT_SCHEMA, span_dicts
+
+    n = t(spark, sf, "documents").count() // 5
+    ids = [f"grid-{i:06d}" for i in range(max(n, 20))]
+    inp = spark.createDataFrame(
+        [{"doc_id": d, "spans": span_dicts(generate_doc(d))} for d in ids],
+        INPUT_SCHEMA,
+    )
+    out = extract(inp)
+    return (
+        out.select(F.explode("metrics.drop_reasons").alias("reason", "n"))
+        .groupBy("reason")
+        .agg(
+            F.sum("n").alias("dropped"),
+            F.count("*").alias("docs"),
+        )
+    )
+
+
+QUERIES["x04_extract_grid"] = x04_extract_grid

@@ -1,0 +1,132 @@
+"""Grid/spreadsheet kernel: merged-cell expansion, hidden row/col skip,
+aggregation-row strip, trailing footnote strip, trailing-column trim —
+inline fixtures in the reference's unit-test style (docpact
+tests/test_xlsx_extractor.py), plus Spark/oracle equality on the grid
+corpus."""
+
+from __future__ import annotations
+
+from pdf_ocr_spark.corpus import generate_doc
+from pdf_ocr_spark.kernels.gridk import decode_grid_offset, extract_grid_doc
+
+
+def g(row, col, text, sheet=0, kind="grid_cell", ref=""):
+    return (kind, text, ref, sheet * 1_000_000 + row * 1_000 + col)
+
+
+def kinds_texts(spans):
+    return [(k, t) for k, t, _m, _o in spans]
+
+
+def test_decode_grid_offset():
+    assert decode_grid_offset(2_003_004) == (2, 3, 4)
+
+
+def test_basic_header_and_cells_row_major():
+    spans, m = extract_grid_doc(
+        [g(1, 1, "10"), g(0, 0, "Port"), g(0, 1, "Tonnage"), g(1, 0, "Albany")]
+    )
+    assert kinds_texts(spans) == [
+        ("heading", "Port"), ("heading", "Tonnage"),
+        ("cell", "Albany"), ("cell", "10"),
+    ]
+    assert [s[3] for s in spans] == [0, 1, 2, 3]
+    assert m["dropped"] == 0
+
+
+def test_merged_cell_expansion_top_left_fills():
+    spans, _m = extract_grid_doc(
+        [
+            g(0, 0, "H1"), g(0, 1, "H2"),
+            g(1, 0, "Albany"), g(1, 1, "10"),
+            g(2, 1, "20"),  # (2,0) merged from (1,0)
+            g(1, 0, "1,0,2,0", kind="grid_merge"),
+        ]
+    )
+    assert ("cell", "Albany") in kinds_texts(spans)
+    assert kinds_texts(spans).count(("cell", "Albany")) == 2  # expanded
+
+
+def test_hidden_rows_and_cols_dropped_with_metrics():
+    spans, m = extract_grid_doc(
+        [
+            g(0, 0, "H1"), g(0, 1, "H2"),
+            g(1, 0, "a"), g(1, 1, "1"),
+            g(2, 0, "b"), g(2, 1, "2"),
+            g(0, 0, "2", kind="grid_hidden_row"),
+        ]
+    )
+    texts = [t for _k, t in kinds_texts(spans)]
+    assert "b" not in texts and "2" not in texts
+    assert m["drop_reasons"]["hidden_row"] == 2
+
+
+def test_aggregation_and_footnote_rows_stripped():
+    spans, m = extract_grid_doc(
+        [
+            g(0, 0, "Port"), g(0, 1, "Tonnage"),
+            g(1, 0, "Albany"), g(1, 1, "1,000"),
+            g(2, 0, "Total"), g(2, 1, "1,000"),
+            g(3, 0, "* Note: provisional"),
+        ]
+    )
+    texts = [t for _k, t in kinds_texts(spans)]
+    assert "Total" not in texts and all("Note" not in t for t in texts)
+    assert m["drop_reasons"]["aggregation_row"] == 2
+    assert m["drop_reasons"]["footnote_row"] == 1
+
+
+def test_trailing_empty_column_trimmed():
+    spans, _m = extract_grid_doc(
+        [
+            g(0, 0, "H1"), g(0, 1, "H2"), g(0, 2, "   "),
+            g(1, 0, "a"), g(1, 1, "1"), g(1, 2, " "),
+        ]
+    )
+    assert len(spans) == 4  # the blank third column vanished
+
+
+def test_media_interleaves_at_row_position():
+    spans, _m = extract_grid_doc(
+        [
+            g(0, 0, "H"), g(1, 0, "a"),
+            g(1, 1, "", kind="media", ref="img://x/0"),
+            g(2, 0, "b"),
+        ]
+    )
+    assert kinds_texts(spans) == [
+        ("heading", "H"), ("cell", "a"), ("media", ""), ("cell", "b"),
+    ]
+    assert spans[2][2] == "img://x/0"
+
+
+def test_multi_sheet_order_and_corpus_docs():
+    spans, _m = extract_grid_doc(
+        [g(0, 0, "B", sheet=1), g(0, 0, "H0"), g(1, 0, "a")]
+    )
+    assert [t for _k, t in kinds_texts(spans)] == ["H0", "a", "B"]
+    # generator smoke: deterministic + kernel-compatible
+    for i in range(20):
+        doc = generate_doc(f"grid-{i:06d}")
+        assert doc == generate_doc(f"grid-{i:06d}")
+        out, m = extract_grid_doc(doc)
+        assert m["spans_in"] == len(doc)
+        assert [s[3] for s in out] == list(range(len(out)))
+
+
+def test_spark_grid_extraction_matches_oracle(spark):
+    from pdf_ocr_spark.extract.pipeline import extract
+    from pdf_ocr_spark.extract.schema import INPUT_SCHEMA, span_dicts
+
+    ids = [f"grid-{i:06d}" for i in range(30)]
+    rows = [
+        {"doc_id": d, "spans": span_dicts(generate_doc(d))} for d in ids
+    ]
+    inp = spark.createDataFrame(rows, INPUT_SCHEMA)
+    got = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in extract(inp).collect()
+    }
+    for d in ids:
+        want, _m = extract_grid_doc(generate_doc(d))
+        assert got[d] == want, d
