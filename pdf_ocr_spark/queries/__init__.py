@@ -12,6 +12,7 @@ from . import (  # noqa: E402
     extract_q,
     functions_q,
     multimodal_q,
+    schema_map_q,
     setops_arrays,
     similarity,
     textstats,
@@ -20,6 +21,6 @@ from . import (  # noqa: E402
     windows,
 )
 
-for _mod in (tpch, windows, setops_arrays, functions_q, extract_q, dedup, similarity, textstats, multimodal_q, analytics_ext, validation_q):
+for _mod in (tpch, windows, setops_arrays, functions_q, extract_q, dedup, similarity, textstats, multimodal_q, analytics_ext, validation_q, schema_map_q):
     ALL_QUERIES.update(_mod.QUERIES)
     ALL_ORACLES.update(_mod.ORACLE)

@@ -220,3 +220,32 @@ def x03(spark, sf):
     return d.join(
         dups, d.doc_id == dups.doc_b, "left_anti"
     ).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------- q36
+@q(
+    "q36_melt_part_metrics",
+    oracle="""
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+""",
+)
+def q36(spark, sf):
+    """Wide->long unpivot via DataFrame.melt (SURVEY.md §2.9 — the
+    reference's schema-agnostic unpivot re-expressed as the built-in
+    relational operator; docpact unpivot.py:143-400 analogue).
+
+    Scale: melt is a generate (explode) — no shuffle at all."""
+    p = t(spark, sf, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return p.melt(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

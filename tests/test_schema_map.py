@@ -1,0 +1,53 @@
+"""Schema-mapping operator: three-pass alias resolution semantics
+(inline fixtures in the reference's test style, docpact
+tests/test_deterministic.py:129-194 analogue)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_ocr_spark.operators.schema_map import alias_table, map_headers
+
+SCHEMA = {
+    "port": ["port name"],
+    "vessel": ["ship"],
+    "tonnage": ["tonnage (mt)"],
+    "discharge_rate": ["discharge rate"],
+}
+
+
+@pytest.fixture()
+def mapped(spark):
+    headers = spark.createDataFrame(
+        [
+            ("Port",),            # direct (case)
+            ('"Ship"',),          # direct (quote strip)
+            ("Tonnage   (MT)",),  # direct (ws collapse + paren norm)
+            ("ship / tonnage",),  # part: first matching part wins
+            ("xx / tonnage",),    # part: non-matching part skipped
+            ("Discharge / Rate",),# joined-form fallback
+            ("mystery",),         # unmatched
+        ],
+        "header string",
+    )
+    rows = map_headers(headers, alias_table(spark, SCHEMA)).collect()
+    return {r.header: (r.canonical, r.match_via) for r in rows}
+
+
+def test_direct_matches(mapped):
+    assert mapped["Port"] == ("port", "direct")
+    assert mapped['"Ship"'] == ("vessel", "direct")
+    assert mapped["Tonnage   (MT)"] == ("tonnage", "direct")
+
+
+def test_part_matches_first_part_wins(mapped):
+    assert mapped["ship / tonnage"] == ("vessel", "part")
+    assert mapped["xx / tonnage"] == ("tonnage", "part")
+
+
+def test_joined_form_fallback(mapped):
+    assert mapped["Discharge / Rate"] == ("discharge_rate", "joined")
+
+
+def test_unmatched_stays_null(mapped):
+    assert mapped["mystery"] == (None, None)
