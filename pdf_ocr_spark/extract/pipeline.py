@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..corpus import corpus_of
-from ..kernels.common import merge_metrics, new_metrics
+from ..kernels.common import new_metrics
 from ..kernels.gridk import extract_grid_doc
 from ..kernels.htmlk import extract_html_doc
 from ..kernels.mixed import extract_mixed, extract_mixed_text
@@ -195,44 +195,6 @@ def _extract_page_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
-def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Merge a mega-doc's per-page results: pages ascending, offsets
-    re-sequenced 0..n-1, metrics summed (kernels.common.merge_metrics —
-    the same function the oracle uses)."""
-    pdf = pdf.sort_values("page")
-    spans = []
-    for page_spans in pdf["spans"]:
-        spans.extend(page_spans)
-    spans = [
-        {
-            "kind": s["kind"],
-            "text": s["text"],
-            "media_ref": s["media_ref"],
-            "offset": i,
-        }
-        for i, s in enumerate(spans)
-    ]
-    m = merge_metrics(
-        [
-            {
-                "spans_in": mm["spans_in"],
-                "spans_out": mm["spans_out"],
-                "dropped": mm["dropped"],
-                "drop_reasons": dict(mm["drop_reasons"]),
-            }
-            for mm in pdf["metrics"]
-        ]
-    )
-    m["spans_out"] = len(spans)
-    return pd.DataFrame(
-        {
-            "doc_id": [pdf["doc_id"].iloc[0]],
-            "spans": [spans],
-            "metrics": [metrics_dict(m)],
-        }
-    )
-
-
 # ------------------------------------------------------------- pipeline
 
 
@@ -281,11 +243,58 @@ def extract(
         .agg(F.sort_array(F.collect_list("s")).alias("spans"))
     )
     big_pages = pages.mapInPandas(_extract_page_batch, schema=PAGE_OUTPUT_SCHEMA)
-    big_out = big_pages.groupBy("doc_id").applyInPandas(
-        _reassemble_group, schema=OUTPUT_SCHEMA
-    )
+    big_out = _reassemble_columnar(big_pages)
 
     return small_out.unionByName(big_out)
+
+
+def _reassemble_columnar(big_pages: DataFrame) -> DataFrame:
+    """Mega-doc reassembly entirely in Catalyst (no Python): pages
+    ascending via sort_array(collect_list), offsets re-sequenced by an
+    index transform, metrics summed, drop-reason maps merged with an
+    explode + map_from_entries aggregation.  Ordering never depends on
+    partition iteration order (SURVEY.md §7.3); semantics identical to
+    the oracle's kernels.pdfish.reassemble_pages."""
+    body = big_pages.groupBy("doc_id").agg(
+        F.expr(
+            "transform("
+            "  flatten(transform(array_sort(collect_list(struct(page, spans))),"
+            "          p -> p.spans)),"
+            "  (s, i) -> struct(s.kind as kind, s.text as text,"
+            "                   s.media_ref as media_ref, i as offset))"
+        ).alias("spans"),
+        F.sum("metrics.spans_in").cast("int").alias("_si"),
+        F.sum("metrics.dropped").cast("int").alias("_dr"),
+    )
+    reasons = (
+        big_pages.select(
+            "doc_id", F.explode("metrics.drop_reasons").alias("reason", "n")
+        )
+        .groupBy("doc_id", "reason")
+        .agg(F.sum("n").cast("int").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("reason", "n")))
+            ).alias("_reasons")
+        )
+    )
+    return (
+        body.join(reasons, "doc_id", "left")
+        .select(
+            "doc_id",
+            "spans",
+            F.struct(
+                F.col("_si").alias("spans_in"),
+                F.size("spans").alias("spans_out"),
+                F.col("_dr").alias("dropped"),
+                F.coalesce(
+                    "_reasons",
+                    F.expr("map()").cast("map<string,int>"),
+                ).alias("drop_reasons"),
+            ).alias("metrics"),
+        )
+    )
 
 
 def extract_routed_media(df: DataFrame) -> DataFrame:
