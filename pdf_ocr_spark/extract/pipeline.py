@@ -2,9 +2,11 @@
 
 Design (SURVEY.md §7, BASELINE.json north_rule):
 
-  - **DataFrame + vectorized pandas UDFs only** — each document batch is
-    processed whole inside ``mapInPandas`` (Arrow transfer); there is no
-    per-row Python and no driver-side loop over documents.
+  - **DataFrame + vectorized Arrow/pandas UDFs only** — each document
+    batch is processed whole inside ``mapInArrow`` (small docs; flattened
+    primitive arrays, no per-span dicts) or ``mapInPandas`` (page grain);
+    there is no per-row Python and no driver-side loop over documents.
+    Mega-doc reassembly is pure Catalyst (``_reassemble_columnar``).
   - **No shuffle for the common case**: a document is one row, so the
     small-doc path is a pure map — scan → mapInPandas → write. At 10^12
     docs the only shuffles are (a) the optional explicit repartition by
