@@ -249,3 +249,122 @@ def q36(spark, sf):
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------- x05
+_CC_JACCARD = 0.02
+
+
+def _edges(spark, sf):
+    """Near-dup edges: lang-blocked n-gram Jaccard >= threshold (d04's
+    inverted-index formulation)."""
+    doc_sh = _doc_shingles(spark, sf).persist()
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = doc_sh.alias("a"), doc_sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("za.n") + F.col("zb.n") - F.col("n_inter")
+    )
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("src"))
+        .join(zb, F.col("zb.doc_id") == F.col("dst"))
+        .filter(jac >= _CC_JACCARD)
+        .select("src", "dst")
+    )
+
+
+_SQL_EDGES = f"""
+doc_sh AS ({SQL_DOC_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS n_inter
+  FROM doc_sh a
+  JOIN doc_sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.src, i.dst
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.src
+  JOIN sizes zb ON zb.doc_id = i.dst
+  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter)
+        >= {_CC_JACCARD}
+)
+"""
+
+
+@q(
+    "x05_dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_SQL_EDGES},
+und AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM und UNION SELECT b, b FROM und
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+)
+SELECT node AS doc_id, min(r) AS component
+FROM reach GROUP BY node
+""",
+)
+def x05(spark, sf):
+    """Transitive dedup clustering: connected components of the near-dup
+    graph via min-label propagation (iterative joins to a fixed point).
+
+    Every duplicate CLUSTER gets one representative (min doc_id) -- the
+    policy production dedup needs (x03's edge-drop is the cheap
+    approximation).  Scale: label propagation is O(diameter) rounds of
+    an equi-join + min-agg shuffle; near-dup components have tiny
+    diameters (chains are rare), so 5-15 rounds at any corpus size;
+    each round's frontier shrinks as labels converge.  Oracle: DuckDB
+    recursive-CTE reachability.
+    """
+    edges = _edges(spark, sf).persist()
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    labels = labels.localCheckpoint()
+    while True:
+        # each node adopts min(own label, neighbors' labels).
+        # localCheckpoint truncates lineage each round — without it the
+        # logical plan doubles per iteration and planning time explodes
+        # (the canonical iterative-algorithm pitfall on Spark).
+        neigh = (
+            und.join(labels, und.dst == labels.node)
+            .select(und.src.alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")
