@@ -281,3 +281,49 @@ def s04(spark, sf):
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------- s05
+@q(
+    "s05_knn_join",
+    oracle="""
+WITH qs AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT qs.qid, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], qs.qv) AS cosine,
+         row_number() OVER (PARTITION BY qs.qid
+                            ORDER BY list_cosine_similarity(
+                              e.embedding::DOUBLE[], qs.qv) DESC, e.vec_id)
+           AS rk
+  FROM embeddings e, qs
+  WHERE e.vec_id <> qs.qid
+)
+SELECT qid, vec_id, cosine, rk FROM scored WHERE rk <= 3
+""",
+)
+def s05(spark, sf):
+    """Batched KNN join: top-3 cosine neighbors for EACH of a set of
+    query vectors (the many-queries shape of similarity search).
+
+    Spark plan: broadcast the query batch, score in one scan pass, one
+    window per query id.  Scale: the query side stays broadcast (batches
+    of 10^2-10^4 queries); the base table never shuffles for the join --
+    only the per-query top-k window shuffles on qid."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
+    qs = (
+        e.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cos("v", "qv").alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )

@@ -256,3 +256,56 @@ def t04(spark, sf):
             f"(acc, v) -> (acc * {_FP_MUL} + v) % {_FP_MOD})"
         ).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------- t06
+@q(
+    "t06_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(n.n::DOUBLE / df.df) AS tfidf
+  FROM tf JOIN df ON df.term = tf.term, n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+""",
+)
+def t06(spark, sf):
+    """TF-IDF top-3 terms per document: tf x ln(N/df), ranked per doc.
+
+    Scale: two shuffles (term counts, df) + one window per doc; df is a
+    tiny broadcastable table at any corpus size (vocab-bounded)."""
+    from pyspark.sql import Window as W
+
+    toks = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.explode(_tokens()).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = t(spark, sf, "documents").count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
