@@ -412,3 +412,76 @@ def d05(spark, sf):
         )
         .filter(F.col("cosine") >= 0.25)
     )
+
+
+# ---------------------------------------------------------------- d06
+@q(
+    "d06_simhash_bucketed",
+    oracle=f"""
+WITH {_sql_simhash()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIM_HAMMING}
+""",
+)
+def d06(spark, sf):
+    """SimHash near-dup at scale: pigeonhole block bucketing instead of
+    the all-pairs self-join (d03's documented production path -- same
+    result set, so it shares d03's oracle).
+
+    The 16-bit fingerprint splits into 4 disjoint 4-bit blocks; any pair
+    within hamming distance <= 3 differs in at most 3 blocks, so it
+    AGREEES on at least one block (pigeonhole).  Candidates = equi-join
+    on (block_idx, block_value); the exact hamming filter then runs only
+    on candidates.  At 10^12 docs each bucket holds N/2^4 docs per block
+    -- production uses 64-bit fingerprints with 4x16-bit blocks, giving
+    2^16 buckets per block and candidate sets ~N^2/2^18 of all-pairs.
+    """
+    toks = (
+        t(spark, sf, "documents")
+        .select("doc_id", _tokens().alias("toks"))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .withColumn("h", _h32(F.col("tok")))
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIM_BITS)
+        ]
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIM_BITS)
+    )
+    fp = sums.select(
+        "doc_id", F.expr(f"CAST({fp_expr} AS BIGINT)").alias("simhash")
+    ).persist()
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        F.expr(
+            "explode(transform(sequence(0, 3), "
+            "i -> struct(i as blk, shiftright(simhash, i * 4) & 15 as val)))"
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"),
+             F.col("b.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SIM_HAMMING)
+        .distinct()
+    )
