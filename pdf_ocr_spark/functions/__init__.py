@@ -89,3 +89,24 @@ def string_format_col(c: Column, style: str) -> Column:
     if style == "kebab":
         return F.lower(F.regexp_replace(F.trim(c), r"\s+", "-"))
     raise ValueError(f"unknown style {style!r}")
+
+
+_OCR_TOKEN_RE = r"[0-9OolISB.,]+"
+_OCR_FROM = "OolISB"
+_OCR_TO = "001158"
+
+
+def ocr_repair_col(c: Column) -> Column:
+    """OCR confusion repair (north_star "OCR-text span recovery"):
+    within number-shaped tokens, map the classic glyph confusions
+    O→0 o→0 l→1 I→1 S→5 B→8; word tokens pass through untouched.
+    Fully columnar: split → transform(CASE … translate) → concat."""
+    toks = F.split(c, " ")
+    fixed = F.transform(
+        toks,
+        lambda t: F.when(
+            t.rlike(f"^{_OCR_TOKEN_RE}$") & t.rlike("[0-9OolISB]"),
+            F.translate(t, _OCR_FROM, _OCR_TO),
+        ).otherwise(t),
+    )
+    return F.concat_ws(" ", fixed)

@@ -309,3 +309,58 @@ def t06(spark, sf):
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf", "rk")
     )
+
+
+# ---------------------------------------------------------------- t07
+@q(
+    "t07_ocr_span_recovery",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id, n_chars,
+         CAST(n_chars AS VARCHAR) || ' tonnes ' || substr(text, 1, 40)
+           AS line
+  FROM documents
+),
+corr AS (SELECT doc_id, n_chars, translate(line, '015', 'OlS') AS line
+         FROM raw),
+rep AS (
+  SELECT doc_id, n_chars, line,
+         list_transform(string_split(line, ' '),
+           t -> CASE WHEN regexp_full_match(t, '[0-9OolISB.,]+')
+                      AND regexp_matches(t, '[0-9OolISB]')
+                     THEN translate(t, 'OolISB', '001158') ELSE t END)
+           AS toks
+  FROM corr
+)
+SELECT doc_id,
+       string_split(line, ' ')[1] AS corrupted_token,
+       toks[1] AS repaired_token,
+       TRY_CAST(toks[1] AS BIGINT) AS recovered_n,
+       TRY_CAST(toks[1] AS BIGINT) = n_chars AS recovered_ok
+FROM rep
+""",
+)
+def t07(spark, sf):
+    """OCR-text span recovery: deterministically inject the classic OCR
+    glyph confusions (0→O, 1→l, 5→S) into a number-bearing line, then
+    repair with the columnar confusion map and verify the number
+    round-trips (functions.ocr_repair_col).  Zero Python at runtime."""
+    from ..functions import ocr_repair_col
+
+    d = t(spark, sf, "documents")
+    raw = F.concat(
+        F.col("n_chars").cast("string"),
+        F.lit(" tonnes "),
+        F.substring("text", 1, 40),
+    )
+    corr = F.translate(raw, "015", "OlS")
+    rep = ocr_repair_col(corr)
+    first = lambda c: F.element_at(F.split(c, " "), 1)  # noqa: E731
+    recovered = first(rep).try_cast("long")
+    return d.select(
+        "doc_id",
+        first(corr).alias("corrupted_token"),
+        first(rep).alias("repaired_token"),
+        recovered.alias("recovered_n"),
+        (recovered == F.col("n_chars")).alias("recovered_ok"),
+    )
