@@ -269,3 +269,37 @@ def q18(spark, sf):
             F.count("gap_us").alias("n_gaps"),
         )
     )
+
+
+# ---------------------------------------------------------------- q37
+@q(
+    "q37_event_time_windows",
+    oracle="""
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       event_type AS key,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q37(spark, sf):
+    """Event-time tumbling windows — the BATCH twin of the streaming
+    windowed aggregation (streaming/windows.py applies the identical
+    expression with a watermark; SURVEY.md §2.10).  Decimal-exact sums
+    keep the result partition-invariant."""
+    from ..streaming.windows import windowed_counts
+
+    ev = t(spark, sf, "events")
+    win = windowed_counts(
+        ev, window="10 minutes", key_col="event_type", streaming=False
+    )
+    sums = (
+        ev.groupBy(
+            F.window("ts", "10 minutes").alias("w"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "key", "sum_value")
+    )
+    return win.drop("window_end").join(sums, ["window_start", "key"])
