@@ -17,6 +17,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Small-input adapter: fan a narrow scan out to the cluster before
+    compute-heavy map work (shingling, hashing, regex extraction).
+
+    A small-SF parquet file is a single row group → a single scan task,
+    so everything upstream of the first shuffle runs serially. When the
+    scan yields fewer splits than the cluster parallelism, round-robin
+    repartition (a shuffle of the not-yet-exploded, pruned columns —
+    bytes are minimal at exactly the scales where this triggers). At
+    production scale the scan has ≥ cores splits and this is a NO-OP —
+    no shuffle is ever added to a big input.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        return df.repartition(par)
+    return df
+
+
 def dsum(col, scale: int = 4):
     """Order-independent exact sum of a double column, surfaced as double."""
     return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")

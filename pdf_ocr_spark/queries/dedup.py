@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .base import t
+from .base import spread, t
 
 QUERIES = {}
 ORACLE = {}
@@ -82,7 +82,7 @@ SQL_SHINGLES = (
 def _doc_shingles(spark, sf):
     """(doc_id, lang, sh) exploded distinct word-3-gram shingles."""
     return (
-        t(spark, sf, "documents")
+        spread(t(spark, sf, "documents").select("doc_id", "lang", "text"))
         .select("doc_id", "lang", _tokens().alias("toks"))
         .select("doc_id", "lang", F.explode(_shingles()).alias("sh"))
     )
