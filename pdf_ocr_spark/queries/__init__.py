@@ -8,6 +8,7 @@ ALL_ORACLES: dict = {}
 
 from . import (  # noqa: E402
     analytics_ext,
+    classify_q,
     dedup,
     extract_q,
     functions_q,
@@ -21,6 +22,6 @@ from . import (  # noqa: E402
     windows,
 )
 
-for _mod in (tpch, windows, setops_arrays, functions_q, extract_q, dedup, similarity, textstats, multimodal_q, analytics_ext, validation_q, schema_map_q):
+for _mod in (tpch, windows, setops_arrays, functions_q, extract_q, dedup, similarity, textstats, multimodal_q, analytics_ext, validation_q, schema_map_q, classify_q):
     ALL_QUERIES.update(_mod.QUERIES)
     ALL_ORACLES.update(_mod.ORACLE)
