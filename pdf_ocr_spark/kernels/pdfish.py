@@ -3,8 +3,9 @@
 Re-expresses the semantics (NOT the code) of the reference pipeline:
   - y-clustering of spans into rows ......... docpact spatial_text.py:310-325
   - reading-order render (rows asc, x asc) .. spatial_text.py:350-373
-  - XY-cut side-by-side split (gap > 3x median column gap)
-    ....................................... compress.py:1885-1934
+  - recursive XY-cut block segmentation (Nagy & Seth 1984); the x-cut
+    base case is the reference's side-by-side split (gap > 3x median
+    column gap) ........................... compress.py:1885-1934
   - table-run detection via shared column anchors
     ....................................... compress.py:1048-1383
   - single-span numeric table continuation .. compress.py:1192-1208
@@ -86,7 +87,7 @@ def _cluster_rows(items: list[tuple[int, int, str, str, str]]) -> list[list]:
 
 
 def _split_side_by_side(rows: list[list]) -> list[list[list]]:
-    """One-level recursive XY-cut (compress.py:1885-1934 semantics): find an
+    """X-cut primitive (compress.py:1885-1934 semantics): find an
     x-gap > 3x the median inter-span gap present in >= 60% of multi-span
     rows; emit the left block's rows, then the right block's."""
     gaps = []
@@ -118,6 +119,57 @@ def _split_side_by_side(rows: list[list]) -> list[list[list]]:
     if not left or not right:
         return [rows]
     return [left, right]
+
+
+MAX_XY_DEPTH = 4
+
+
+def _split_y(rows: list[list]) -> list[list[list]]:
+    """Y-cut primitive: cut between consecutive rows whose y-gap exceeds
+    3x the median inter-row gap (and is visually significant). Row order
+    is preserved; cutting only scopes table-run detection and the x-cut
+    votes to one vertical band at a time."""
+    if len(rows) < 4:
+        return [rows]
+    ys = [r[0][0] for r in rows]
+    gaps = [b - a for a, b in zip(ys, ys[1:])]
+    med = median(gaps)
+    if med <= 0:
+        return [rows]
+    cuts = [
+        i
+        for i, g in enumerate(gaps)
+        if g > 3 * med and g > 3 * Y_CLUSTER_TOL
+    ]
+    if not cuts:
+        return [rows]
+    blocks, prev = [], 0
+    for i in cuts:
+        blocks.append(rows[prev : i + 1])
+        prev = i + 1
+    blocks.append(rows[prev:])
+    return [b for b in blocks if b]
+
+
+def _xy_cut(rows: list[list], depth: int = 0) -> list[list[list]]:
+    """Recursive XY-cut page-block segmentation (Nagy & Seth 1984 — the
+    published generalization the north_star names; the reference's
+    one-level split at compress.py:1885-1934 is the x-axis base case).
+
+    Alternates: y-cut into vertical bands at large whitespace valleys,
+    then x-cut each band at the voted column gap, recursing into each
+    side so 3+-column layouts and mixed full-width/columnar pages
+    segment correctly. Depth-capped; every cut strictly shrinks the
+    block, so termination is structural."""
+    if depth >= MAX_XY_DEPTH or len(rows) < 2:
+        return [rows]
+    ybands = _split_y(rows)
+    if len(ybands) > 1:
+        return [b for band in ybands for b in _xy_cut(band, depth + 1)]
+    parts = _split_side_by_side(rows)
+    if len(parts) > 1:
+        return [b for part in parts for b in _xy_cut(part, depth + 1)]
+    return [rows]
 
 
 def _is_footnote(text: str) -> bool:
@@ -194,7 +246,7 @@ def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> 
     Returns ordered (kind, text, media_ref) triples for the page."""
     out: list[tuple[str, str, str]] = []
     rows = _cluster_rows(items)
-    for block in _split_side_by_side(rows):
+    for block in _xy_cut(rows):
         in_table = _detect_table_runs(block)
         header_seen_for_run = False
         for idx, row in enumerate(block):

@@ -129,6 +129,47 @@ def test_pdfish_side_by_side_split():
     assert max(left_idx) < min(right_idx)
 
 
+def test_pdfish_xy_cut_three_columns():
+    spans = []
+    # three tables side by side: x bands {10,60}, {600,660}, {1200,1260}
+    for i in range(5):
+        y = 100 + 20 * i
+        for b, x0 in enumerate((10, 350, 700)):
+            spans += [
+                ("pdf_text", f"B{b}r{i}", "", P(0, y, x0)),
+                ("pdf_text", f"{b}{i}0", "", P(0, y, x0 + 60)),
+            ]
+    out, _ = extract_pdfish(spans)
+    texts = [t for _, t, _, _ in out]
+    # recursive x-cut: every block-0 span precedes every block-1 span,
+    # which precedes every block-2 span
+    pos = {b: [i for i, t in enumerate(texts) if f"B{b}" in t or t.startswith(str(b))] for b in range(3)}
+    assert max(pos[0]) < min(pos[1]) < max(pos[1]) < min(pos[2])
+
+
+def test_pdfish_xy_cut_fullwidth_above_columns():
+    # full-width intro rows, a large y-gap, then two side-by-side tables:
+    # the y-cut isolates the intro band so the x-cut never splits it.
+    spans = [
+        ("pdf_text", "Intro paragraph line one", "", P(0, 50, 10)),
+        ("pdf_text", "Intro paragraph line two", "", P(0, 70, 10)),
+    ]
+    for i in range(5):
+        y = 400 + 20 * i
+        spans += [
+            ("pdf_text", f"L{i}", "", P(0, y, 10)),
+            ("pdf_text", f"{i}00", "", P(0, y, 60)),
+            ("pdf_text", f"R{i}", "", P(0, y, 600)),
+            ("pdf_text", f"{i}11", "", P(0, y, 660)),
+        ]
+    out, _ = extract_pdfish(spans)
+    texts = [t for _, t, _, _ in out]
+    assert texts[0].startswith("Intro") and texts[1].startswith("Intro")
+    left_idx = [i for i, t in enumerate(texts) if t.startswith("L") or t.endswith("00")]
+    right_idx = [i for i, t in enumerate(texts) if t.startswith("R") or t.endswith("11")]
+    assert max(left_idx) < min(right_idx)
+
+
 def test_pdfish_multi_page_order_and_empty_drop():
     spans = [
         ("pdf_text", "page1 text", "", P(1, 50, 10)),
