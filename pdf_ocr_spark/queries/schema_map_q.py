@@ -120,3 +120,66 @@ def h01(spark, sf):
         [(h,) for h in HEADERS], "header string"
     )
     return map_headers(headers, alias_table(spark, SCHEMA))
+
+
+# ---------------------------------------------------------------- u01
+_U01_ORACLE = """
+WITH f AS (
+  SELECT o_custkey, year(o_orderdate) AS yr, o_totalprice
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+),
+py AS (
+  SELECT o_custkey, yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+         count(*) AS n_orders
+  FROM f GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT o_custkey FROM f),
+sfx(yr, _pivot) AS (VALUES (1995, 'FY 1995'), (1996, 'FY 1996'))
+SELECT k.o_custkey, s._pivot,
+       coalesce(p.n_orders, 0) AS n_orders,
+       coalesce(p.total, 0.0) AS total
+FROM keys k CROSS JOIN sfx s
+LEFT JOIN py p ON p.o_custkey = k.o_custkey AND p.yr = s.yr
+"""
+
+
+@q("u01_unpivot_compound_headers", oracle=_U01_ORACLE)
+def u01(spark, sf):
+    """Schema-agnostic compound-header unpivot (docpact unpivot.py:143-400
+    semantics): a wide per-customer table whose headers carry fuzzy-variant
+    suffixes ("FY 1995" vs "FY1995") is detected driver-side on the schema
+    and unpivoted in ONE stack() projection (operators/unpivot.py)."""
+    from ..operators.unpivot import detect_and_unpivot
+    from .base import t
+
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        "o_totalprice",
+    ).filter(F.col("yr").isin(1995, 1996))
+
+    def _total(y):
+        return F.sum(
+            F.when(F.col("yr") == y, F.col("o_totalprice")).cast(
+                "decimal(18,4)"
+            )
+        ).cast("double")
+
+    def _n(y):
+        return F.sum(F.when(F.col("yr") == y, F.lit(1)).cast("long"))
+
+    wide = o.groupBy("o_custkey").agg(
+        _total(1995).alias("total / FY 1995"),
+        _n(1995).alias("n_orders / FY1995"),
+        _total(1996).alias("total / FY 1996"),
+        _n(1996).alias("n_orders / FY1996"),
+    )
+    # null-free output contract (oracle comparator convention): a suffix
+    # with no rows for the key reports 0 / 0.0 instead of null
+    return detect_and_unpivot(wide).select(
+        "o_custkey",
+        "_pivot",
+        F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
