@@ -311,6 +311,86 @@ def extract_pdfish(spans: list[tuple]) -> tuple[list, dict]:
     return finalize([(k, t, m, 0) for k, t, m in out], metrics)
 
 
+PAGE_HEIGHT = 1000  # centipoint y-range of the packed-offset grid
+HEADER_FRAC = 0.15  # retrieval.py:115-164 zone bands
+FOOTER_FRAC = 0.85
+TITLE_FRAC = 0.40
+
+
+def extract_zones(spans: list[tuple]) -> dict[str, list[str]]:
+    """Zone extraction (docpact retrieval.py:115-164 semantics): page
+    header = rows with y in the top 15 % of the page, footer = bottom
+    15 %, title zone = first page's top 40 %. Returns normalized row
+    texts per zone in reading order (page asc, y asc, x asc).
+
+    Spark shape: a pure column predicate — ``y / page_height`` band
+    filters over the span table before any kernel work, so zone pulls
+    (metadata retrieval, title scans) never run the full extraction."""
+    rows: dict[str, list[tuple]] = {"header": [], "footer": [], "title": []}
+    for kind, text, _ref, off in spans:
+        if kind == "media" or not (text or "").strip():
+            continue
+        page, y, x = decode_offset(off)
+        frac = y / PAGE_HEIGHT
+        if frac < HEADER_FRAC:
+            rows["header"].append((page, y, x, text))
+        elif frac >= FOOTER_FRAC:
+            rows["footer"].append((page, y, x, text))
+        if page == 0 and frac < TITLE_FRAC:
+            rows["title"].append((page, y, x, text))
+    return {
+        zone: [normalize_text(t) for _p, _y, _x, t in sorted(items)]
+        for zone, items in rows.items()
+    }
+
+
+def _fuzzy_score(a: str, b: str) -> float:
+    """Containment-boosted similarity in [0, 100] — the reference's
+    WRatio-style scorer (filter.py:130-160) re-expressed with stdlib
+    difflib (deterministic, no external deps)."""
+    from difflib import SequenceMatcher
+
+    a, b = a.lower().strip(), b.lower().strip()
+    if not a or not b:
+        return 0.0
+    if a in b or b in a:
+        return 100.0
+    return 100.0 * SequenceMatcher(None, a, b).ratio()
+
+
+def filter_pages_by_titles(
+    spans: list[tuple],
+    terms: list[str],
+    threshold: float = 90.0,
+    pages: list[int] | None = None,
+) -> tuple[list[int], list[tuple]]:
+    """Fuzzy page filter (docpact filter.py:224-347 semantics): keep
+    pages whose title-zone rows fuzzy-match any search term at
+    score >= threshold, unioned with an explicit page list. Returns
+    (kept pages sorted, the surviving spans).
+
+    This is the engine's predicate-pushdown analogue — the cheap fuzzy
+    filter runs before expensive extraction, so at scale it is a
+    vectorized score UDF + filter ahead of the kernel stage."""
+    by_page: dict[int, list[str]] = {}
+    for kind, text, _ref, off in spans:
+        if kind == "media" or not (text or "").strip():
+            continue
+        page, y, _x = decode_offset(off)
+        if y / PAGE_HEIGHT < TITLE_FRAC:
+            by_page.setdefault(page, []).append(text)
+    kept = set(pages or [])
+    for page, texts in by_page.items():
+        if page in kept:
+            continue
+        for t in texts:
+            if any(_fuzzy_score(t, term) >= threshold for term in terms):
+                kept.add(page)
+                break
+    out = [s for s in spans if decode_offset(s[3])[0] in kept]
+    return sorted(kept), out
+
+
 def reassemble_pages(page_results: list[tuple[int, list, dict]]) -> tuple[list, dict]:
     """Merge per-page extraction results (page, spans, metrics) back into a
     document: pages ascending, offsets re-sequenced. Mirrors the Spark-side

@@ -133,3 +133,79 @@ def x04_extract_grid(spark, sf):
 
 
 QUERIES["x04_extract_grid"] = x04_extract_grid
+
+
+# ---------------------------------------------------------------- z01
+_Z01_ORACLE = """
+WITH w AS (
+  SELECT doc_id, ws[pos + 1] AS w, pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(0, len(ws) - 1)) AS g(pos)
+),
+z AS (
+  SELECT doc_id, pos, w,
+         CAST(pos / 40 AS INTEGER) AS page,
+         (pos % 40) * 25 AS y
+  FROM w
+),
+zones AS (
+  SELECT doc_id, 'header' AS zone, pos, w FROM z WHERE y < 150
+  UNION ALL
+  SELECT doc_id, 'footer' AS zone, pos, w FROM z WHERE y >= 850
+  UNION ALL
+  SELECT doc_id, 'title' AS zone, pos, w FROM z WHERE page = 0 AND y < 400
+)
+SELECT doc_id, zone, string_agg(w, ' ' ORDER BY pos) AS zone_text
+FROM zones GROUP BY doc_id, zone
+"""
+
+
+def z01_zone_text(spark, sf):
+    """Zone extraction as a scan predicate (docpact retrieval.py:115-164
+    semantics, kernels/pdfish.py:extract_zones twin): documents are laid
+    out on a deterministic 40-words/page grid (y = slot * 25 centipoints)
+    and each zone is a pure band filter — header y < 15 %, footer
+    y >= 85 %, title = page 0 top 40 % — so zone pulls never touch the
+    full extraction path. One shuffle (per-doc-zone ordered agg)."""
+    w = (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "w"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "w",
+            (F.col("pos") / 40).cast("int").alias("page"),
+            ((F.col("pos") % 40) * 25).alias("y"),
+        )
+    )
+    zones = (
+        w.filter(F.col("y") < 150).select(
+            "doc_id", F.lit("header").alias("zone"), "pos", "w"
+        )
+        .unionAll(
+            w.filter(F.col("y") >= 850).select(
+                "doc_id", F.lit("footer").alias("zone"), "pos", "w"
+            )
+        )
+        .unionAll(
+            w.filter((F.col("page") == 0) & (F.col("y") < 400)).select(
+                "doc_id", F.lit("title").alias("zone"), "pos", "w"
+            )
+        )
+    )
+    return zones.groupBy("doc_id", "zone").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("zone_text")
+    )
+
+
+QUERIES["z01_zone_text"] = z01_zone_text
+ORACLE["z01_zone_text"] = _Z01_ORACLE

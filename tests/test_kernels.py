@@ -181,6 +181,42 @@ def test_pdfish_multi_page_order_and_empty_drop():
     assert m["drop_reasons"] == {"empty": 1}
 
 
+def test_pdfish_zone_extraction():
+    from pdf_ocr_spark.kernels.pdfish import extract_zones
+
+    spans = [
+        ("pdf_text", "Annual Report 2024", "", P(0, 50, 10)),   # header+title
+        ("pdf_text", "Grain Shipments", "", P(0, 300, 10)),     # title zone
+        ("pdf_text", "body row", "", P(0, 500, 10)),            # no zone
+        ("pdf_text", "page 1 of 9", "", P(0, 900, 10)),         # footer
+        ("pdf_text", "second page head", "", P(1, 100, 10)),    # header p1
+        ("media", "", "img://x", P(0, 60, 500)),                # ignored
+    ]
+    z = extract_zones(spans)
+    assert z["header"] == ["Annual Report 2024", "second page head"]
+    assert z["footer"] == ["page 1 of 9"]
+    assert z["title"] == ["Annual Report 2024", "Grain Shipments"]
+
+
+def test_pdfish_fuzzy_page_filter():
+    from pdf_ocr_spark.kernels.pdfish import filter_pages_by_titles
+
+    spans = []
+    for page, title in enumerate(
+        ["Iron Ore Tonnage", "Wheat Exports", "Appendix"]
+    ):
+        spans.append(("pdf_text", title, "", P(page, 100, 10)))
+        spans.append(("pdf_text", f"data {page}", "", P(page, 500, 10)))
+    kept, out = filter_pages_by_titles(spans, ["iron ore tonnage"], 90.0)
+    assert kept == [0]
+    assert {s[3] // 1_000_000 for s in out} == {0}
+    # fuzzy (not exact) match + explicit page union
+    kept2, _ = filter_pages_by_titles(
+        spans, ["weat exports"], 85.0, pages=[2]
+    )
+    assert kept2 == [1, 2]
+
+
 # ----------------------------------------------------------------- html
 
 
