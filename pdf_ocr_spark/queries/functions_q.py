@@ -4,7 +4,7 @@ extraction, JSON access — each with a DuckDB twin."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..functions import cell_type_col, coerce_number_col, normalize_col
 from .base import sql_dsum_expr, t
@@ -232,3 +232,89 @@ def q34(spark, sf):
         string_format_col(seg, "lower").alias("lo"),
         string_format_col(seg, "snake").alias("snake"),
     ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------- q38
+_CT_SQL = """CASE
+         WHEN REGEXP_MATCHES(TRIM(cell), '^\\d{4}-\\d{2}-\\d{2}$') THEN 'DATE'
+         WHEN REGEXP_MATCHES(TRIM(cell), '^\\(?[+-]?[$€£]?\\s?\\d{1,3}([ ,.]\\d{3})*([.,]\\d+)?%?\\)?$') THEN 'NUMBER'
+         ELSE 'STRING'
+       END"""
+
+_Q38_ORACLE = f"""
+WITH cells AS (
+  SELECT 'l_shipdate' AS col_name, STRFTIME(l_shipdate, '%Y-%m-%d') AS cell
+  FROM lineitem
+  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS VARCHAR) FROM lineitem
+  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+),
+typed AS (SELECT col_name, cell, {_CT_SQL} AS cell_type FROM cells),
+votes AS (SELECT col_name, cell_type, count(*) AS n
+          FROM typed GROUP BY 1, 2),
+pred AS (SELECT col_name, cell_type FROM (
+           SELECT col_name, cell_type,
+                  row_number() OVER (PARTITION BY col_name
+                                     ORDER BY n DESC, cell_type) AS rn
+           FROM votes) WHERE rn = 1),
+stats AS (SELECT col_name, count(*) AS n_cells,
+                 count(DISTINCT cell) AS n_distinct
+          FROM typed GROUP BY 1)
+SELECT s.col_name, p.cell_type AS predominant_type, s.n_cells, s.n_distinct,
+       (s.n_distinct <= 5
+        OR CAST(s.n_distinct AS DOUBLE) / s.n_cells <= 0.1) AS is_enum
+FROM stats s JOIN pred p ON p.col_name = s.col_name
+"""
+
+
+@q("q38_column_type_profile", oracle=_Q38_ORACLE)
+def q38(spark, sf):
+    """Column type-consistency profile (docpact heuristics.py:175-239,
+    TH3): per column, the predominant CellType by vote (deterministic
+    tie-break) plus the ENUM test — distinct <= 5 or distinct/total
+    <= 0.1. Exact distinct here for the cross-engine oracle; at 100 TB
+    the reference's own tolerance makes this approx_count_distinct (the
+    q25/q26 sketch path) with no shape change: both are one shuffle on
+    col_name with map-side partials."""
+    li = t(spark, sf, "lineitem")
+    cells = (
+        li.select(
+            F.lit("l_shipdate").alias("col_name"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("cell"),
+        )
+        .unionAll(
+            li.select(
+                F.lit("l_quantity"), F.col("l_quantity").cast("string")
+            )
+        )
+        .unionAll(li.select(F.lit("l_returnflag"), F.col("l_returnflag")))
+        .unionAll(li.select(F.lit("l_linestatus"), F.col("l_linestatus")))
+    )
+    typed = cells.select(
+        "col_name", "cell", cell_type_col(F.col("cell")).alias("cell_type")
+    )
+    votes = typed.groupBy("col_name", "cell_type").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("col_name").orderBy(
+        F.desc("n"), F.asc("cell_type")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("col_name", F.col("cell_type").alias("predominant_type"))
+    )
+    stats = typed.groupBy("col_name").agg(
+        F.count("*").alias("n_cells"),
+        F.countDistinct("cell").alias("n_distinct"),
+    )
+    return stats.join(pred, "col_name").select(
+        "col_name",
+        "predominant_type",
+        "n_cells",
+        "n_distinct",
+        (
+            (F.col("n_distinct") <= 5)
+            | (F.col("n_distinct").cast("double") / F.col("n_cells") <= 0.1)
+        ).alias("is_enum"),
+    )
