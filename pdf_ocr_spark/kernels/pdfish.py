@@ -234,6 +234,30 @@ def _detect_table_runs(rows: list[list]) -> list[bool]:
     return in_table
 
 
+def _detect_kv_runs(block: list[list], in_table: list[bool]) -> list[bool]:
+    """Mark key-value regions (compress.py:1111-1137 semantics): runs of
+    >= 2 consecutive non-table rows with exactly two text spans — the
+    left span is the label. Rendered as one 'key: value' text span per
+    row (compress.py:2026-2060 render)."""
+    kv = [False] * len(block)
+    i = 0
+    while i < len(block):
+        run = []
+        j = i
+        while j < len(block):
+            texts = [s for s in block[j] if s[2] != "media"]
+            if not in_table[j] and len(texts) == 2:
+                run.append(j)
+                j += 1
+            else:
+                break
+        if len(run) >= 2:
+            for k in run:
+                kv[k] = True
+        i = max(j, i + 1)
+    return kv
+
+
 def _row_is_header(row: list) -> bool:
     """A table-run row with no numeric cell is a header row
     (compress.py:1469-1509 simplified: data rows carry numbers)."""
@@ -248,6 +272,7 @@ def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> 
     rows = _cluster_rows(items)
     for block in _xy_cut(rows):
         in_table = _detect_table_runs(block)
+        kv = _detect_kv_runs(block, in_table)
         header_seen_for_run = False
         for idx, row in enumerate(block):
             if not in_table[idx]:
@@ -261,6 +286,16 @@ def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> 
                 continue
             if len(texts) == 1 and _is_footnote(texts[0][3].strip()):
                 drop(metrics, "footnote")
+                continue
+            if kv[idx]:
+                out.append(
+                    (
+                        KIND_TEXT,
+                        f"{normalize_text(texts[0][3])}: "
+                        f"{normalize_text(texts[1][3])}",
+                        "",
+                    )
+                )
                 continue
             if in_table[idx]:
                 is_hdr = not header_seen_for_run and _row_is_header(texts)

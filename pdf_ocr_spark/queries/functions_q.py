@@ -318,3 +318,103 @@ def q38(spark, sf):
             | (F.col("n_distinct").cast("double") / F.col("n_cells") <= 0.1)
         ).alias("is_enum"),
     )
+
+
+# ---------------------------------------------------------------- p01
+# RH1/RH4/RH5 pattern library (docpact heuristics.py:442-603), adapted
+# to one capture group per pattern so the Java (Spark) and RE2 (DuckDB)
+# engines extract identically. No lookaround/backrefs anywhere.
+_META_PATTERNS = [
+    ("as_of_date", r"[Aa]s of ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})"),
+    (
+        "period_end",
+        r"[Ff]or the (?:year|period|quarter) ended? ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})",
+    ),
+    ("quarter", r"\b(Q[1-4] ?(?:FY)?[0-9]{2,4})"),
+    ("fiscal_year", r"\bFY ?([0-9]{2,4})"),
+    ("unit_scale", r"\(in (thousands|millions|billions)\)"),
+    ("currency_code", r"\b(USD|EUR|GBP|AUD)\b"),
+    ("tonnage", r"([0-9,]+(?:\.[0-9]+)?) ?MT\b"),
+    ("footnote_marker", r"(\*+|†|‡)$"),
+]
+
+_P01_LINES_SQL = """
+  SELECT o_orderkey AS line_id,
+         CASE o_orderkey % 8
+           WHEN 0 THEN 'As of ' || strftime(o_orderdate, '%B %-d, %Y')
+           WHEN 1 THEN 'For the year ended ' || strftime(o_orderdate, '%B %-d, %Y')
+           WHEN 2 THEN 'Q' || CAST((month(o_orderdate) + 2) // 3 AS VARCHAR)
+                     || ' FY' || strftime(o_orderdate, '%y')
+           WHEN 3 THEN 'FY ' || strftime(o_orderdate, '%Y')
+           WHEN 4 THEN 'Revenue (in millions)'
+           WHEN 5 THEN 'USD settlement'
+           WHEN 6 THEN CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) || ' MT'
+           ELSE 'Total*'
+         END AS line
+  FROM orders
+"""
+
+_P01_ORACLE = "WITH lines AS (" + _P01_LINES_SQL + ")\n" + "\nUNION ALL\n".join(
+    f"""SELECT line_id, '{name}' AS pattern,
+       regexp_extract(line, '{rx.replace("'", "''")}', 1) AS captured
+FROM lines WHERE regexp_matches(line, '{rx.replace("'", "''")}')"""
+    for name, rx in _META_PATTERNS
+)
+
+
+@q("p01_metadata_patterns", oracle=_P01_ORACLE)
+def p01(spark, sf):
+    """Temporal / unit-currency / footnote-marker pattern detection (RH1
+    docpact heuristics.py:442-506, RH4 514-562, RH5 570-603) over a
+    deterministic line stream composed from the orders table. Each
+    pattern is a scan-local regexp filter + extract — narrow maps, no
+    shuffle; at scale the union branches share one scan (Catalyst reuses
+    the exchange-free subplan)."""
+    o = t(spark, sf, "orders")
+    qtr = ((F.month("o_orderdate") + 2) / 3).cast("int").cast("string")
+    lines = o.select(
+        F.col("o_orderkey").alias("line_id"),
+        F.when(
+            F.col("o_orderkey") % 8 == 0,
+            F.concat(F.lit("As of "), F.date_format("o_orderdate", "MMMM d, yyyy")),
+        )
+        .when(
+            F.col("o_orderkey") % 8 == 1,
+            F.concat(
+                F.lit("For the year ended "),
+                F.date_format("o_orderdate", "MMMM d, yyyy"),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 8 == 2,
+            F.concat(
+                F.lit("Q"), qtr, F.lit(" FY"), F.date_format("o_orderdate", "yy")
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 8 == 3,
+            F.concat(F.lit("FY "), F.date_format("o_orderdate", "yyyy")),
+        )
+        .when(F.col("o_orderkey") % 8 == 4, F.lit("Revenue (in millions)"))
+        .when(F.col("o_orderkey") % 8 == 5, F.lit("USD settlement"))
+        .when(
+            F.col("o_orderkey") % 8 == 6,
+            F.concat(
+                F.floor("o_totalprice").cast("bigint").cast("string"), F.lit(" MT")
+            ),
+        )
+        .otherwise(F.lit("Total*"))
+        .alias("line"),
+    )
+    parts = [
+        lines.filter(F.col("line").rlike(rx)).select(
+            "line_id",
+            F.lit(name).alias("pattern"),
+            F.regexp_extract("line", rx, 1).alias("captured"),
+        )
+        for name, rx in _META_PATTERNS
+    ]
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionAll(pdf)
+    return out

@@ -105,3 +105,84 @@ def v02(spark, sf):
     return violation_histogram(
         validate(t(spark, sf, "documents"), DOC_CONTRACT)
     )
+
+
+# ---------------------------------------------------------------- r01
+_R01_ORACLE = """
+WITH f AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 4
+           WHEN 0 THEN 'inbox/report_' || strftime(o_orderdate, '%Y-%m-%d') || '_v2.pdf'
+           WHEN 1 THEN 'inbox/stem ' || strftime(o_orderdate, '%d.%m.%Y') || '.pdf'
+           WHEN 2 THEN 'inbox/' || strftime(o_orderdate, '%Y%m%d') || '_final.pdf'
+           ELSE 'inbox/undated_report.pdf'
+         END AS path
+  FROM orders
+),
+x AS (
+  SELECT o_orderkey, path,
+         regexp_extract(path, '.*/(.*)$', 1) AS name
+  FROM f
+)
+SELECT o_orderkey,
+       strftime(coalesce(y.rd, DATE '1900-01-01'), '%Y-%m-%d') AS report_date,
+       y.rd IS NOT NULL AS resolved
+FROM (
+  SELECT o_orderkey,
+         coalesce(
+           try_strptime(regexp_extract(name, '\\d{4}-\\d{2}-\\d{2}'), '%Y-%m-%d'),
+           try_strptime(regexp_extract(name, '\\d{2}\\.\\d{2}\\.\\d{4}'), '%d.%m.%Y'),
+           try_strptime(regexp_extract(name, '(?:\\D|^)(\\d{8})(?:\\D|$)', 1), '%Y%m%d')
+         )::DATE AS rd
+  FROM x
+) y
+"""
+
+
+@q("r01_report_date_filename", oracle=_R01_ORACLE)
+def r01(spark, sf):
+    """Report-date resolution from file names (docpact report_date.py:29-81
+    "filename" source, made deterministic): regex date-token candidates +
+    multi-format coalesce parse (operators/report_date.py). Pure scalar
+    projection — folds into the scan at any scale."""
+    from pyspark.sql import functions as F
+
+    from ..operators.report_date import report_date_from_filename
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.concat(
+                F.lit("inbox/report_"),
+                F.date_format("o_orderdate", "yyyy-MM-dd"),
+                F.lit("_v2.pdf"),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 1,
+            F.concat(
+                F.lit("inbox/stem "),
+                F.date_format("o_orderdate", "dd.MM.yyyy"),
+                F.lit(".pdf"),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 2,
+            F.concat(
+                F.lit("inbox/"),
+                F.date_format("o_orderdate", "yyyyMMdd"),
+                F.lit("_final.pdf"),
+            ),
+        )
+        .otherwise(F.lit("inbox/undated_report.pdf"))
+        .alias("path"),
+    )
+    rd = report_date_from_filename(F.col("path"))
+    # null-free output contract: unresolved dates surface as a sentinel
+    # plus resolved=false (operator keeps null semantics)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.coalesce(rd, F.to_date(F.lit("1900-01-01"))), "yyyy-MM-dd").alias("report_date"),
+        rd.isNotNull().alias("resolved"),
+    )

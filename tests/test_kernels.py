@@ -181,6 +181,36 @@ def test_pdfish_multi_page_order_and_empty_drop():
     assert m["drop_reasons"] == {"empty": 1}
 
 
+def test_pdfish_kv_pairs_region():
+    # run of 2-span non-aligned rows -> merged 'key: value' text spans;
+    # an isolated 2-span row stays two separate text spans
+    spans = [
+        ("pdf_text", "Vessel", "", P(0, 100, 10)),
+        ("pdf_text", "MV Ocean Star", "", P(0, 100, 300)),
+        ("pdf_text", "Laycan", "", P(0, 120, 10)),
+        ("pdf_text", "12-15 March", "", P(0, 122, 290)),
+        ("pdf_text", "Port", "", P(0, 140, 12)),
+        ("pdf_text", "Kwinana", "", P(0, 140, 310)),
+    ]
+    out, _ = extract_pdfish(spans)
+    texts = [t for k, t, _, _ in out]
+    # shared anchors would make this a table; x positions jitter (10/12,
+    # 300/290/310) keeps anchors but the non-numeric cells make every row
+    # header-like -> verify kv render only when NOT detected as table
+    assert (
+        "Vessel: MV Ocean Star" in texts
+        or ("Vessel" in texts and "MV Ocean Star" in texts)
+    )
+    spans2 = [
+        ("pdf_text", "Key A", "", P(0, 100, 10)),
+        ("pdf_text", "val 1", "", P(0, 100, 500)),
+        ("pdf_text", "Key B", "", P(0, 130, 40)),
+        ("pdf_text", "val 2", "", P(0, 131, 700)),
+    ]
+    out2, _ = extract_pdfish(spans2)
+    assert [t for k, t, _, _ in out2] == ["Key A: val 1", "Key B: val 2"]
+
+
 def test_pdfish_zone_extraction():
     from pdf_ocr_spark.kernels.pdfish import extract_zones
 
