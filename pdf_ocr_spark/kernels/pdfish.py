@@ -12,8 +12,13 @@ Re-expresses the semantics (NOT the code) of the reference pipeline:
   - section-label test (all caps, >3 chars, no colon)
     ....................................... compress.py:1211-1238
   - footnote rejection patterns ............. filter.py:40-56
-  - header estimation (non-numeric first run row)
-    ....................................... compress.py:1469-1509 (simplified)
+  - header estimation: H7 bottom-up span-count signature (bottom 2/3
+    establishes the data pattern; all rows above the first data-like
+    row are headers, stacked headers included), with a non-numeric
+    first-row fallback when the signature is ambiguous
+    ....................................... compress.py:1469-1509
+  - key-value regions (runs of two-span non-table rows) rendered as
+    'key: value' text lines ................ compress.py:1111-1137, 2026-2060
 
 Input spans carry a packed ``offset``: ``page*1_000_000 + y_centi*1_000
 + x`` (integer centipoint grid — float-free determinism, FIXTURES.md).
@@ -27,6 +32,7 @@ reassembled by page order (SURVEY.md §4 item 1).
 from __future__ import annotations
 
 import re
+from collections import Counter
 from statistics import median
 
 from .common import (
@@ -201,11 +207,13 @@ def _shares_anchors(xs_a: list[int], xs_b: list[int]) -> bool:
     return shared >= need
 
 
-def _detect_table_runs(rows: list[list]) -> list[bool]:
-    """Mark rows belonging to table runs: maximal sequences of multi-span
-    rows sharing column anchors, plus numeric single-span continuations
-    (compress.py:1048-1383 semantics, simplified)."""
+def _detect_table_runs(rows: list[list]) -> tuple[list[bool], list[list[int]]]:
+    """Find table runs: maximal sequences of multi-span rows sharing
+    column anchors, plus numeric single-span continuations
+    (compress.py:1048-1383 semantics, simplified). Returns
+    (per-row in-table flags, list of runs as row-index lists)."""
     in_table = [False] * len(rows)
+    runs: list[list[int]] = []
     i = 0
     while i < len(rows):
         if len(rows[i]) < 2:
@@ -230,8 +238,32 @@ def _detect_table_runs(rows: list[list]) -> list[bool]:
         if len([k for k in run if len(rows[k]) >= 2]) >= 2:
             for k in run:
                 in_table[k] = True
+            runs.append(run)
         i = max(j, i + 1)
-    return in_table
+    return in_table, runs
+
+
+def _estimate_header_count(span_counts: list[int]) -> int:
+    """H7 bottom-up header estimation (compress.py:1469-1509 semantics):
+    the bottom 2/3 of a run establishes the data span-count signature
+    (top-3 counts with count >= 2 and frequency >= 2); the header block
+    is every row above the first data-like row. A row with MORE spans
+    than the signature max is still data (a more complete row)."""
+    n = len(span_counts)
+    if n <= 2:
+        return 0
+    bottom = span_counts[max(1, n // 3):]
+    freq = Counter(bottom)
+    data_counts = {
+        c for c, cnt in freq.most_common(3) if c >= 2 and cnt >= 2
+    }
+    if not data_counts:
+        return 0
+    mx = max(data_counts)
+    for i, c in enumerate(span_counts):
+        if c in data_counts or c > mx:
+            return i
+    return 0
 
 
 def _detect_kv_runs(block: list[list], in_table: list[bool]) -> list[bool]:
@@ -271,12 +303,26 @@ def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> 
     out: list[tuple[str, str, str]] = []
     rows = _cluster_rows(items)
     for block in _xy_cut(rows):
-        in_table = _detect_table_runs(block)
+        in_table, runs = _detect_table_runs(block)
         kv = _detect_kv_runs(block, in_table)
-        header_seen_for_run = False
+        # per-run header block: H7 span-count signature, falling back to
+        # "first non-numeric run row" when the signature is ambiguous
+        header_rows: set[int] = set()
+        for run in runs:
+            texts_rows = [
+                [s for s in block[k] if s[2] != "media"] for k in run
+            ]
+            hc = _estimate_header_count([len(tr) for tr in texts_rows])
+            if hc > 0:
+                # H7 signature found: every row above the first data-like
+                # row is a header (compress.py:1469-1509 — no content
+                # gate; years/numbers are legitimate in stacked headers)
+                header_rows.update(run[:hc])
+            elif texts_rows and _row_is_header(texts_rows[0]):
+                # ambiguous signature: fall back to the non-numeric
+                # first-row rule
+                header_rows.add(run[0])
         for idx, row in enumerate(block):
-            if not in_table[idx]:
-                header_seen_for_run = False
             # media spans are emitted at their reading-order position
             media = [s for s in row if s[2] == "media"]
             texts = [s for s in row if s[2] != "media"]
@@ -298,9 +344,7 @@ def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> 
                 )
                 continue
             if in_table[idx]:
-                is_hdr = not header_seen_for_run and _row_is_header(texts)
-                if is_hdr:
-                    header_seen_for_run = True
+                if idx in header_rows:
                     for s in texts:
                         out.append((KIND_HEADING, normalize_text(s[3]), ""))
                 else:

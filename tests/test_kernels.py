@@ -181,6 +181,33 @@ def test_pdfish_multi_page_order_and_empty_drop():
     assert m["drop_reasons"] == {"empty": 1}
 
 
+def test_pdfish_stacked_header_rows():
+    # two non-numeric leading rows with fewer spans than the 3-span data
+    # signature -> BOTH become heading rows (H7 bottom-up estimation)
+    spans = [
+        ("pdf_text", "Shipments", "", P(0, 80, 10)),
+        ("pdf_text", "2024", "", P(0, 80, 200)),
+        ("pdf_text", "Port", "", P(0, 100, 10)),
+        ("pdf_text", "Qty", "", P(0, 100, 200)),
+    ]
+    for i in range(4):
+        y = 120 + 20 * i
+        spans += [
+            ("pdf_text", f"port{i}", "", P(0, y, 10)),
+            ("pdf_text", f"{i}00", "", P(0, y, 200)),
+            ("pdf_text", f"{i}.5", "", P(0, y, 300)),
+        ]
+    out, _ = extract_pdfish(spans)
+    kinds_texts = [(k, t) for k, t, _, _ in out]
+    headings = [t for k, t in kinds_texts if k == "heading"]
+    # "2024" is numeric so that span keeps heading via its row; the row
+    # membership is what H7 estimates -- both leading rows are headers
+    assert "Port" in headings and "Qty" in headings
+    assert "Shipments" in headings
+    cells = [t for k, t in kinds_texts if k == "cell"]
+    assert "port0" in cells and "3.5" in cells
+
+
 def test_pdfish_kv_pairs_region():
     # run of 2-span non-aligned rows -> merged 'key: value' text spans;
     # an isolated 2-span row stays two separate text spans
