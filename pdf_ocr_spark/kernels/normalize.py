@@ -115,3 +115,21 @@ def coerce_value(s: str) -> str:
     if neg and not t.startswith("-"):
         t = "-" + t
     return t
+
+
+# ------------------------------------------------------------- OCR repair
+# Exact Python twin of functions.ocr_repair_col (north_star "OCR-text
+# span recovery"): within number-shaped tokens, map the classic glyph
+# confusions O→0 o→0 l→1 I→1 S→5 B→8; word tokens pass untouched.
+_OCR_TOKEN_RE = re.compile(r"^[0-9OolISB.,]+$")
+_OCR_HAS_CONFUSABLE = re.compile(r"[0-9OolISB]")
+_OCR_TRANS = str.maketrans("OolISB", "001158")
+
+
+def ocr_repair(s: str) -> str:
+    return " ".join(
+        t.translate(_OCR_TRANS)
+        if _OCR_TOKEN_RE.match(t) and _OCR_HAS_CONFUSABLE.search(t)
+        else t
+        for t in s.split(" ")
+    )

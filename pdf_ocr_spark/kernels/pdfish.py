@@ -46,7 +46,7 @@ from .common import (
     merge_metrics,
     new_metrics,
 )
-from .normalize import normalize_text
+from .normalize import normalize_text, ocr_repair
 
 Y_CLUSTER_TOL = 8  # centipoints; generator jitter is <= 3
 COL_ANCHOR_TOL = 15  # x tolerance for shared column anchors
@@ -348,8 +348,13 @@ def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> 
                     for s in texts:
                         out.append((KIND_HEADING, normalize_text(s[3]), ""))
                 else:
+                    # OCR-text span recovery on recovered table cells:
+                    # glyph-confusion repair of number-shaped tokens
+                    # (north_star stage; functions.ocr_repair_col twin)
                     for s in texts:
-                        out.append((KIND_CELL, normalize_text(s[3]), ""))
+                        out.append(
+                            (KIND_CELL, ocr_repair(normalize_text(s[3])), "")
+                        )
             elif _is_section_label(texts):
                 out.append((KIND_SECTION, normalize_text(texts[0][3]), ""))
             else:

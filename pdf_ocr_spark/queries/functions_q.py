@@ -418,3 +418,51 @@ def p01(spark, sf):
     for pdf in parts[1:]:
         out = out.unionAll(pdf)
     return out
+
+
+# ---------------------------------------------------------------- q39
+_Q39_ORACLE = """
+WITH v AS (
+  SELECT o_orderkey, round(o_totalprice - 200000.0, 2) AS amount
+  FROM orders
+),
+c AS (
+  SELECT o_orderkey, amount,
+         CAST(round(abs(amount) * 100) AS BIGINT) AS cents
+  FROM v
+),
+f AS (
+  SELECT o_orderkey, amount,
+         format('{:,}', cents // 100) || '.'
+           || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS us_abs
+  FROM c
+)
+SELECT o_orderkey,
+       CASE WHEN amount < 0 THEN '(' || us_abs || ')' ELSE us_abs END
+         AS us_accounting,
+       translate(us_abs, ',.', '.,') AS eu_plain
+FROM f
+"""
+
+
+@q("q39_number_format", oracle=_Q39_ORACLE)
+def q39(spark, sf):
+    """Number-format rendering (docpact serialize.py:192-268 + 390-432
+    semantics): #,###.## US grouping, accounting parentheses for
+    negatives, EU separator swap — all scalar expressions (format_number
+    + translate), no UDF. Inputs carry exactly 2 decimals so both
+    engines' nearest-representation rounding agrees (no .5 ties)."""
+    v = t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - 200000.0, 2).alias("amount"),
+    )
+    us_abs = F.format_number(F.abs(F.col("amount")), 2)
+    return v.select(
+        "o_orderkey",
+        F.when(
+            F.col("amount") < 0, F.concat(F.lit("("), us_abs, F.lit(")"))
+        )
+        .otherwise(us_abs)
+        .alias("us_accounting"),
+        F.translate(us_abs, ",.", ".,").alias("eu_plain"),
+    )

@@ -181,6 +181,27 @@ def test_pdfish_multi_page_order_and_empty_drop():
     assert m["drop_reasons"] == {"empty": 1}
 
 
+def test_pdfish_ocr_repair_on_cells():
+    # number-shaped cell tokens get glyph-confusion repair (O->0, l->1,
+    # S->5, B->8); word cells and headings pass through untouched
+    spans = [
+        ("pdf_text", "Port", "", P(0, 100, 10)),
+        ("pdf_text", "Qty SO", "", P(0, 100, 200)),  # heading: untouched
+        ("pdf_text", "Albany", "", P(0, 120, 10)),
+        ("pdf_text", "1,2O4", "", P(0, 120, 200)),
+        ("pdf_text", "Kwinana", "", P(0, 140, 10)),
+        ("pdf_text", "BlS", "", P(0, 140, 200)),  # confusable-only token
+    ]
+    out, _ = extract_pdfish(spans)
+    by_kind = {}
+    for k, t, _r, _o in out:
+        by_kind.setdefault(k, []).append(t)
+    assert "Qty SO" in by_kind["heading"]
+    assert "1,204" in by_kind["cell"]
+    assert "815" in by_kind["cell"]
+    assert "Albany" in by_kind["cell"]
+
+
 def test_pdfish_stacked_header_rows():
     # two non-numeric leading rows with fewer spans than the 3-span data
     # signature -> BOTH become heading rows (H7 bottom-up estimation)
