@@ -42,6 +42,11 @@ HEADLINE = [
     "t02_quality_score",
     "t04_doc_fingerprint",
     "m01_media_decode",
+    "c01_keyword_classify",
+    "u01_unpivot_compound_headers",
+    "z01_zone_text",
+    "q39_number_format",
+    "p01_metadata_patterns",
     "x01_extract_documents",
 ]
 

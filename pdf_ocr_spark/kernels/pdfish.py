@@ -322,6 +322,56 @@ def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> 
                 # ambiguous signature: fall back to the non-numeric
                 # first-row rule
                 header_rows.add(run[0])
+        # preceding-header scan (compress.py:1810-1878 semantics): short
+        # label rows directly above a run whose x positions align with
+        # the run's column anchors join the header block; single-span
+        # rows are gated harder (start-aligned, <= 15 chars, not a
+        # section label) so document titles stay text
+        pre_header_rows: set[int] = set()
+        for run in runs:
+            anchors = [s[1] for s in block[run[0]] if s[2] != "media"]
+            # adjacency gate (the reference's "gap > 2 rows stops the
+            # scan" in y-space): a header row must sit within 2x the
+            # run's own row pitch of the row below it
+            run_ys = [block[k][0][0] for k in run]
+            pitch = (
+                median(b - a for a, b in zip(run_ys, run_ys[1:]))
+                if len(run_ys) >= 2
+                else 2 * Y_CLUSTER_TOL
+            )
+            prev_y = run_ys[0]
+            for idx2 in range(run[0] - 1, -1, -1):
+                if in_table[idx2] or kv[idx2]:
+                    break
+                y2 = block[idx2][0][0]
+                if prev_y - y2 > 2 * max(pitch, 1):
+                    break
+                texts2 = [s for s in block[idx2] if s[2] != "media"]
+                if not texts2:
+                    break
+                if len(texts2) == 1:
+                    s0 = texts2[0]
+                    aligned = any(
+                        abs(s0[1] - a) <= COL_ANCHOR_TOL for a in anchors
+                    )
+                    t0 = s0[3].strip()
+                    if (
+                        not aligned
+                        or len(t0) > 15
+                        or _SECTION_RE.match(t0)
+                    ):
+                        break
+                    pre_header_rows.add(idx2)
+                    prev_y = y2
+                else:
+                    if any(
+                        any(abs(s[1] - a) <= COL_ANCHOR_TOL for a in anchors)
+                        for s in texts2
+                    ):
+                        pre_header_rows.add(idx2)
+                        prev_y = y2
+                    else:
+                        break
         for idx, row in enumerate(block):
             # media spans are emitted at their reading-order position
             media = [s for s in row if s[2] == "media"]
@@ -332,6 +382,10 @@ def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> 
                 continue
             if len(texts) == 1 and _is_footnote(texts[0][3].strip()):
                 drop(metrics, "footnote")
+                continue
+            if idx in pre_header_rows:
+                for s in texts:
+                    out.append((KIND_HEADING, normalize_text(s[3]), ""))
                 continue
             if kv[idx]:
                 out.append(

@@ -209,3 +209,48 @@ def z01_zone_text(spark, sf):
 
 QUERIES["z01_zone_text"] = z01_zone_text
 ORACLE["z01_zone_text"] = _Z01_ORACLE
+
+
+# ---------------------------------------------------------------- x06
+def x06_compression_ratio(spark, sf):
+    """Content-compression parity metric (the reference's ONLY published
+    performance numbers are char-compression ratios, COMPRESS.md:636-641
+    / README.md:22 "40-67% smaller"): per corpus, input span chars vs
+    extracted output chars and the reduction. Rows-only (kernel-derived),
+    deterministic."""
+    docs = t(spark, sf, "documents")
+    n = docs.count() // 2
+    inp = synthetic_corpus(spark, n, skew_docs=max(1, n // 500))
+    chars_in = inp.select(
+        "doc_id",
+        F.expr(
+            "aggregate(spans, 0L, (acc, s) -> acc + length(s.text))"
+        ).alias("chars_in"),
+    )
+    out = extract(inp)
+    chars_out = out.select(
+        "doc_id",
+        F.expr(
+            "aggregate(spans, 0L, (acc, s) -> acc + length(s.text))"
+        ).alias("chars_out"),
+    )
+    return (
+        chars_in.join(chars_out, "doc_id")
+        .select(F.split("doc_id", "-")[0].alias("corpus"), "chars_in", "chars_out")
+        .groupBy("corpus")
+        .agg(
+            F.sum("chars_in").alias("chars_in"),
+            F.sum("chars_out").alias("chars_out"),
+        )
+        .select(
+            "corpus",
+            "chars_in",
+            "chars_out",
+            F.round(
+                (1 - F.col("chars_out") / F.col("chars_in")) * 100, 2
+            ).alias("reduction_pct"),
+        )
+    )
+
+
+QUERIES["x06_compression_ratio"] = x06_compression_ratio

@@ -181,6 +181,27 @@ def test_pdfish_multi_page_order_and_empty_drop():
     assert m["drop_reasons"] == {"empty": 1}
 
 
+def test_pdfish_preceding_header_scan():
+    # a short label row aligned above the run joins the header block; a
+    # long title row does not
+    spans = [
+        ("pdf_text", "Shipping Stem Report FY24", "", P(0, 60, 10)),  # title
+        ("pdf_text", "(tonnes)", "", P(0, 80, 200)),  # aligned short label
+        ("pdf_text", "Port", "", P(0, 100, 10)),
+        ("pdf_text", "Qty", "", P(0, 100, 200)),
+    ]
+    for i in range(3):
+        y = 120 + 20 * i
+        spans += [
+            ("pdf_text", f"port{i}", "", P(0, y, 10)),
+            ("pdf_text", f"{i}00", "", P(0, y, 200)),
+        ]
+    out, _ = extract_pdfish(spans)
+    kinds = {t: k for k, t, _r, _o in out}
+    assert kinds["(tonnes)"] == "heading"
+    assert kinds["Shipping Stem Report FY24"] == "text"  # too long -> title
+
+
 def test_pdfish_ocr_repair_on_cells():
     # number-shaped cell tokens get glyph-confusion repair (O->0, l->1,
     # S->5, B->8); word cells and headings pass through untouched
