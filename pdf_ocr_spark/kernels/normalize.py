@@ -48,6 +48,11 @@ def normalize_text(s: str) -> str:
     """Lossless, idempotent normalization (docpact normalize.py:14-46)."""
     if not s:
         return ""
+    # fast path: every mapped char (NBSP, smart quotes, dashes,
+    # zero-width) is non-ASCII, so clean ASCII without doubled spaces
+    # only needs the strip — the overwhelmingly common case
+    if s.isascii() and "  " not in s:
+        return s.strip()
     s = s.translate(_ZERO_WIDTH).translate(_CHAR_MAP)
     s = _MULTISPACE.sub(" ", s)
     return s.strip()
@@ -124,9 +129,20 @@ def coerce_value(s: str) -> str:
 _OCR_TOKEN_RE = re.compile(r"^[0-9OolISB.,]+$")
 _OCR_HAS_CONFUSABLE = re.compile(r"[0-9OolISB]")
 _OCR_TRANS = str.maketrans("OolISB", "001158")
+# fast pre-filter: a whole space-delimited token of class chars must
+# exist somewhere, else the string is returned untouched (word cells —
+# the overwhelmingly common case — never pay the split/join)
+_OCR_CANDIDATE = re.compile(r"(?:^| )[0-9OolISB.,]+(?= |$)")
 
 
 def ocr_repair(s: str) -> str:
+    if " " not in s:
+        # single-token case (typical table cell): no split/join
+        if _OCR_TOKEN_RE.match(s) and _OCR_HAS_CONFUSABLE.search(s):
+            return s.translate(_OCR_TRANS)
+        return s
+    if not _OCR_CANDIDATE.search(s):
+        return s
     return " ".join(
         t.translate(_OCR_TRANS)
         if _OCR_TOKEN_RE.match(t) and _OCR_HAS_CONFUSABLE.search(t)

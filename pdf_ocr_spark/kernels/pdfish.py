@@ -309,19 +309,21 @@ def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> 
         # "first non-numeric run row" when the signature is ambiguous
         header_rows: set[int] = set()
         for run in runs:
-            texts_rows = [
-                [s for s in block[k] if s[2] != "media"] for k in run
+            counts = [
+                sum(1 for s in block[k] if s[2] != "media") for k in run
             ]
-            hc = _estimate_header_count([len(tr) for tr in texts_rows])
+            hc = _estimate_header_count(counts)
             if hc > 0:
                 # H7 signature found: every row above the first data-like
                 # row is a header (compress.py:1469-1509 — no content
                 # gate; years/numbers are legitimate in stacked headers)
                 header_rows.update(run[:hc])
-            elif texts_rows and _row_is_header(texts_rows[0]):
+            else:
                 # ambiguous signature: fall back to the non-numeric
                 # first-row rule
-                header_rows.add(run[0])
+                first = [s for s in block[run[0]] if s[2] != "media"]
+                if first and _row_is_header(first):
+                    header_rows.add(run[0])
         # preceding-header scan (compress.py:1810-1878 semantics): short
         # label rows directly above a run whose x positions align with
         # the run's column anchors join the header block; single-span

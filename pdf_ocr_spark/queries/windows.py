@@ -303,3 +303,37 @@ def q37(spark, sf):
         .select(F.col("w.start").alias("window_start"), "key", "sum_value")
     )
     return win.drop("window_end").join(sums, ["window_start", "key"])
+
+
+# ---------------------------------------------------------------- q40
+@q(
+    "q40_sliding_windows",
+    oracle="""
+WITH s AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts)
+           - (k.k * INTERVAL '5 minutes') AS window_start,
+         event_type AS key
+  FROM events, (VALUES (0), (1)) k(k)
+)
+SELECT window_start, key, count(*) AS n_events
+FROM s GROUP BY 1, 2
+""",
+)
+def q40(spark, sf):
+    """Sliding event-time windows (width 10 min, slide 5 min) — the batch
+    twin of the streaming sliding aggregation, sharing
+    streaming/windows.py:windowed_counts verbatim (each event lands in
+    width/slide = 2 windows; the oracle enumerates the same two
+    slide-grid starts per event). One shuffle on (window, key) with
+    map-side partials — the sliding fan-out happens in the projection,
+    not as a join."""
+    from ..streaming.windows import windowed_counts
+
+    ev = t(spark, sf, "events")
+    return windowed_counts(
+        ev,
+        window="10 minutes",
+        slide="5 minutes",
+        key_col="event_type",
+        streaming=False,
+    ).drop("window_end")
