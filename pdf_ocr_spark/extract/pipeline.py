@@ -215,13 +215,23 @@ def extract(
     is well-laid-out Parquet/Iceberg.
     """
     df = df.withColumn("_n", F.size("spans"))
-
-    small = df.filter(F.col("_n") <= big_doc_threshold).drop("_n")
     if salt_partitions:
-        # hash+salt keeps sibling mega-docs apart even with identical ids
-        small = small.repartition(
+        # Salted repartition BEFORE the small/big branch split: both
+        # branches then read the SAME shuffle stage output instead of
+        # each re-scanning (and re-decoding the nested spans column of)
+        # the full input — the size filter is on a computed column, so
+        # it can never push down to the scan. One shuffle also spreads
+        # mega-docs (which cluster in few input splits — size-based
+        # split planning can't see row cost) so the 10^6-span explode
+        # parallelizes instead of running in one task. At 10^12 docs
+        # prefer an ingest-materialized n_spans column (pushdown-able)
+        # over this shuffle; with salt_partitions=None the plan stays
+        # shuffle-free and trusts the scan's split sizing.
+        df = df.repartition(
             salt_partitions, F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions))
         )
+
+    small = df.filter(F.col("_n") <= big_doc_threshold).drop("_n")
     if use_arrow:
         small_out = small.select("doc_id", "spans").mapInArrow(
             _extract_batch_arrow, schema=OUTPUT_SCHEMA
@@ -230,13 +240,6 @@ def extract(
         small_out = small.mapInPandas(_extract_batch, schema=OUTPUT_SCHEMA)
 
     big = df.filter(F.col("_n") > big_doc_threshold).drop("_n")
-    if salt_partitions:
-        # mega-docs cluster in few input splits (they're written together
-        # and size-based split planning can't see row cost), so without
-        # this the whole explode of 10^6-span docs runs in one task — a
-        # serial floor that caps scaling. Spread docs first; the explode
-        # then parallelizes per doc, and page grain fans out further.
-        big = big.repartition(salt_partitions, "doc_id")
     # explode to page grain (pages are independent in the layout kernel)
     pages = (
         big.select("doc_id", F.explode("spans").alias("s"))

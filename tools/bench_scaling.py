@@ -39,7 +39,11 @@ def worker(cpus: int, corpus_dir: str) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     spark = get_spark(
         cpus=cpus,
-        shuffle_partitions=max(cpus, 8),
+        # data-sized, IDENTICAL at both levels: partition grain must be a
+        # property of the dataset, not the cluster width, or the ratio
+        # charges the 4N level 4x the per-task fixed cost (and the N
+        # level larger spill per shuffle partition)
+        shuffle_partitions=64,
         extra_conf={
             # v2 committer: tasks commit directly, no serial driver-side
             # rename of every output file at job end (matters at 4N where
@@ -66,11 +70,11 @@ def worker(cpus: int, corpus_dir: str) -> None:
     # below even N cores.
     # warm-up job (JIT + Python worker pool), then ONE measured run;
     # the interleaved A/B schedule in main() provides the repetitions
-    extract(inp.limit(8000), salt_partitions=cpus * 8).write.format(
+    extract(inp.limit(8000), salt_partitions=64).write.format(
         "noop"
     ).mode("overwrite").save()
     t0 = time.perf_counter()
-    extract(inp, salt_partitions=cpus * 8).write.mode("overwrite").parquet(
+    extract(inp, salt_partitions=64).write.mode("overwrite").parquet(
         out_dir
     )
     wall = time.perf_counter() - t0
