@@ -314,6 +314,28 @@ verified by microbenchmark):
 |---|---|---|---|
 {rows}
 
+### Where the N→4N gap lives (measured decomposition, 600k-doc corpus)
+
+Phase probes at each level (same taskset confinement, warm JVM+workers):
+
+| phase | 4 cores | 16 cores | phase ratio |
+|---|---|---|---|
+| scan + salted repartition (JVM only) | ~8 s | 2.2 s | ~0.9 |
+| small-doc branch (Arrow→kernels→Arrow) | 128.0 s | 41.6 s | 0.77 |
+| mega-doc branch (explode→page UDF→reassembly shuffles) | 38.0 s | 13.7 s | 0.69 |
+| Arrow conversion alone (passthrough UDF, no kernels) | — | 13.6 s | — |
+
+The small-doc map path — the common case — scales at 0.77 (vs the
+0.70–0.88 pure-Python host ceiling, i.e. at ceiling). The drag is the
+mega-doc branch: its explode/collect shuffles of 10^6-span documents
+are memory-bandwidth- and single-JVM-GC-bound — on a real multi-node
+cluster those shuffles spread across per-node disks, NICs, and heaps,
+which is exactly the single-box penalty the calibration ceiling cannot
+capture (it has no shuffle at all). Fixes that DID land from these
+probes: data-sized (level-identical) shuffle/salt grain, and single-scan
+branch routing (both branches consume one shuffle stage instead of
+re-scanning the nested input).
+
 ### Why N=4 / 4N=16 (and not 8/32)
 
 The sandbox's 32 vCPUs are host-oversubscribed: loading all 32 cores
