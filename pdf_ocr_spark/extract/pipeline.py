@@ -85,19 +85,24 @@ def _extract_batch_arrow(batches):
             ("drop_reasons", map_ty),
         ]
     )
+    def _tolist(arr):
+        # bulk numpy conversion: ~10x faster than to_pylist for string
+        # arrays (nulls still surface as None via the object dtype)
+        return arr.to_numpy(zero_copy_only=False).tolist()
+
     for rb in batches:
-        doc_ids = rb.column(0).to_pylist()
+        doc_ids = _tolist(rb.column(0))
         la = rb.column(1)
         if isinstance(la, pa.ChunkedArray):
             la = la.combine_chunks()
-        lengths = pa.compute.list_value_length(la).to_pylist()
+        lengths = _tolist(pa.compute.list_value_length(la))
         flat = la.flatten()
         tuples = list(
             zip(
-                flat.field(0).to_pylist(),
-                flat.field(1).to_pylist(),
-                flat.field(2).to_pylist(),
-                flat.field(3).to_pylist(),
+                _tolist(flat.field(0)),
+                _tolist(flat.field(1)),
+                _tolist(flat.field(2)),
+                _tolist(flat.field(3)),
             )
         )
         out_k: list = []
