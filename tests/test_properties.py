@@ -1,0 +1,89 @@
+"""Property-based invariants (hypothesis) for the extraction kernels.
+
+The north_rule's span-sequence equality only holds at 10^12 docs if
+kernel output NEVER depends on input span order — the skew path
+reassembles spans from an arbitrary partition layout (SURVEY.md §7.3).
+These properties drive randomized permutations and doc shapes through
+the kernels; pytest seeds are deterministic (hypothesis derandomized
+profile) so CI stays reproducible.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pdf_ocr_spark.corpus import generate_doc
+from pdf_ocr_spark.kernels.gridk import extract_grid_doc
+from pdf_ocr_spark.kernels.mixed import extract_mixed
+from pdf_ocr_spark.kernels.pdfish import extract_pdfish
+
+_KERNELS = {
+    "pdfish": extract_pdfish,
+    "mixed": extract_mixed,
+    "grid": extract_grid_doc,
+}
+
+_doc_ids = st.tuples(
+    st.sampled_from(sorted(_KERNELS)), st.integers(0, 2000)
+).map(lambda t: f"{t[0]}-{t[1]:06d}")
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(doc_id=_doc_ids, seed=st.integers(0, 2**32 - 1))
+def test_extraction_is_span_order_invariant(doc_id, seed):
+    """Permuting input spans never changes the output span sequence."""
+    corpus = doc_id.split("-")[0]
+    kernel = _KERNELS[corpus]
+    spans = [tuple(s) for s in generate_doc(doc_id)]
+    base_out, base_m = kernel(list(spans))
+    shuffled = list(spans)
+    random.Random(seed).shuffle(shuffled)
+    out, m = kernel(shuffled)
+    assert out == base_out
+    assert m == base_m
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(doc_id=_doc_ids)
+def test_extraction_output_contract(doc_id):
+    """Offsets are a contiguous 0..n-1 re-sequencing; kinds come from the
+    documented set; media refs survive; metrics add up."""
+    corpus = doc_id.split("-")[0]
+    kernel = _KERNELS[corpus]
+    spans = [tuple(s) for s in generate_doc(doc_id)]
+    out, m = kernel(list(spans))
+    assert [o for _, _, _, o in out] == list(range(len(out)))
+    assert {k for k, _, _, _ in out} <= {
+        "text", "heading", "section", "cell", "media", "html"
+    }
+    in_refs = {r for _k, _t, r, _o in spans if r}
+    out_refs = {r for _k, _t, r, _o in out if r}
+    assert out_refs <= in_refs
+    assert m["spans_out"] == len(out)
+    assert m["dropped"] == sum(m["drop_reasons"].values())
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(doc_id=_doc_ids.filter(lambda d: d.startswith("pdfish")))
+def test_page_split_equals_whole_doc(doc_id):
+    """Extracting page-by-page then reassembling equals whole-doc
+    extraction — the mega-doc fan-out correctness property."""
+    from pdf_ocr_spark.kernels.pdfish import (
+        extract_pdfish_page_spans,
+        reassemble_pages,
+    )
+
+    spans = [tuple(s) for s in generate_doc(doc_id)]
+    whole, wm = extract_pdfish(list(spans))
+    pages: dict[int, list] = {}
+    for s in spans:
+        pages.setdefault(s[3] // 1_000_000, []).append(s)
+    parts = [
+        (pg, *extract_pdfish_page_spans(ps)) for pg, ps in pages.items()
+    ]
+    merged, mm = reassemble_pages([(pg, o, m) for pg, o, m in parts])
+    assert merged == whole
+    assert mm["dropped"] == wm["dropped"]
