@@ -17,11 +17,13 @@ from hypothesis import strategies as st
 
 from pdf_ocr_spark.corpus import generate_doc
 from pdf_ocr_spark.kernels.gridk import extract_grid_doc
+from pdf_ocr_spark.kernels.htmlk import extract_html_doc
 from pdf_ocr_spark.kernels.mixed import extract_mixed
 from pdf_ocr_spark.kernels.pdfish import extract_pdfish
 
 _KERNELS = {
     "pdfish": extract_pdfish,
+    "html": extract_html_doc,
     "mixed": extract_mixed,
     "grid": extract_grid_doc,
 }
@@ -59,9 +61,12 @@ def test_extraction_output_contract(doc_id):
     assert {k for k, _, _, _ in out} <= {
         "text", "heading", "section", "cell", "media", "html"
     }
+    # media refs come from input span refs — except the html kernel,
+    # which parses them out of <img src> inside the html source text
+    in_text = "".join(t for _k, t, _r, _o in spans)
     in_refs = {r for _k, _t, r, _o in spans if r}
     out_refs = {r for _k, _t, r, _o in out if r}
-    assert out_refs <= in_refs
+    assert all(r in in_refs or r in in_text for r in out_refs)
     assert m["spans_out"] == len(out)
     assert m["dropped"] == sum(m["drop_reasons"].values())
 
