@@ -418,3 +418,51 @@ def test_mixed_text_routing_equivalence():
     merged = sorted(routed + media, key=lambda s: s[3])
     merged = [(k, t, r, i) for i, (k, t, r, _o) in enumerate(merged)]
     assert merged == full
+
+
+# ---------------------------------------------------------------- boxish
+
+
+def test_boxish_slide_table_and_free_text():
+    from pdf_ocr_spark.kernels.boxish import extract_boxish
+
+    spans = [
+        ("box", "Quarterly Review", "", P(0, 50, 10)),  # title text box
+        # aligned 2x3 box cluster -> table
+        ("box", "Port", "", P(0, 200, 100)),
+        ("box", "Qty", "", P(0, 200, 300)),
+        ("box", "Albany", "", P(0, 300, 100)),
+        ("box", "1,2O4", "", P(0, 302, 300)),   # ocr repair applies
+        ("box", "Kwinana", "", P(0, 400, 101)),
+        ("box", "2,500", "", P(0, 400, 299)),
+        ("media", "", "img://slide0/logo", P(0, 600, 500)),
+        # slide 1: free text only
+        ("box", "Thank you", "", P(1, 300, 200)),
+    ]
+    out, m = extract_boxish(spans)
+    seq = [(k, t, r) for k, t, r, _ in out]
+    assert ("text", "Quarterly Review", "") in seq
+    assert ("heading", "Port", "") in seq and ("heading", "Qty", "") in seq
+    assert ("cell", "1,204", "") in seq  # glyph repair in table cells
+    assert ("media", "", "img://slide0/logo") in seq
+    assert seq[-1] == ("text", "Thank you", "")  # slide order preserved
+    assert [o for _, _, _, o in out] == list(range(len(out)))
+
+
+def test_boxish_order_invariance():
+    import random
+
+    from pdf_ocr_spark.kernels.boxish import extract_boxish
+
+    spans = [
+        ("box", f"r{i}c{j}", "", P(0, 100 + 80 * i, 100 + 150 * j))
+        for i in range(4)
+        for j in range(3)
+    ]
+    base, _ = extract_boxish(list(spans))
+    rng = random.Random(7)
+    for _ in range(5):
+        shuffled = list(spans)
+        rng.shuffle(shuffled)
+        out, _ = extract_boxish(shuffled)
+        assert out == base
