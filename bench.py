@@ -36,6 +36,7 @@ HEADLINE = [
     "d01_exact_dedup",
     "d02_minhash_lsh_dedup",
     "d04_ngram_jaccard_dedup",
+    "d06_simhash_bucketed",
     "s01_ann_bruteforce_topk",
     "s03_ivf_centroids",
     "t01_language_id",
@@ -52,7 +53,7 @@ HEADLINE = [
 
 
 def main() -> None:
-    from pdf_ocr_spark.queries import ALL_QUERIES
+    from pdf_ocr_spark.queries import FULL_QUERIES as ALL_QUERIES
     from pdf_ocr_spark.session import get_spark
 
     spark = get_spark(cpus=CPUS, shuffle_partitions=CPUS)

@@ -198,6 +198,157 @@ def _is_numeric_continuation(row: list) -> bool:
     return bool(_NUMERIC_CELL_RE.match(row[0][3].strip()))
 
 
+def _unify_xs(rows: list[list], tol: int = COL_ANCHOR_TOL) -> list[int]:
+    """X-column unification (compress.py:1645-1687 semantics): sorted
+    greedy clustering of span x positions with a RUNNING-MEAN cluster
+    representative — a new x joins the current cluster iff it is within
+    ``tol`` of the cluster mean, else starts a new column. Returns the
+    sorted canonical column x positions."""
+    xs = sorted(s[1] for r in rows for s in r if s[2] != "media")
+    if not xs:
+        return []
+    cols: list[list[int]] = [[xs[0]]]
+    for x in xs[1:]:
+        cur = cols[-1]
+        mean = sum(cur) / len(cur)
+        if x - mean <= tol:
+            cur.append(x)
+        else:
+            cols.append([x])
+    return [int(sum(c) / len(c)) for c in cols]
+
+
+def _col_of(x: int, cols: list[int], tol: int = COL_ANCHOR_TOL) -> int:
+    """Nearest unified column index for a span x (ties -> leftmost)."""
+    best, bi = None, 0
+    for i, c in enumerate(cols):
+        d = abs(x - c)
+        if best is None or d < best:
+            best, bi = d, i
+    return bi
+
+
+def _is_transposed_run(block: list[list], run: list[int]) -> bool:
+    """Structural transposed-table check (compress.py:1762-1803
+    semantics): >= 3 rows; unified column count <= 5; span-count
+    variance < 2.0; first column stable (a span at the leftmost unified
+    column in >= 80% of rows)."""
+    rows = [[s for s in block[k] if s[2] != "media"] for k in run]
+    rows = [r for r in rows if r]
+    if len(rows) < 3:
+        return False
+    cols = _unify_xs(rows)
+    if not cols or len(cols) > 5 or len(cols) < 2:
+        return False
+    counts = [len(r) for r in rows]
+    mean = sum(counts) / len(counts)
+    var = sum((c - mean) ** 2 for c in counts) / len(counts)
+    if var > 2.0:
+        return False
+    first_col = sum(
+        1 for r in rows if abs(r[0][1] - cols[0]) <= COL_ANCHOR_TOL
+    )
+    return first_col >= 0.8 * len(rows)
+
+
+# Contract label vocabulary for transposed mapping (the reference matches
+# first-column labels against the CONTRACT's schema aliases,
+# interpret.py:1738-1816; the pipeline passes the broadcast contract's
+# alias set here — this default is the synthetic corpus contract).
+TRANSPOSED_LABELS = frozenset(
+    {"vessel", "port", "tonnage", "eta", "grade", "cargo"}
+)
+
+
+def _detranspose(
+    block: list[list], run: list[int], labels: frozenset[str], metrics: dict
+) -> list[tuple[str, str, str]] | None:
+    """Deterministic transposed mapping (interpret.py:1738-1816
+    semantics): first-column cells are field labels matched against the
+    contract alias set (normalized lower); requires >= 50% of the run's
+    label rows matched (and >= 2). Emits the de-transposed sequence —
+    the matched labels as one HEADING row, then ONE record per data
+    column (cells in label order) — exactly what the flat twin of the
+    table emits. Returns None when the label-coverage gate fails (the
+    run then flows through the standard table path)."""
+    rows = [[s for s in block[k] if s[2] != "media"] for k in run]
+    rows = [r for r in rows if r]
+    cols = _unify_xs(rows)
+    matched: list[tuple[str, list]] = []  # (label, row spans)
+    for r in rows:
+        label = normalize_text(r[0][3]).strip()
+        if label.lower() in labels:
+            matched.append((label, r))
+        else:
+            drop(metrics, "transposed_unmatched", len(r))
+    if len(matched) < 2 or len(matched) < 0.5 * len(rows):
+        return None
+    out: list[tuple[str, str, str]] = []
+    for label, _r in matched:
+        out.append((KIND_HEADING, label, ""))
+    for ci in range(1, len(cols)):
+        for _label, r in matched:
+            vals = [
+                s[3]
+                for s in r[1:]
+                if _col_of(s[1], cols) == ci and (s[3] or "").strip()
+            ]
+            for v in vals:
+                out.append((KIND_CELL, ocr_repair(normalize_text(v)), ""))
+    return out
+
+
+def _detect_multirow_period(counts: list[int]) -> tuple[int, int] | None:
+    """Multi-row record periodicity (compress.py:1390-1427 semantics):
+    try periods (3, 2, 4) x header offsets 0..min(10, n/2); the first
+    ``period`` body rows form the span-count pattern (skipped when
+    uniform — uniform rows are ordinary data); >= 70% of groups must
+    repeat the pattern and there must be >= 2 groups. Returns
+    (header_rows, period) or None."""
+    max_header = min(10, len(counts) // 2)
+    for period in (3, 2, 4):
+        for header in range(max_header + 1):
+            body = counts[header:]
+            if len(body) < period * 2:
+                continue
+            pattern = body[:period]
+            if len(set(pattern)) <= 1:
+                continue
+            total = len(body) // period
+            hits = sum(
+                1
+                for g in range(total)
+                if body[g * period : (g + 1) * period] == pattern
+            )
+            if total >= 2 and hits >= 0.7 * total:
+                return header, period
+    return None
+
+
+def _merge_multirow(
+    body_rows: list[list], period: int
+) -> list[list[tuple[int, str]]]:
+    """Merge groups of ``period`` rows into single logical records
+    (compress.py:1430-1466 semantics): spans of the group are bucketed
+    by unified column; multiple values in one column join with a space.
+    Returns merged rows as (col_x, text) lists, columns ascending."""
+    cols = _unify_xs(body_rows)
+    merged: list[list[tuple[int, str]]] = []
+    for g in range(0, len(body_rows), period):
+        group = body_rows[g : g + period]
+        col_values: dict[int, list[str]] = {}
+        for r in group:
+            for s in r:
+                if s[2] == "media":
+                    continue
+                ci = _col_of(s[1], cols)
+                col_values.setdefault(ci, []).append(s[3])
+        merged.append(
+            [(cols[ci], " ".join(col_values[ci])) for ci in sorted(col_values)]
+        )
+    return merged
+
+
 def _shares_anchors(xs_a: list[int], xs_b: list[int]) -> bool:
     shared = 0
     for xa in xs_a:

@@ -39,6 +39,33 @@ def report_date_from_filename(path: Column) -> Column:
     return F.coalesce(*cands)
 
 
+# content-zone candidates (docpact report_date.py:62-81 "content" source,
+# made deterministic: instead of handing the title zone to an LLM, the
+# RH1 temporal regexes — heuristics.py:442-506 — extract the date phrase
+# and a multi-format coalesce parses it)
+_CONTENT_PATTERNS = [
+    (r"[Aa]s of ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})", "MMMM d, yyyy"),
+    (
+        r"[Ff]or the (?:year|period|quarter) ended? ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})",
+        "MMMM d, yyyy",
+    ),
+    (r"(\d{4}-\d{2}-\d{2})", "yyyy-MM-dd"),
+    (r"(\d{1,2} [A-Za-z]+ \d{4})", "d MMMM yyyy"),
+]
+
+
+def report_date_from_content(line: Column) -> Column:
+    """source == "content": first RH1 temporal phrase in the (title-zone)
+    text, parsed to DateType; null when the zone has no date phrase."""
+    cands = [
+        F.try_to_date(
+            F.nullif(F.regexp_extract(line, rx, 1), F.lit("")), fmt
+        )
+        for rx, fmt in _CONTENT_PATTERNS
+    ]
+    return F.coalesce(*cands)
+
+
 def report_date_constant(value: str) -> Column:
     """source == "constant" (report_date.py:44-47)."""
     return F.to_date(F.lit(value))

@@ -18,6 +18,8 @@ per extracted table column across 10^12 documents.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -35,6 +37,57 @@ NORM_SQL = (
     "trim(regexp_replace(regexp_replace(regexp_replace(lower({x}), "
     "'\"', '', 'g'), '\\s+', ' ', 'g'), '\\s*\\(', ' (', 'g'))"
 )
+
+
+_YEAR_TMPL = re.compile(r"\{YYYY([+-]\d+)?\}")
+
+
+def resolve_year_templates(schema: dict, pivot_year: int) -> dict:
+    """Driver-side contract prep (docpact contracts.py:192-219 semantics):
+    aliases containing ``{YYYY}`` / ``{YYYY±n}`` templates are resolved
+    against the document's pivot year before the alias table is built —
+    e.g. alias "{YYYY-1} tonnage" with pivot 1996 becomes "1995 tonnage".
+    Non-template aliases pass through untouched; the template alias itself
+    is replaced (a literal "{YYYY}" never reaches the matcher)."""
+    out: dict = {}
+    for canonical, aliases in schema.items():
+        resolved = []
+        for a in aliases:
+            if _YEAR_TMPL.search(a):
+                def _sub(m):
+                    off = int(m.group(1) or 0)
+                    return str(pivot_year + off)
+                resolved.append(_YEAR_TMPL.sub(_sub, a))
+            else:
+                resolved.append(a)
+        out[canonical] = resolved
+    return out
+
+
+def coverage_report(mapped: DataFrame, schema: dict) -> DataFrame:
+    """Preflight header-coverage report (docpact semantics.py:202-297):
+    for every canonical schema column, how many of the document's headers
+    resolved to it — including zero-coverage columns (the reference's
+    informational "these schema columns have no source header" warning).
+    One tiny agg over the map_headers output + a broadcast right side."""
+    spark = mapped.sparkSession
+    cols = spark.createDataFrame(
+        [(c,) for c in schema], "canonical string"
+    )
+    counts = (
+        mapped.filter(F.col("canonical").isNotNull())
+        .groupBy("canonical")
+        .agg(F.count("*").alias("n_headers"))
+    )
+    return (
+        F.broadcast(cols)
+        .join(counts, "canonical", "left")
+        .select(
+            "canonical",
+            F.coalesce("n_headers", F.lit(0).cast("long")).alias("n_headers"),
+            (F.coalesce("n_headers", F.lit(0)) > 0).alias("covered"),
+        )
+    )
 
 
 def alias_table(spark: SparkSession, schema: dict) -> DataFrame:

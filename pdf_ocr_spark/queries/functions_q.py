@@ -179,7 +179,7 @@ def q31(spark, sf):
     "q32_regex_extract_ids",
     oracle="""
 SELECT c_mktsegment,
-       SUM(CAST(REGEXP_EXTRACT(c_name, 'Customer#(\\d+)', 1) AS BIGINT)) AS id_sum,
+       CAST(SUM(CAST(REGEXP_EXTRACT(c_name, 'Customer#(\\d+)', 1) AS BIGINT)) AS BIGINT) AS id_sum,
        COUNT(*) AS n
 FROM customer GROUP BY c_mktsegment
 """,
@@ -197,7 +197,7 @@ def q32(spark, sf):
     "q33_json_props",
     oracle="""
 SELECT event_type,
-       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """,

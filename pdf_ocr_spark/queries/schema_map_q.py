@@ -25,18 +25,27 @@ def q(name, oracle=None):
 
 # Contract schema (canonical -> aliases), mirroring the reference's
 # contract JSON shape (docpact contracts/au_shipping_stem.json style).
-SCHEMA = {
+# "tonnage" carries year-template aliases ({YYYY}/{YYYY-1}, docpact
+# contracts.py:192-219) resolved against PIVOT_YEAR before matching.
+RAW_SCHEMA = {
     "port": ["port name"],
     "vessel": ["ship"],
-    "tonnage": ["tonnage (mt)", "total tonnage"],
+    "tonnage": ["tonnage (mt)", "total tonnage", "{YYYY} tonnage", "{YYYY-1} tonnage"],
     "eta": ["laycan"],
     "cargo": [],
     "grade": ["grade name"],
     "discharge_rate": ["discharge rate"],
 }
+PIVOT_YEAR = 1995
+
+from ..operators.schema_map import resolve_year_templates  # noqa: E402
+
+SCHEMA = resolve_year_templates(RAW_SCHEMA, PIVOT_YEAR)
 
 # Header fixture: direct hits, casing/quoting/whitespace noise, ' / '
-# compound forms (part match), a joined-form-only match, an unmatched.
+# compound forms (part match), a joined-form-only match, year-template
+# hits ("1995 Tonnage" via {YYYY}, "1994 Tonnage" via {YYYY-1}), an
+# unmatched.
 HEADERS = [
     "Port",
     "VESSEL",
@@ -46,6 +55,8 @@ HEADERS = [
     "vessel / tonnage",
     "Laycan / ETA",
     "Discharge / Rate",
+    "1995 Tonnage",
+    "1994 Tonnage",
     "Completely Unknown",
 ]
 
@@ -120,6 +131,33 @@ def h01(spark, sf):
         [(h,) for h in HEADERS], "header string"
     )
     return map_headers(headers, alias_table(spark, SCHEMA))
+
+
+# ---------------------------------------------------------------- h02
+_H02_ORACLE = f"""
+WITH m AS ({_H01_ORACLE}),
+cols(canonical) AS (VALUES {", ".join("('" + c + "')" for c in RAW_SCHEMA)})
+SELECT c.canonical,
+       coalesce(n.n, 0) AS n_headers,
+       coalesce(n.n, 0) > 0 AS covered
+FROM cols c
+LEFT JOIN (SELECT canonical, CAST(count(*) AS BIGINT) AS n
+           FROM m WHERE canonical IS NOT NULL GROUP BY 1) n
+  ON n.canonical = c.canonical
+"""
+
+
+@q("h02_preflight_coverage", oracle=_H02_ORACLE)
+def h02(spark, sf):
+    """Preflight header-coverage report (docpact semantics.py:202-297):
+    per canonical schema column, how many fixture headers resolved to it,
+    zero-coverage columns included (the reference's informational
+    pre-mapping warning). A tiny agg over h01's broadcast-join output."""
+    from ..operators.schema_map import coverage_report
+
+    headers = spark.createDataFrame([(h,) for h in HEADERS], "header string")
+    mapped = map_headers(headers, alias_table(spark, SCHEMA))
+    return coverage_report(mapped, SCHEMA)
 
 
 # ---------------------------------------------------------------- u01

@@ -141,8 +141,8 @@ WITH doc_words AS (
   SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS words
   FROM documents)
 SELECT lang,
-       SUM(CASE WHEN LEN(LIST_INTERSECT(words,
-           ['data', 'table', 'query', 'join'])) > 0 THEN 1 ELSE 0 END) AS n_overlap,
+       CAST(SUM(CASE WHEN LEN(LIST_INTERSECT(words,
+           ['data', 'table', 'query', 'join'])) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
        COUNT(*) AS n_docs
 FROM doc_words GROUP BY lang
 """,

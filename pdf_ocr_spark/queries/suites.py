@@ -1,0 +1,692 @@
+"""Driver-registry suites: homogeneous query families merged into one
+registered entry each, so the round driver's CORRECTNESS gate (which
+records at most ~50 entries, in registry order) covers EVERY operator.
+
+Merging rules (cross-engine-safe by construction):
+  - wide join on a shared key (doc_id / user_id) when each member emits
+    one row per key — cells keep their own columns, so the comparator's
+    per-cell float normalization still applies;
+  - tagged UNION ALL on a fixed (fam, keys..., values...) schema when
+    shapes differ — numeric values stay in typed numeric columns, never
+    stringified, for the same reason;
+  - integer aggregates in DuckDB SQL are CAST(... AS BIGINT) at the
+    outermost projection (DuckDB SUM over integers returns HUGEINT,
+    which pandas widens to float64/object and the driver's normalizer
+    then renders differently from Spark's bigint).
+
+The fine-grained member queries stay importable (tests, bench.py, and
+tools/check_correctness.py --full use them); only the driver registry
+exposes the merged form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import (
+    classify_q,
+    dedup,
+    functions_q,
+    multimodal_q,
+    schema_map_q,
+    setops_arrays,
+    similarity,
+    textstats,
+    tpch,
+    validation_q,
+    windows,
+)
+
+QUERIES = {}
+ORACLE = {}
+
+
+def q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle:
+            ORACLE[name] = oracle
+        return fn
+
+    return reg
+
+
+def _sub(module, name: str) -> str:
+    """A member query's oracle SQL as a parenthesizable subquery."""
+    return "(\n" + module.ORACLE[name].strip() + "\n)"
+
+
+# ================================================================ tpch
+# q04/q06/q08: semi-join, scalar agg, anti-join — (fam, k, v, n)
+@q(
+    "q04_semi_anti_suite",
+    oracle=f"""
+SELECT 'q04_priority' AS fam, o_orderpriority AS k, 0.0 AS v,
+       order_count AS n
+FROM {_sub(tpch, "q04_order_priority")} _a
+UNION ALL
+SELECT 'q06_forecast', 'all', revenue, 0 FROM {_sub(tpch, "q06_forecast_revenue")} _b
+UNION ALL
+SELECT 'q08_inactive', c_mktsegment, 0.0, n_inactive
+FROM {_sub(tpch, "q08_customers_without_orders")} _c
+""",
+)
+def q04_suite(spark, sf):
+    """q04 order-priority semi-join + q06 forecast scalar agg + q08
+    customers-without-orders anti-join, tagged-unioned."""
+    a = tpch.QUERIES["q04_order_priority"](spark, sf).select(
+        F.lit("q04_priority").alias("fam"),
+        F.col("o_orderpriority").alias("k"),
+        F.lit(0.0).alias("v"),
+        F.col("order_count").alias("n"),
+    )
+    b = tpch.QUERIES["q06_forecast_revenue"](spark, sf).select(
+        F.lit("q06_forecast").alias("fam"),
+        F.lit("all").alias("k"),
+        F.col("revenue").alias("v"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    c = tpch.QUERIES["q08_customers_without_orders"](spark, sf).select(
+        F.lit("q08_inactive").alias("fam"),
+        F.col("c_mktsegment").alias("k"),
+        F.lit(0.0).alias("v"),
+        F.col("n_inactive").alias("n"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+# q05/q07/q09: broadcast-dimension joins — (fam, k, v, n)
+@q(
+    "q05_dim_join_suite",
+    oracle=f"""
+SELECT 'q05_asia_revenue' AS fam, n_name AS k, revenue AS v, 0 AS n
+FROM {_sub(tpch, "q05_local_supplier")} _a
+UNION ALL
+SELECT 'q07_brand_price', p_brand, avg_price, n FROM {_sub(tpch, "q07_brand_price")} _b
+UNION ALL
+SELECT 'q09_shipped_parts', p_brand, 0.0, n_parts
+FROM {_sub(tpch, "q09_shipped_parts")} _c
+""",
+)
+def q05_suite(spark, sf):
+    """q05 multi-dim broadcast join + q07 brand averages + q09 shipped
+    parts semi-join, tagged-unioned."""
+    a = tpch.QUERIES["q05_local_supplier"](spark, sf).select(
+        F.lit("q05_asia_revenue").alias("fam"),
+        F.col("n_name").alias("k"),
+        F.col("revenue").alias("v"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    b = tpch.QUERIES["q07_brand_price"](spark, sf).select(
+        F.lit("q07_brand_price").alias("fam"),
+        F.col("p_brand").alias("k"),
+        F.col("avg_price").alias("v"),
+        F.col("n"),
+    )
+    c = tpch.QUERIES["q09_shipped_parts"](spark, sf).select(
+        F.lit("q09_shipped_parts").alias("fam"),
+        F.col("p_brand").alias("k"),
+        F.lit(0.0).alias("v"),
+        F.col("n_parts").alias("n"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+# ============================================================= windows
+# q12 top-3-per-group + q15 mode — (fam, k, k2, k3, v, s)
+@q(
+    "q12_rank_mode_suite",
+    oracle=f"""
+SELECT 'q12_top3' AS fam, l_returnflag AS k, l_orderkey AS k2,
+       l_linenumber AS k3, l_extendedprice AS v, '' AS s
+FROM {_sub(windows, "q12_top3_per_group")} _a
+UNION ALL
+SELECT 'q15_mode', o_orderstatus, 0, 0, 0.0, mode_priority
+FROM {_sub(windows, "q15_mode_priority")} _b
+""",
+)
+def q12_suite(spark, sf):
+    """q12 top-3 per group (row_number window) + q15 mode/most_common,
+    tagged-unioned."""
+    a = windows.QUERIES["q12_top3_per_group"](spark, sf).select(
+        F.lit("q12_top3").alias("fam"),
+        F.col("l_returnflag").alias("k"),
+        F.col("l_orderkey").cast("long").alias("k2"),
+        F.col("l_linenumber").cast("long").alias("k3"),
+        F.col("l_extendedprice").alias("v"),
+        F.lit("").alias("s"),
+    )
+    b = windows.QUERIES["q15_mode_priority"](spark, sf).select(
+        F.lit("q15_mode").alias("fam"),
+        F.col("o_orderstatus").alias("k"),
+        F.lit(0).cast("long").alias("k2"),
+        F.lit(0).cast("long").alias("k3"),
+        F.lit(0.0).alias("v"),
+        F.col("mode_priority").alias("s"),
+    )
+    return a.unionByName(b)
+
+
+# q13 sessionization + q16 zebra alternations + q18 median gaps — all
+# one row per user_id -> wide join
+@q(
+    "q13_event_user_suite",
+    oracle=f"""
+SELECT a.user_id, a.n_sessions, a.n_events,
+       CAST(b.n_alternations AS BIGINT) AS n_alternations,
+       c.median_gap_us, c.n_gaps
+FROM {_sub(windows, "q13_sessionize_events")} a
+JOIN {_sub(windows, "q16_zebra_alternations")} b ON b.user_id = a.user_id
+JOIN {_sub(windows, "q18_median_event_gap")} c ON c.user_id = a.user_id
+""",
+)
+def q13_suite(spark, sf):
+    """Per-user event-stream window suite: gap sessionization (q13, the
+    y-clustering pattern), zebra alternation count (q16), median-gap
+    adaptive threshold (q18) — one row per user, joined on user_id."""
+    a = windows.QUERIES["q13_sessionize_events"](spark, sf)
+    b = windows.QUERIES["q16_zebra_alternations"](spark, sf)
+    c = windows.QUERIES["q18_median_event_gap"](spark, sf)
+    return a.join(b, "user_id").join(c, "user_id")
+
+
+# q37 tumbling + q40 sliding event-time windows — tagged union
+@q(
+    "q37_event_windows_suite",
+    oracle=f"""
+SELECT 'q37_tumbling' AS fam, window_start, key, n_events, sum_value
+FROM {_sub(windows, "q37_event_time_windows")} _a
+UNION ALL
+SELECT 'q40_sliding', window_start, key, n_events, 0.0
+FROM {_sub(windows, "q40_sliding_windows")} _b
+""",
+)
+def q37_suite(spark, sf):
+    """Event-time windowed aggregation suite: 10-min tumbling (q37) +
+    10/5-min sliding (q40), both sharing streaming/windows.py with the
+    Structured Streaming path."""
+    a = windows.QUERIES["q37_event_time_windows"](spark, sf).select(
+        F.lit("q37_tumbling").alias("fam"),
+        "window_start",
+        "key",
+        "n_events",
+        "sum_value",
+    )
+    b = windows.QUERIES["q40_sliding_windows"](spark, sf).select(
+        F.lit("q40_sliding").alias("fam"),
+        "window_start",
+        "key",
+        "n_events",
+        F.lit(0.0).alias("sum_value"),
+    )
+    return a.unionByName(b)
+
+
+# ============================================================== setops
+@q(
+    "q19_setops_suite",
+    oracle=f"""
+SELECT 'q19_union_nations' AS fam, CAST(nationkey AS VARCHAR) AS key
+FROM {_sub(setops_arrays, "q19_union_distinct_nations")} _a
+UNION ALL
+SELECT 'q20_intersect_brands', brand FROM {_sub(setops_arrays, "q20_intersect_brands")} _b
+UNION ALL
+SELECT 'q21_except_brands', brand FROM {_sub(setops_arrays, "q21_except_brands")} _c
+""",
+)
+def q19_suite(spark, sf):
+    """Set-operation suite: union-distinct (q19), intersect (q20),
+    except (q21), tagged-unioned."""
+    a = setops_arrays.QUERIES["q19_union_distinct_nations"](spark, sf).select(
+        F.lit("q19_union_nations").alias("fam"),
+        F.col("nationkey").cast("string").alias("key"),
+    )
+    b = setops_arrays.QUERIES["q20_intersect_brands"](spark, sf).select(
+        F.lit("q20_intersect_brands").alias("fam"), F.col("brand").alias("key")
+    )
+    c = setops_arrays.QUERIES["q21_except_brands"](spark, sf).select(
+        F.lit("q21_except_brands").alias("fam"), F.col("brand").alias("key")
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+# =========================================================== functions
+# q28 lattice counts + q38 column type profile
+@q(
+    "q28_cell_type_suite",
+    oracle=f"""
+SELECT 'q38_profile' AS fam, col_name, predominant_type AS cell_type,
+       n_cells, n_distinct, is_enum
+FROM {_sub(functions_q, "q38_column_type_profile")} _a
+UNION ALL
+SELECT 'q28_lattice', '', cell_type, n, 0, false
+FROM {_sub(functions_q, "q28_cell_type_lattice")} _b
+""",
+)
+def q28_suite(spark, sf):
+    """Cell-type suite: TH1 lattice counts (q28) + TH3 per-column
+    predominant-type/ENUM profile (q38)."""
+    a = functions_q.QUERIES["q38_column_type_profile"](spark, sf).select(
+        F.lit("q38_profile").alias("fam"),
+        "col_name",
+        F.col("predominant_type").alias("cell_type"),
+        "n_cells",
+        "n_distinct",
+        "is_enum",
+    )
+    b = functions_q.QUERIES["q28_cell_type_lattice"](spark, sf).select(
+        F.lit("q28_lattice").alias("fam"),
+        F.lit("").alias("col_name"),
+        "cell_type",
+        F.col("n").alias("n_cells"),
+        F.lit(0).cast("long").alias("n_distinct"),
+        F.lit(False).alias("is_enum"),
+    )
+    return a.unionByName(b)
+
+
+# q29 coercion / q31 levenshtein / q32 regex / q33 json / q34 case
+@q(
+    "q29_scalar_suite",
+    oracle=f"""
+SELECT 'q29_coerce' AS fam, 'all' AS k, total_coerced AS v,
+       n AS b1, 0 AS b2
+FROM {_sub(functions_q, "q29_number_coercion")} _a
+UNION ALL
+SELECT 'q31_lev', c_mktsegment, 0.0, min_dist, max_dist
+FROM {_sub(functions_q, "q31_levenshtein")} _b
+UNION ALL
+SELECT 'q32_regex', c_mktsegment, 0.0, id_sum, n
+FROM {_sub(functions_q, "q32_regex_extract_ids")} _c
+UNION ALL
+SELECT 'q33_json', event_type, 0.0, k_sum, n
+FROM {_sub(functions_q, "q33_json_props")} _d
+UNION ALL
+SELECT 'q34_strfmt', up || '|' || lo || '|' || snake, 0.0, n, 0
+FROM {_sub(functions_q, "q34_string_formats")} _e
+""",
+)
+def q29_suite(spark, sf):
+    """Scalar-function suite: number coercion (q29), levenshtein (q31),
+    regexp_extract sums (q32), per-row JSON (q33), case formats (q34)."""
+    a = functions_q.QUERIES["q29_number_coercion"](spark, sf).select(
+        F.lit("q29_coerce").alias("fam"),
+        F.lit("all").alias("k"),
+        F.col("total_coerced").alias("v"),
+        F.col("n").alias("b1"),
+        F.lit(0).cast("long").alias("b2"),
+    )
+    b = functions_q.QUERIES["q31_levenshtein"](spark, sf).select(
+        F.lit("q31_lev").alias("fam"),
+        F.col("c_mktsegment").alias("k"),
+        F.lit(0.0).alias("v"),
+        F.col("min_dist").cast("long").alias("b1"),
+        F.col("max_dist").cast("long").alias("b2"),
+    )
+    c = functions_q.QUERIES["q32_regex_extract_ids"](spark, sf).select(
+        F.lit("q32_regex").alias("fam"),
+        F.col("c_mktsegment").alias("k"),
+        F.lit(0.0).alias("v"),
+        F.col("id_sum").alias("b1"),
+        F.col("n").alias("b2"),
+    )
+    d = functions_q.QUERIES["q33_json_props"](spark, sf).select(
+        F.lit("q33_json").alias("fam"),
+        F.col("event_type").alias("k"),
+        F.lit(0.0).alias("v"),
+        F.col("k_sum").alias("b1"),
+        F.col("n").alias("b2"),
+    )
+    e = functions_q.QUERIES["q34_string_formats"](spark, sf).select(
+        F.lit("q34_strfmt").alias("fam"),
+        F.concat_ws("|", "up", "lo", "snake").alias("k"),
+        F.lit(0.0).alias("v"),
+        F.col("n").alias("b1"),
+        F.lit(0).cast("long").alias("b2"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+
+
+# ========================================================== similarity
+@q(
+    "s01_similarity_suite",
+    oracle=f"""
+SELECT 'bf_topk' AS fam, vec_id AS id, 0 AS aux1, 0 AS aux2,
+       cosine AS score
+FROM {_sub(similarity, "s01_ann_bruteforce_topk")} _a
+UNION ALL
+SELECT 'lsh_bucket', vec_id, bucket, 0, cosine
+FROM {_sub(similarity, "s02_ann_lsh_bucket")} _b
+UNION ALL
+SELECT 'ivf_centroid', CAST(label AS BIGINT), pos, 0, centroid
+FROM {_sub(similarity, "s03_ivf_centroids")} _c
+UNION ALL
+SELECT 'ivf_probe', vec_id, CAST(label AS BIGINT), 0, cosine
+FROM {_sub(similarity, "s04_ivf_probe_topk")} _d
+UNION ALL
+SELECT 'knn_join', vec_id, qid, rk, cosine
+FROM {_sub(similarity, "s05_knn_join")} _e
+""",
+)
+def s01_suite(spark, sf):
+    """ANN suite: brute-force baseline (s01), LSH bucket probe (s02),
+    IVF centroid build (s03) + probe (s04), batched KNN join (s05) —
+    tagged union on (fam, id, aux1, aux2, score)."""
+    a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
+        F.lit("bf_topk").alias("fam"),
+        F.col("vec_id").alias("id"),
+        F.lit(0).cast("long").alias("aux1"),
+        F.lit(0).cast("long").alias("aux2"),
+        F.col("cosine").alias("score"),
+    )
+    b = similarity.QUERIES["s02_ann_lsh_bucket"](spark, sf).select(
+        F.lit("lsh_bucket").alias("fam"),
+        F.col("vec_id").alias("id"),
+        F.col("bucket").cast("long").alias("aux1"),
+        F.lit(0).cast("long").alias("aux2"),
+        F.col("cosine").alias("score"),
+    )
+    c = similarity.QUERIES["s03_ivf_centroids"](spark, sf).select(
+        F.lit("ivf_centroid").alias("fam"),
+        F.col("label").cast("long").alias("id"),
+        F.col("pos").cast("long").alias("aux1"),
+        F.lit(0).cast("long").alias("aux2"),
+        F.col("centroid").alias("score"),
+    )
+    d = similarity.QUERIES["s04_ivf_probe_topk"](spark, sf).select(
+        F.lit("ivf_probe").alias("fam"),
+        F.col("vec_id").alias("id"),
+        F.col("label").cast("long").alias("aux1"),
+        F.lit(0).cast("long").alias("aux2"),
+        F.col("cosine").alias("score"),
+    )
+    e = similarity.QUERIES["s05_knn_join"](spark, sf).select(
+        F.lit("knn_join").alias("fam"),
+        F.col("vec_id").alias("id"),
+        F.col("qid").cast("long").alias("aux1"),
+        F.col("rk").cast("long").alias("aux2"),
+        F.col("cosine").alias("score"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+
+
+# =========================================================== textstats
+@q(
+    "t01_text_analysis_suite",
+    oracle=f"""
+SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
+       t1.score_en, t1.score_de, t1.score_fr, t1.score_es,
+       t2.n_chars, t2.n_tokens, t2.unique_ratio, t2.stopword_ratio,
+       t2.punct_ratio, t2.digit_ratio, t2.keep,
+       t3.ws_tokens, t3.bpe_tokens, t3.chars_per_token,
+       t4.fingerprint,
+       t7.corrupted_token, t7.repaired_token, t7.recovered_n,
+       t7.recovered_ok
+FROM {_sub(textstats, "t01_language_id")} t1
+JOIN {_sub(textstats, "t02_quality_score")} t2 ON t2.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t03_token_counts")} t3 ON t3.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t04_doc_fingerprint")} t4 ON t4.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t07_ocr_span_recovery")} t7 ON t7.doc_id = t1.doc_id
+""",
+)
+def t01_suite(spark, sf):
+    """Per-document text-analysis suite (one row per doc, joined on
+    doc_id): language ID (t01), quality signals (t02), token counts
+    (t03), rolling-hash fingerprint (t04), OCR span recovery (t07)."""
+    t1 = textstats.QUERIES["t01_language_id"](spark, sf)
+    t2 = textstats.QUERIES["t02_quality_score"](spark, sf)
+    t3 = textstats.QUERIES["t03_token_counts"](spark, sf)
+    t4 = textstats.QUERIES["t04_doc_fingerprint"](spark, sf)
+    t7 = textstats.QUERIES["t07_ocr_span_recovery"](spark, sf)
+    return (
+        t1.join(t2, "doc_id")
+        .join(t3, "doc_id")
+        .join(t4, "doc_id")
+        .join(t7, "doc_id")
+    )
+
+
+# ========================================================== multimodal
+@q(
+    "m01_media_suite",
+    oracle=f"""
+SELECT a.doc_id, a.width, a.height, a.format, a.n_bytes, b.mean_byte
+FROM {_sub(multimodal_q, "m01_media_decode")} a
+JOIN {_sub(multimodal_q, "m02_media_feature")} b ON b.doc_id = a.doc_id
+""",
+)
+def m01_suite(spark, sf):
+    """Media suite (one row per doc): mapInPandas decode metadata (m01)
+    + per-blob feature extraction (m02), joined on doc_id."""
+    a = multimodal_q.QUERIES["m01_media_decode"](spark, sf)
+    b = multimodal_q.QUERIES["m02_media_feature"](spark, sf).select(
+        "doc_id", "mean_byte"
+    )
+    return a.join(b, "doc_id")
+
+
+# ========================================================== validation
+@q(
+    "v01_validation_suite",
+    oracle=f"""
+SELECT 'v01_doc' AS fam, CAST(doc_id AS VARCHAR) AS key,
+       violations_csv AS info, n_violations AS n, valid AS ok
+FROM {_sub(validation_q, "v01_contract_validation")} _a
+UNION ALL
+SELECT 'v02_hist', violation, '', n_docs, true
+FROM {_sub(validation_q, "v02_violation_histogram")} _b
+""",
+)
+def v01_suite(spark, sf):
+    """Contract-validation suite: per-doc assert columns condensed to the
+    violations CSV (v01 — the CSV encodes exactly the failed assert
+    columns) + the corpus-level violation histogram (v02)."""
+    a = validation_q.QUERIES["v01_contract_validation"](spark, sf).select(
+        F.lit("v01_doc").alias("fam"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("violations_csv").alias("info"),
+        F.col("n_violations").alias("n"),
+        F.col("valid").alias("ok"),
+    )
+    b = validation_q.QUERIES["v02_violation_histogram"](spark, sf).select(
+        F.lit("v02_hist").alias("fam"),
+        F.col("violation").alias("key"),
+        F.lit("").alias("info"),
+        F.col("n_docs").alias("n"),
+        F.lit(True).alias("ok"),
+    )
+    return a.unionByName(b)
+
+
+@q(
+    "r01_report_date_suite",
+    oracle=f"""
+SELECT 'filename' AS source, o_orderkey AS line_id, report_date, resolved
+FROM {_sub(validation_q, "r01_report_date_filename")} _a
+UNION ALL
+SELECT 'content', o_orderkey, report_date, resolved
+FROM {_sub(validation_q, "r02_report_date_content")} _b
+""",
+)
+def r01_suite(spark, sf):
+    """Report-date resolution suite (docpact report_date.py:29-81):
+    "filename" source (regex date tokens + multi-format coalesce) and
+    "content" source (RH1 temporal phrase over the title zone)."""
+    a = validation_q.QUERIES["r01_report_date_filename"](spark, sf).select(
+        F.lit("filename").alias("source"),
+        F.col("o_orderkey").alias("line_id"),
+        "report_date",
+        "resolved",
+    )
+    b = validation_q.QUERIES["r02_report_date_content"](spark, sf).select(
+        F.lit("content").alias("source"),
+        F.col("o_orderkey").alias("line_id"),
+        "report_date",
+        "resolved",
+    )
+    return a.unionByName(b)
+
+
+# ========================================================== schema map
+@q(
+    "h01_schema_map_suite",
+    oracle=f"""
+SELECT 'h01_map' AS fam, header, coalesce(canonical, '') AS canonical,
+       coalesce(match_via, '') AS match_via, 0 AS n
+FROM {_sub(schema_map_q, "h01_header_schema_map")} _a
+UNION ALL
+SELECT 'h02_coverage', '', canonical, CASE WHEN covered THEN 'covered'
+       ELSE 'uncovered' END, n_headers
+FROM {_sub(schema_map_q, "h02_preflight_coverage")} _b
+""",
+)
+def h01_suite(spark, sf):
+    """Schema-mapping suite: 3-pass broadcast alias resolution with
+    year-template aliases resolved driver-side (h01) + the preflight
+    header-coverage report (h02)."""
+    a = schema_map_q.QUERIES["h01_header_schema_map"](spark, sf).select(
+        F.lit("h01_map").alias("fam"),
+        "header",
+        F.coalesce("canonical", F.lit("")).alias("canonical"),
+        F.coalesce("match_via", F.lit("")).alias("match_via"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    b = schema_map_q.QUERIES["h02_preflight_coverage"](spark, sf).select(
+        F.lit("h02_coverage").alias("fam"),
+        F.lit("").alias("header"),
+        "canonical",
+        F.when(F.col("covered"), "covered")
+        .otherwise("uncovered")
+        .alias("match_via"),
+        F.col("n_headers").alias("n"),
+    )
+    return a.unionByName(b)
+
+
+# ============================================================ classify
+@q(
+    "c01_classify_suite",
+    oracle=f"""
+WITH c1 AS {_sub(classify_q, "c01_keyword_classify")},
+c2 AS {_sub(classify_q, "c02_classify_propagate")}
+SELECT c1.doc_id, c1.category, c1.score,
+       coalesce(c2.category, '') AS adopted_category,
+       coalesce(c2.sim, -1.0) AS adopted_sim
+FROM c1 LEFT JOIN c2 ON c2.doc_id = c1.doc_id
+""",
+)
+def c01_suite(spark, sf):
+    """Classification suite: keyword classification (c01, broadcast
+    inverted-index equi-join + argmax) left-joined with similarity
+    propagation over the unmatched docs (c02); docs that classified
+    directly carry the ('', -1.0) sentinel in the propagation columns."""
+    c1 = classify_q.QUERIES["c01_keyword_classify"](spark, sf)
+    c2 = classify_q.QUERIES["c02_classify_propagate"](spark, sf).select(
+        "doc_id",
+        F.col("category").alias("adopted_category"),
+        F.col("sim").alias("adopted_sim"),
+    )
+    return c1.join(c2, "doc_id", "left").select(
+        "doc_id",
+        "category",
+        "score",
+        F.coalesce("adopted_category", F.lit("")).alias("adopted_category"),
+        F.coalesce("adopted_sim", F.lit(-1.0)).alias("adopted_sim"),
+    )
+
+
+# =================================================== extraction report
+def x02_extract_report_suite(spark, sf):
+    """Extraction-corpus report suite (rows-only — kernel-derived):
+    per-corpus doc/span/drop metrics (x02) + compression ratios (x06)
+    from ONE shared synthetic-corpus extraction, plus the grid-corpus
+    drop-reason histogram (x04) from the gridk extraction.
+
+    Schema: (fam, key, v1, v2, v3, v4, d)."""
+    from ..corpus import generate_doc
+    from ..extract.pipeline import extract
+    from ..extract.schema import INPUT_SCHEMA, span_dicts
+    from ..sources.synthetic import synthetic_corpus
+    from .base import t
+
+    docs = t(spark, sf, "documents")
+    n = docs.count() // 2
+    inp = synthetic_corpus(spark, n, skew_docs=max(1, n // 500))
+    chars_in = inp.select(
+        "doc_id",
+        F.expr("aggregate(spans, 0L, (acc, s) -> acc + length(s.text))").alias(
+            "chars_in"
+        ),
+    )
+    out = extract(inp)
+    per_doc = out.select(
+        "doc_id",
+        F.split("doc_id", "-")[0].alias("corpus"),
+        F.col("metrics.spans_in").alias("spans_in"),
+        F.col("metrics.spans_out").alias("spans_out"),
+        F.col("metrics.dropped").alias("dropped"),
+        F.expr("aggregate(spans, 0L, (acc, s) -> acc + length(s.text))").alias(
+            "chars_out"
+        ),
+    ).join(chars_in, "doc_id")
+    x02 = (
+        per_doc.groupBy("corpus")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("spans_in").alias("spans_in"),
+            F.sum("spans_out").alias("spans_out"),
+            F.sum("dropped").alias("dropped"),
+        )
+        .select(
+            F.lit("x02_corpus_metrics").alias("fam"),
+            F.col("corpus").alias("key"),
+            F.col("docs").alias("v1"),
+            F.col("spans_in").alias("v2"),
+            F.col("spans_out").alias("v3"),
+            F.col("dropped").alias("v4"),
+            F.lit(0.0).alias("d"),
+        )
+    )
+    x06 = (
+        per_doc.groupBy("corpus")
+        .agg(
+            F.sum("chars_in").alias("chars_in"),
+            F.sum("chars_out").alias("chars_out"),
+        )
+        .select(
+            F.lit("x06_compression").alias("fam"),
+            F.col("corpus").alias("key"),
+            F.col("chars_in").alias("v1"),
+            F.col("chars_out").alias("v2"),
+            F.lit(0).cast("long").alias("v3"),
+            F.lit(0).cast("long").alias("v4"),
+            F.round(
+                (1 - F.col("chars_out") / F.col("chars_in")) * 100, 2
+            ).alias("d"),
+        )
+    )
+    ng = docs.count() // 5
+    ids = [f"grid-{i:06d}" for i in range(max(ng, 20))]
+    ginp = spark.createDataFrame(
+        [{"doc_id": d, "spans": span_dicts(generate_doc(d))} for d in ids],
+        INPUT_SCHEMA,
+    )
+    gout = extract(ginp)
+    x04 = (
+        gout.select(F.explode("metrics.drop_reasons").alias("reason", "nn"))
+        .groupBy("reason")
+        .agg(F.sum("nn").alias("dropped"), F.count("*").alias("docs"))
+        .select(
+            F.lit("x04_grid_drops").alias("fam"),
+            F.col("reason").alias("key"),
+            F.col("docs").alias("v1"),
+            F.col("dropped").alias("v2"),
+            F.lit(0).cast("long").alias("v3"),
+            F.lit(0).cast("long").alias("v4"),
+            F.lit(0.0).alias("d"),
+        )
+    )
+    return x02.unionByName(x06).unionByName(x04)
+
+
+QUERIES["x02_extract_report_suite"] = x02_extract_report_suite

@@ -139,6 +139,84 @@ FROM (
 """
 
 
+_R02_ORACLE = """
+WITH f AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 4
+           WHEN 0 THEN 'Quarterly Report — As of ' || strftime(o_orderdate, '%B %-d, %Y')
+           WHEN 1 THEN 'For the year ended ' || strftime(o_orderdate, '%B %-d, %Y') || ' (audited)'
+           WHEN 2 THEN 'Shipping stem ' || strftime(o_orderdate, '%Y-%m-%d') || ' weekly'
+           ELSE 'Company overview and notes'
+         END AS title_zone
+  FROM orders
+)
+SELECT o_orderkey,
+       strftime(coalesce(
+         try_strptime(regexp_extract(title_zone, '[Aa]s of ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})', 1), '%B %d, %Y'),
+         try_strptime(regexp_extract(title_zone, '[Ff]or the (?:year|period|quarter) ended? ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})', 1), '%B %d, %Y'),
+         try_strptime(regexp_extract(title_zone, '(\\d{4}-\\d{2}-\\d{2})', 1), '%Y-%m-%d'),
+         try_strptime(regexp_extract(title_zone, '(\\d{1,2} [A-Za-z]+ \\d{4})', 1), '%d %B %Y'),
+         TIMESTAMP '1900-01-01'), '%Y-%m-%d') AS report_date,
+       coalesce(
+         try_strptime(regexp_extract(title_zone, '[Aa]s of ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})', 1), '%B %d, %Y'),
+         try_strptime(regexp_extract(title_zone, '[Ff]or the (?:year|period|quarter) ended? ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})', 1), '%B %d, %Y'),
+         try_strptime(regexp_extract(title_zone, '(\\d{4}-\\d{2}-\\d{2})', 1), '%Y-%m-%d'),
+         try_strptime(regexp_extract(title_zone, '(\\d{1,2} [A-Za-z]+ \\d{4})', 1), '%d %B %Y')
+       ) IS NOT NULL AS resolved
+FROM f
+"""
+
+
+@q("r02_report_date_content", oracle=_R02_ORACLE)
+def r02(spark, sf):
+    """Report-date resolution from the document's TITLE ZONE text (docpact
+    report_date.py:62-81 "content" source, deterministic): the RH1
+    temporal regexes (heuristics.py:442-506) extract the date phrase from
+    a synthesized title-zone line, multi-format coalesce parses it. Pure
+    scalar projection (folds into the scan); unresolved docs surface the
+    1900-01-01 sentinel + resolved=false (null-free output contract)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.report_date import report_date_from_content
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.concat(
+                F.lit("Quarterly Report — As of "),
+                F.date_format("o_orderdate", "MMMM d, yyyy"),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 1,
+            F.concat(
+                F.lit("For the year ended "),
+                F.date_format("o_orderdate", "MMMM d, yyyy"),
+                F.lit(" (audited)"),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 2,
+            F.concat(
+                F.lit("Shipping stem "),
+                F.date_format("o_orderdate", "yyyy-MM-dd"),
+                F.lit(" weekly"),
+            ),
+        )
+        .otherwise(F.lit("Company overview and notes"))
+        .alias("title_zone"),
+    )
+    rd = report_date_from_content(F.col("title_zone"))
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.coalesce(rd, F.to_date(F.lit("1900-01-01"))), "yyyy-MM-dd"
+        ).alias("report_date"),
+        rd.isNotNull().alias("resolved"),
+    )
+
+
 @q("r01_report_date_filename", oracle=_R01_ORACLE)
 def r01(spark, sf):
     """Report-date resolution from file names (docpact report_date.py:29-81

@@ -187,7 +187,7 @@ WITH flagged AS (
               OVER (PARTITION BY user_id ORDER BY ts, event_id)
               THEN 1 ELSE 0 END AS flip
   FROM flagged)
-SELECT user_id, SUM(flip) AS n_alternations
+SELECT user_id, CAST(SUM(flip) AS BIGINT) AS n_alternations
 FROM alt GROUP BY user_id
 """,
 )

@@ -62,8 +62,10 @@ def value_hash(rows: list[dict]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    full = "--full" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
@@ -77,8 +79,13 @@ def main() -> int:
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    queries = entry.queries()
-    oracles = entry.oracle_sql()
+    if full:
+        from pdf_ocr_spark.queries import FULL_ORACLES, FULL_QUERIES
+
+        queries, oracles = dict(FULL_QUERIES), dict(FULL_ORACLES)
+    else:
+        queries = entry.queries()
+        oracles = entry.oracle_sql()
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
