@@ -81,7 +81,8 @@ def _pdfish_table_rows(r, spans, page, y, cols, n_rows, with_header=True):
 def _gen_pdfish(doc_id: str, r: random.Random, mega: bool = False) -> list[tuple]:
     spans: list[tuple] = []
     archetype = r.choice(
-        ["flat", "sectioned", "multirow", "side_by_side", "transposed"]
+        ["flat", "sectioned", "multirow", "side_by_side", "transposed",
+         "reheadered"]
     )
     n_pages = r.randint(40, 120) if mega else r.randint(1, 3)
     for page in range(n_pages):
@@ -129,7 +130,7 @@ def _gen_pdfish(doc_id: str, r: random.Random, mega: bool = False) -> list[tuple
             y = _pdfish_table_rows(r, spans, page, y0, lcols, r.randint(4, 9))
             y2 = _pdfish_table_rows(r, spans, page, y0, rcols, r.randint(4, 9))
             y = max(y, y2)
-        else:  # transposed
+        elif archetype == "transposed":
             labels = ["Vessel", "Port", "Tonnage", "ETA", "Grade"]
             for li, lab in enumerate(labels[: r.randint(3, 5)]):
                 spans.append(("pdf_text", lab, "", _pack(page, y, cols[0])))
@@ -138,6 +139,18 @@ def _gen_pdfish(doc_id: str, r: random.Random, mega: bool = False) -> list[tuple
                      _pack(page, y + r.randint(0, 3), cols[1]))
                 )
                 y += 20
+        else:  # reheadered: one run where the header row repeats mid-table
+            y = _pdfish_table_rows(r, spans, page, y, cols, r.randint(3, 6))
+            # section re-header (same names, same columns) then more data
+            for ci, x in enumerate(cols):
+                spans.append(
+                    ("pdf_text", _HEADERS[ci % len(_HEADERS)], "",
+                     _pack(page, y, x))
+                )
+            y += 20
+            y = _pdfish_table_rows(
+                r, spans, page, y, cols, r.randint(3, 6), with_header=False
+            )
         # interleave media spans between blocks (fixed tail band keeps the
         # packed y inside the 0..999 page range)
         for k in range(r.randint(0, 2)):
@@ -306,6 +319,77 @@ def _gen_grid(doc_id: str, r: random.Random) -> list[tuple]:
                  pack(sheet, r.randint(1, nrows), 1))
             )
     return spans
+
+
+# ----------------------------------------------------------- twin pairs
+
+
+def transposed_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
+    """A transposed document and its FLAT TWIN (same labels/values,
+    rotated layout). The kernel's transposed mapping (docpact
+    compress.py:1762-1803 detection + interpret.py:1738-1816 mapping)
+    must make both extract to the SAME span sequence — the x07 oracle's
+    equality gate."""
+    r = _rng(f"pairt-{pair_id}", seed)
+    labels = ["Vessel", "Port", "Tonnage", "ETA", "Grade"][: r.randint(3, 5)]
+    values = [f"{r.randint(1, 9)},{r.randint(100, 999)}" for _ in labels]
+    title = _sentence(r, 6)
+    # evenly-spaced columns: an uneven draw can legitimately trigger the
+    # side-by-side x-cut, which is not what this twin pair tests
+    cols = [10 + 170 * ci for ci in range(len(labels))]
+    # transposed: one (label, value) row per field, label column stable
+    t_spans = [("pdf_text", title, "", _pack(0, 50, 10))]
+    y = 150
+    for lab, val in zip(labels, values):
+        t_spans.append(("pdf_text", lab, "", _pack(0, y, cols[0])))
+        t_spans.append(("pdf_text", val, "", _pack(0, y, cols[1])))
+        y += 20
+    # flat twin: header row of the labels, one data row of the values
+    f_spans = [("pdf_text", title, "", _pack(0, 50, 10))]
+    for ci, lab in enumerate(labels):
+        f_spans.append(("pdf_text", lab, "", _pack(0, 150, cols[ci])))
+    for ci, val in enumerate(values):
+        f_spans.append(("pdf_text", val, "", _pack(0, 170, cols[ci])))
+    return t_spans, f_spans
+
+
+def multirow_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
+    """A period-2 multi-row-record document and its PRE-MERGED twin
+    (each 2-row record collapsed to one row, same cell texts space-
+    joined in the overlapping columns). The kernel's periodicity merge
+    (docpact compress.py:1390-1466) must extract both to the SAME span
+    sequence — the x08 oracle's equality gate."""
+    r = _rng(f"pairm-{pair_id}", seed)
+    ncols = r.randint(3, 5)
+    # evenly spaced — see transposed_pair
+    cols = [10 + 170 * ci for ci in range(ncols)]
+    title = _sentence(r, 6)
+    n_recs = r.randint(4, 8)
+    recs = []
+    for _ in range(n_recs):
+        words = [_word(r) for _ in range(ncols)]
+        times = [f"{r.randint(10, 99)}:{r.randint(10, 59)}" for _ in range(2)]
+        recs.append((words, times))
+    m_spans = [("pdf_text", title, "", _pack(0, 50, 10))]
+    f_spans = [("pdf_text", title, "", _pack(0, 50, 10))]
+    y = 150
+    for ci, x in enumerate(cols):
+        h = _HEADERS[ci % len(_HEADERS)]
+        m_spans.append(("pdf_text", h, "", _pack(0, y, x)))
+        f_spans.append(("pdf_text", h, "", _pack(0, y, x)))
+    ym, yf = y + 20, y + 20
+    for words, times in recs:
+        for ci, x in enumerate(cols):
+            m_spans.append(("pdf_text", words[ci], "", _pack(0, ym, x)))
+        ym += 20
+        for ci, x in enumerate(cols[:2]):
+            m_spans.append(("pdf_text", times[ci], "", _pack(0, ym, x)))
+        ym += 20
+        for ci, x in enumerate(cols):
+            cell = f"{words[ci]} {times[ci]}" if ci < 2 else words[ci]
+            f_spans.append(("pdf_text", cell, "", _pack(0, yf, x)))
+        yf += 20
+    return m_spans, f_spans
 
 
 # ------------------------------------------------------------------- API

@@ -275,14 +275,19 @@ def _detranspose(
     rows = [r for r in rows if r]
     cols = _unify_xs(rows)
     matched: list[tuple[str, list]] = []  # (label, row spans)
+    unmatched_spans = 0
     for r in rows:
         label = normalize_text(r[0][3]).strip()
         if label.lower() in labels:
             matched.append((label, r))
         else:
-            drop(metrics, "transposed_unmatched", len(r))
+            unmatched_spans += len(r)
     if len(matched) < 2 or len(matched) < 0.5 * len(rows):
+        # gate failed: NOT a transposed table — no metrics side effects,
+        # the run flows through the standard table path untouched
         return None
+    if unmatched_spans:
+        drop(metrics, "transposed_unmatched", unmatched_spans)
     out: list[tuple[str, str, str]] = []
     for label, _r in matched:
         out.append((KIND_HEADING, label, ""))
@@ -358,21 +363,44 @@ def _shares_anchors(xs_a: list[int], xs_b: list[int]) -> bool:
     return shared >= need
 
 
+def _is_flowing_text(row: list, med_len: float) -> bool:
+    """Flowing-text rejection (compress.py:1316-1325 semantics): a
+    multi-span row whose AVERAGE span length exceeds 2x the block's
+    median span length is prose, not table data — it terminates a run
+    and never joins one. Relative threshold, adapts per document."""
+    texts = [s for s in row if s[2] != "media"]
+    if len(texts) < 2 or med_len <= 0:
+        return False
+    avg = sum(len((s[3] or "").strip()) for s in texts) / len(texts)
+    return avg > 2.0 * med_len
+
+
 def _detect_table_runs(rows: list[list]) -> tuple[list[bool], list[list[int]]]:
     """Find table runs: maximal sequences of multi-span rows sharing
     column anchors, plus numeric single-span continuations
-    (compress.py:1048-1383 semantics, simplified). Returns
-    (per-row in-table flags, list of runs as row-index lists)."""
+    (compress.py:1048-1383 semantics, simplified); rows that look like
+    flowing prose (avg span length > 2x median) are rejected
+    (compress.py:1316-1325). Returns (per-row in-table flags, list of
+    runs as row-index lists)."""
+    span_lens = [
+        len((s[3] or "").strip())
+        for r in rows
+        for s in r
+        if s[2] != "media" and (s[3] or "").strip()
+    ]
+    med_len = median(span_lens) if span_lens else 0.0
     in_table = [False] * len(rows)
     runs: list[list[int]] = []
     i = 0
     while i < len(rows):
-        if len(rows[i]) < 2:
+        if len(rows[i]) < 2 or _is_flowing_text(rows[i], med_len):
             i += 1
             continue
         run = [i]
         j = i + 1
         while j < len(rows):
+            if _is_flowing_text(rows[j], med_len):
+                break
             if len(rows[j]) >= 2:
                 xs_prev = [s[1] for s in rows[run[-1]]]
                 xs_cur = [s[1] for s in rows[j]]
@@ -448,7 +476,11 @@ def _row_is_header(row: list) -> bool:
     return bool(texts) and not any(_NUMERIC_CELL_RE.match(t.strip()) for t in texts)
 
 
-def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> list:
+def extract_page(
+    items: list[tuple[int, int, str, str, str]],
+    metrics: dict,
+    transposed_labels: frozenset[str] = TRANSPOSED_LABELS,
+) -> list:
     """Extract one page. items = (y, x, kind, text, media_ref) tuples.
     Returns ordered (kind, text, media_ref) triples for the page."""
     out: list[tuple[str, str, str]] = []
@@ -456,10 +488,54 @@ def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> 
     for block in _xy_cut(rows):
         in_table, runs = _detect_table_runs(block)
         kv = _detect_kv_runs(block, in_table)
+        # per-run SPECIAL handling, checked in the reference's order
+        # (compress.py:2351 transposed first, then 2386-2400 multi-row):
+        # a matched run pre-builds its whole emission at the run's first
+        # row; its remaining rows are skipped (media still emits per row)
+        special_emit: dict[int, list] = {}
+        special_rows: set[int] = set()
+        for run in runs:
+            if _is_transposed_run(block, run):
+                det = _detranspose(block, run, transposed_labels, metrics)
+                if det is not None:
+                    special_emit[run[0]] = det
+                    special_rows.update(run)
+                    continue
+            counts = [
+                sum(1 for s in block[k] if s[2] != "media") for k in run
+            ]
+            mp = _detect_multirow_period(counts)
+            if mp is not None:
+                hdr, period = mp
+                emit: list[tuple[str, str, str]] = []
+                for k in run[:hdr]:
+                    texts = [s for s in block[k] if s[2] != "media"]
+                    kind = (
+                        KIND_HEADING if _row_is_header(texts) else KIND_CELL
+                    )
+                    for s in texts:
+                        txt = normalize_text(s[3])
+                        emit.append(
+                            (kind, txt if kind == KIND_HEADING
+                             else ocr_repair(txt), "")
+                        )
+                body = [
+                    [s for s in block[k] if s[2] != "media"]
+                    for k in run[hdr:]
+                ]
+                for mrow in _merge_multirow(body, period):
+                    for _x, txt in mrow:
+                        emit.append(
+                            (KIND_CELL, ocr_repair(normalize_text(txt)), "")
+                        )
+                special_emit[run[0]] = emit
+                special_rows.update(run)
         # per-run header block: H7 span-count signature, falling back to
         # "first non-numeric run row" when the signature is ambiguous
         header_rows: set[int] = set()
         for run in runs:
+            if run[0] in special_emit:
+                continue
             counts = [
                 sum(1 for s in block[k] if s[2] != "media") for k in run
             ]
@@ -482,6 +558,8 @@ def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> 
         # section label) so document titles stay text
         pre_header_rows: set[int] = set()
         for run in runs:
+            if run[0] in special_emit:
+                continue
             anchors = [s[1] for s in block[run[0]] if s[2] != "media"]
             # adjacency gate (the reference's "gap > 2 rows stops the
             # scan" in y-space): a header row must sit within 2x the
@@ -525,12 +603,35 @@ def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> 
                         prev_y = y2
                     else:
                         break
+        # re-header detection (interpret.py:1192-1220 semantics): a
+        # mid-run row whose cells ALL match the run's global header
+        # texts is a section re-header — consumed (its data columns are
+        # already aligned to the global header), never re-emitted
+        header_texts: dict[int, frozenset] = {}
+        for run in runs:
+            if run[0] in special_emit:
+                continue
+            hdr = [k for k in run if k in header_rows]
+            names = frozenset(
+                normalize_text(s[3]).strip().lower()
+                for k in hdr
+                for s in block[k]
+                if s[2] != "media" and (s[3] or "").strip()
+            )
+            if names:
+                for k in run:
+                    if k not in header_rows:
+                        header_texts[k] = names
+
         for idx, row in enumerate(block):
             # media spans are emitted at their reading-order position
             media = [s for s in row if s[2] == "media"]
             texts = [s for s in row if s[2] != "media"]
             for s in media:
                 out.append((KIND_MEDIA, "", s[4]))
+            if idx in special_rows:
+                out.extend(special_emit.get(idx, ()))
+                continue
             if not texts:
                 continue
             if len(texts) == 1 and _is_footnote(texts[0][3].strip()):
@@ -554,6 +655,16 @@ def extract_page(items: list[tuple[int, int, str, str, str]], metrics: dict) -> 
                 if idx in header_rows:
                     for s in texts:
                         out.append((KIND_HEADING, normalize_text(s[3]), ""))
+                elif (
+                    idx in header_texts
+                    and len(texts) >= 2
+                    and all(
+                        normalize_text(s[3]).strip().lower()
+                        in header_texts[idx]
+                        for s in texts
+                    )
+                ):
+                    drop(metrics, "reheader", len(texts))
                 else:
                     # OCR-text span recovery on recovered table cells:
                     # glyph-confusion repair of number-shaped tokens

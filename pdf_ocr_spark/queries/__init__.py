@@ -81,6 +81,8 @@ DRIVER_REGISTRY = [
     "x01_extract_documents",
     "z01_zone_text",
     "x02_extract_report_suite",
+    "x07_transposed_extract",
+    "x08_multirow_extract",
     # dedup family
     "d01_exact_dedup",
     "d02_minhash_lsh_dedup",

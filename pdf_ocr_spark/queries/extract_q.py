@@ -211,6 +211,80 @@ QUERIES["z01_zone_text"] = z01_zone_text
 ORACLE["z01_zone_text"] = _Z01_ORACLE
 
 
+# ------------------------------------------------------------ x07/x08
+_N_PAIRS = 24
+
+
+def _pair_equality(spark, pair_fn, tag):
+    """Run a twin-pair corpus through the FULL Spark extraction pipeline
+    and compare the two sides' output span sequences per pair."""
+    from ..extract.pipeline import extract
+    from ..extract.schema import INPUT_SCHEMA, span_dicts
+
+    rows = []
+    for i in range(_N_PAIRS):
+        a, b = pair_fn(i)
+        rows.append({"doc_id": f"pdfish-{tag}a{i:04d}", "spans": span_dicts(a)})
+        rows.append({"doc_id": f"pdfish-{tag}b{i:04d}", "spans": span_dicts(b)})
+    inp = spark.createDataFrame(rows, INPUT_SCHEMA)
+    seq = extract(inp).select(
+        F.regexp_extract("doc_id", r"(a|b)(\d+)$", 2).cast("long").alias(
+            "pair_id"
+        ),
+        F.regexp_extract("doc_id", r"(a|b)(\d+)$", 1).alias("side"),
+        F.expr(
+            "transform(spans, s -> struct(s.kind as kind, s.text as text,"
+            " s.media_ref as media_ref))"
+        ).alias("seq"),
+    )
+    a = seq.filter(F.col("side") == "a").select(
+        "pair_id", F.col("seq").alias("a_seq")
+    )
+    b = seq.filter(F.col("side") == "b").select(
+        "pair_id", F.col("seq").alias("b_seq")
+    )
+    return a.join(b, "pair_id").select(
+        "pair_id",
+        (F.col("a_seq") == F.col("b_seq")).alias("equal"),
+    )
+
+
+_PAIR_ORACLE = f"""
+SELECT unnest(generate_series(0, {_N_PAIRS - 1})) AS pair_id, true AS equal
+"""
+
+
+def x07_transposed_equivalence(spark, sf):
+    """Transposed-table handling (docpact compress.py:1762-1803 detection
+    + interpret.py:1738-1816 deterministic mapping): every transposed
+    document must extract to the SAME span sequence as its flat twin
+    (same labels/values, rotated layout). The oracle pins equal=true for
+    every pair — a kernel regression (missed detection, wrong record
+    order, label-coverage gate failure) flips rows to false and fails
+    the value hash."""
+    from ..corpus import transposed_pair
+
+    return _pair_equality(spark, transposed_pair, "t")
+
+
+QUERIES["x07_transposed_extract"] = x07_transposed_equivalence
+ORACLE["x07_transposed_extract"] = _PAIR_ORACLE
+
+
+def x08_multirow_equivalence(spark, sf):
+    """Multi-row record merge (docpact compress.py:1390-1466): a period-2
+    record document must extract to the SAME span sequence as its
+    pre-merged twin (each record's rows collapsed, overlapping columns
+    space-joined). Oracle pins equal=true per pair."""
+    from ..corpus import multirow_pair
+
+    return _pair_equality(spark, multirow_pair, "m")
+
+
+QUERIES["x08_multirow_extract"] = x08_multirow_equivalence
+ORACLE["x08_multirow_extract"] = _PAIR_ORACLE
+
+
 # ---------------------------------------------------------------- x06
 def x06_compression_ratio(spark, sf):
     """Content-compression parity metric (the reference's ONLY published
