@@ -89,7 +89,12 @@ def _extract_batch_arrow(batches):
     )
     def _tolist(arr):
         # bulk numpy conversion: ~10x faster than to_pylist for string
-        # arrays (nulls still surface as None via the object dtype)
+        # arrays. Only safe when null-free: for NUMERIC arrays
+        # to_numpy(zero_copy_only=False) widens nulls to float64 NaN,
+        # which would silently poison offset sorting downstream — fall
+        # back to to_pylist (nulls -> None, kernels fail loudly) then.
+        if arr.null_count:
+            return arr.to_pylist()
         return arr.to_numpy(zero_copy_only=False).tolist()
 
     for rb in batches:
@@ -238,7 +243,13 @@ def extract(
             salt_partitions, F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions))
         )
 
-    small = df.filter(F.col("_n") <= big_doc_threshold).drop("_n")
+    # The page-grain skew split is only valid for packed-offset corpora
+    # (pdfish/mega: offset = page*1e6 + y*1e3 + x, pages independent).
+    # Other corpora (html/grid/boxes/mixed) have whole-doc kernels, so an
+    # over-threshold doc there must still take the whole-doc path rather
+    # than be silently extracted with pdfish page semantics.
+    _pageable = F.substring_index("doc_id", "-", 1).isin("pdfish", "mega")
+    small = df.filter((F.col("_n") <= big_doc_threshold) | ~_pageable).drop("_n")
     if use_arrow:
         small_out = small.select("doc_id", "spans").mapInArrow(
             _extract_batch_arrow, schema=OUTPUT_SCHEMA
@@ -246,7 +257,7 @@ def extract(
     else:
         small_out = small.mapInPandas(_extract_batch, schema=OUTPUT_SCHEMA)
 
-    big = df.filter(F.col("_n") > big_doc_threshold).drop("_n")
+    big = df.filter((F.col("_n") > big_doc_threshold) & _pageable).drop("_n")
     # explode to page grain (pages are independent in the layout kernel)
     pages = (
         big.select("doc_id", F.explode("spans").alias("s"))

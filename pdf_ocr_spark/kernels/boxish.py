@@ -47,6 +47,7 @@ def _boxes_row_is_header(row: list) -> bool:
     )
 
 Y_BOX_TOL = 5  # pptx_extractor.py:248 (5pt rows)
+X_BOX_TOL = 10  # pptx_extractor.py:309 (10pt column anchors on slides)
 
 
 def _cluster_box_rows(items: list[tuple]) -> list[list]:
@@ -82,7 +83,7 @@ def extract_boxish(spans: list[tuple]) -> tuple[list, dict]:
     out: list[tuple[str, str, str]] = []
     for slide in sorted(slides):
         rows = _cluster_box_rows(slides[slide])
-        in_table, runs = _detect_table_runs(rows)
+        in_table, runs = _detect_table_runs(rows, tol=X_BOX_TOL)
         header_rows: set[int] = set()
         for run in runs:
             counts = [

@@ -183,8 +183,10 @@ def _is_footnote(text: str) -> bool:
 
 
 def _is_section_label(row: list) -> bool:
-    """All-caps, >3 chars, no colon, single span (compress.py:1211-1238)."""
-    if len(row) != 1 or row[0][2] != "pdf_text":
+    """All-caps, >3 chars, no colon, single span (compress.py:1211-1238).
+    Any non-media text kind qualifies (pdf_text here, box in the slide
+    kernel — the primitives are shared, parameterized by span kind)."""
+    if len(row) != 1 or row[0][2] == "media":
         return False
     t = row[0][3].strip()
     return bool(_SECTION_RE.match(t)) and ":" not in t
@@ -192,8 +194,9 @@ def _is_section_label(row: list) -> bool:
 
 def _is_numeric_continuation(row: list) -> bool:
     """Single numeric/parenthesized span stays in a table run
-    (compress.py:1192-1208)."""
-    if len(row) != 1 or row[0][2] != "pdf_text":
+    (compress.py:1192-1208). Kind-agnostic for the same reason as
+    :func:`_is_section_label`."""
+    if len(row) != 1 or row[0][2] == "media":
         return False
     return bool(_NUMERIC_CELL_RE.match(row[0][3].strip()))
 
@@ -354,10 +357,12 @@ def _merge_multirow(
     return merged
 
 
-def _shares_anchors(xs_a: list[int], xs_b: list[int]) -> bool:
+def _shares_anchors(
+    xs_a: list[int], xs_b: list[int], tol: int = COL_ANCHOR_TOL
+) -> bool:
     shared = 0
     for xa in xs_a:
-        if any(abs(xa - xb) <= COL_ANCHOR_TOL for xb in xs_b):
+        if any(abs(xa - xb) <= tol for xb in xs_b):
             shared += 1
     need = max(MIN_SHARED_ANCHORS, int(0.6 * min(len(xs_a), len(xs_b))))
     return shared >= need
@@ -375,13 +380,16 @@ def _is_flowing_text(row: list, med_len: float) -> bool:
     return avg > 2.0 * med_len
 
 
-def _detect_table_runs(rows: list[list]) -> tuple[list[bool], list[list[int]]]:
+def _detect_table_runs(
+    rows: list[list], tol: int = COL_ANCHOR_TOL
+) -> tuple[list[bool], list[list[int]]]:
     """Find table runs: maximal sequences of multi-span rows sharing
     column anchors, plus numeric single-span continuations
     (compress.py:1048-1383 semantics, simplified); rows that look like
     flowing prose (avg span length > 2x median) are rejected
-    (compress.py:1316-1325). Returns (per-row in-table flags, list of
-    runs as row-index lists)."""
+    (compress.py:1316-1325). ``tol`` is the column-anchor x tolerance —
+    15pt for PDF layouts, 10pt for slides (pptx_extractor.py:309).
+    Returns (per-row in-table flags, list of runs as row-index lists)."""
     span_lens = [
         len((s[3] or "").strip())
         for r in rows
@@ -404,7 +412,7 @@ def _detect_table_runs(rows: list[list]) -> tuple[list[bool], list[list[int]]]:
             if len(rows[j]) >= 2:
                 xs_prev = [s[1] for s in rows[run[-1]]]
                 xs_cur = [s[1] for s in rows[j]]
-                if _shares_anchors(xs_prev, xs_cur):
+                if _shares_anchors(xs_prev, xs_cur, tol):
                     run.append(j)
                     j += 1
                     continue

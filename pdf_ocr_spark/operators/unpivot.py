@@ -91,17 +91,26 @@ def detect_and_unpivot(
         return df
     prefixes = sorted({p for g in groups.values() for p in g})
     dtypes = dict(df.dtypes)
-    ptype = {
-        p: next(dtypes[g[p]] for g in groups.values() if p in g)
-        for p in prefixes
-    }
+    # stack() requires each output column's inputs to share one type;
+    # mixed types across suffix groups would make the generated SQL
+    # ill-typed (first group's type would win silently) — fail loudly.
+    ptype: dict[str, str] = {}
+    for p in prefixes:
+        tys = {dtypes[g[p]] for g in groups.values() if p in g}
+        if len(tys) > 1:
+            raise ValueError(
+                f"unpivot: prefix {p!r} has conflicting column types "
+                f"across suffix groups: {sorted(tys)}"
+            )
+        ptype[p] = tys.pop()
     rows = []
     for sfx, g in groups.items():
         cells = ", ".join(
             f"`{g[p]}`" if p in g else f"CAST(NULL AS {ptype[p]})"
             for p in prefixes
         )
-        rows.append(f"'{sfx}', {cells}")
+        sfx_lit = sfx.replace("\\", "\\\\").replace("'", "\\'")
+        rows.append(f"'{sfx_lit}', {cells}")
     out_cols = ", ".join([pivot_col] + [f"`{p}`" for p in prefixes])
     stack = (
         f"stack({len(groups)}, {', '.join(rows)}) AS ({out_cols})"

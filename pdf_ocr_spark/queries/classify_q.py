@@ -57,6 +57,7 @@ KEYWORDS: dict[str, list[str]] = {
 MIN_SCORE = 5  # best-score gate; below it a doc stays "other"
 SUFFIXES = ["", "s", "es", "ed", "ing"]  # classify.py:34-46 tolerance
 ADOPT_THRESHOLD = 0.3  # classify.py:258 similarity gate
+MIN_DATA_ROWS = 25  # classify.py:200-207 min_data_rows gate (tokens here)
 
 SQL_KEYWORDS = ",\n ".join(
     f"('{cat}','{kw}')" for cat, kws in KEYWORDS.items() for kw in kws
@@ -251,4 +252,39 @@ def c02(spark, sf):
         "doc_id",
         F.coalesce("category", F.lit("other")).alias("category"),
         F.coalesce("sim", F.lit(0.0)).alias("sim"),
+    )
+
+
+# ---------------------------------------------------------------- c03
+@q(
+    "c03_min_rows_gate",
+    oracle=f"""
+WITH {SQL_CLASSIFY_CTES}
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_rows,
+       CASE WHEN len(string_split(d.text, ' ')) < {MIN_DATA_ROWS}
+            THEN 'other' ELSE coalesce(b.category, 'other') END AS category,
+       len(string_split(d.text, ' ')) < {MIN_DATA_ROWS} AS gated
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+""",
+)
+def c03(spark, sf):
+    """min_data_rows gate (classify.py:200-207): items with fewer data
+    rows than the minimum are forced to 'other' BEFORE keyword scoring —
+    a tiny fragment never wins a category even if its few tokens all hit
+    keywords. Row-count analogue on the documents table: whitespace
+    token count. A pure narrow projection over c01's plan: the gate is a
+    CASE on a scan-computable column, so it adds zero shuffles."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_rows")
+    )
+    best = _best(spark, sf)
+    gated = F.col("n_rows") < MIN_DATA_ROWS
+    return docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        "n_rows",
+        F.when(gated, F.lit("other"))
+        .otherwise(F.coalesce("category", F.lit("other")))
+        .alias("category"),
+        gated.alias("gated"),
     )

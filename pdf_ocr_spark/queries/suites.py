@@ -568,30 +568,48 @@ def h01_suite(spark, sf):
     "c01_classify_suite",
     oracle=f"""
 WITH c1 AS {_sub(classify_q, "c01_keyword_classify")},
-c2 AS {_sub(classify_q, "c02_classify_propagate")}
+c2 AS {_sub(classify_q, "c02_classify_propagate")},
+c3 AS {_sub(classify_q, "c03_min_rows_gate")}
 SELECT c1.doc_id, c1.category, c1.score,
        coalesce(c2.category, '') AS adopted_category,
-       coalesce(c2.sim, -1.0) AS adopted_sim
+       coalesce(c2.sim, -1.0) AS adopted_sim,
+       c3.n_rows, c3.category AS gated_category, c3.gated
 FROM c1 LEFT JOIN c2 ON c2.doc_id = c1.doc_id
+JOIN c3 ON c3.doc_id = c1.doc_id
 """,
 )
 def c01_suite(spark, sf):
     """Classification suite: keyword classification (c01, broadcast
     inverted-index equi-join + argmax) left-joined with similarity
     propagation over the unmatched docs (c02); docs that classified
-    directly carry the ('', -1.0) sentinel in the propagation columns."""
+    directly carry the ('', -1.0) sentinel in the propagation columns.
+    The min_data_rows gate (c03) contributes the token-count row
+    analogue and the post-gate category."""
     c1 = classify_q.QUERIES["c01_keyword_classify"](spark, sf)
     c2 = classify_q.QUERIES["c02_classify_propagate"](spark, sf).select(
         "doc_id",
         F.col("category").alias("adopted_category"),
         F.col("sim").alias("adopted_sim"),
     )
-    return c1.join(c2, "doc_id", "left").select(
+    c3 = classify_q.QUERIES["c03_min_rows_gate"](spark, sf).select(
         "doc_id",
-        "category",
-        "score",
-        F.coalesce("adopted_category", F.lit("")).alias("adopted_category"),
-        F.coalesce("adopted_sim", F.lit(-1.0)).alias("adopted_sim"),
+        "n_rows",
+        F.col("category").alias("gated_category"),
+        "gated",
+    )
+    return (
+        c1.join(c2, "doc_id", "left")
+        .join(c3, "doc_id")
+        .select(
+            "doc_id",
+            "category",
+            "score",
+            F.coalesce("adopted_category", F.lit("")).alias("adopted_category"),
+            F.coalesce("adopted_sim", F.lit(-1.0)).alias("adopted_sim"),
+            "n_rows",
+            "gated_category",
+            "gated",
+        )
     )
 
 

@@ -230,7 +230,15 @@ def write_baseline(summary: dict) -> None:
     if os.path.exists(hist_path):
         with open(hist_path) as f:
             history = json.load(f)
-    label = datetime.date.today().isoformat() + " " + chr(ord("a") + len(history))
+    # base-26 label: a..z, aa, ab, ... (stays alphabetic past 26 studies)
+    n = len(history)
+    tag = ""
+    while True:
+        tag = chr(ord("a") + n % 26) + tag
+        n = n // 26 - 1
+        if n < 0:
+            break
+    label = datetime.date.today().isoformat() + " " + tag
     history.append(
         {
             "study": label,
