@@ -392,6 +392,89 @@ def multirow_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
     return m_spans, f_spans
 
 
+# ----------------------------------------------------------------- styled
+
+# Style flags ride the otherwise-unused media_ref of text spans
+# ("st:<flags>[#<fill>]", see kernels/pdfish.py span_style) — the
+# contract's span-struct shape is untouched. Column-0 words avoid the
+# transposed-label vocabulary so the structural transposed check can
+# never fire on an all-word styled table.
+_SAFE_WORDS = [w for w in _WORDS if w not in ("vessel", "port", "cargo")]
+
+
+def styled_doc(i: int, seed: int = DEFAULT_SEED) -> tuple[list[tuple], dict]:
+    """A style-signaled document PLUS its generator ground truth — the
+    expected per-kind span counts, computed from how the doc was BUILT,
+    independent of any kernel (x09's oracle embeds these as SQL
+    constants; golden tests assert exact sequences). Three archetypes
+    that only extract correctly via the style channel:
+
+      i%3==0  FH2: two bold all-word header rows over all-word data
+              rows — the H7 span-count signature is uniform and every
+              row is numeric-free, so structure alone finds at most one
+              header row (compress.py:600-646)
+      i%3==1  VH3: zebra list — single-span rows with alternating fill
+              ids, structurally prose (compress.py:232-292)
+      i%3==2  FH3: an all-italic caption row INSIDE a numeric table run
+              (shares the run's anchors — structurally cells)
+              (compress.py:651-693 metadata_rows)
+    """
+    r = _rng(f"styled-{i:06d}", seed)
+    variant = i % 3
+    cols = [10 + 170 * ci for ci in range(4)]
+    spans: list[tuple] = [
+        ("pdf_text", _sentence(r, 6), "", _pack(0, 50, 10))
+    ]
+    truth = {"heading": 0, "cell": 0, "text": 1, "media": 0}
+    y = 150
+    if variant == 0:
+        for _hr in range(2):
+            for ci, x in enumerate(cols):
+                w = r.choice(_SAFE_WORDS).title()
+                spans.append(("pdf_text", w, "st:b", _pack(0, y, x)))
+            truth["heading"] += len(cols)
+            y += 20
+        for _ in range(r.randint(4, 8)):
+            for ci, x in enumerate(cols):
+                spans.append(
+                    ("pdf_text", r.choice(_SAFE_WORDS), "", _pack(0, y, x))
+                )
+            truth["cell"] += len(cols)
+            y += 20
+    elif variant == 1:
+        n = 8 + 2 * r.randint(0, 3)
+        for k in range(n):
+            spans.append(
+                ("pdf_text", _sentence(r, 3), f"st:#{k % 2}", _pack(0, y, 10))
+            )
+            truth["cell"] += 1
+            y += 20
+    else:
+        for x in cols:
+            spans.append(
+                ("pdf_text", r.choice(_SAFE_WORDS).title(), "", _pack(0, y, x))
+            )
+        truth["heading"] += len(cols)
+        y += 20
+        for _ in range(r.randint(4, 8)):
+            for x in cols:
+                spans.append(
+                    ("pdf_text", f"{r.randint(1, 9)},{r.randint(100, 999)}",
+                     "", _pack(0, y, x))
+                )
+            truth["cell"] += len(cols)
+            y += 20
+        # all-italic caption row inside the run (2 spans on the run's
+        # first two anchors — joins the run structurally)
+        for x in cols[:2]:
+            spans.append(
+                ("pdf_text", r.choice(_SAFE_WORDS), "st:i", _pack(0, y, x))
+            )
+        truth["text"] += 2
+        y += 20
+    return spans, truth
+
+
 # ------------------------------------------------------------------- API
 
 
@@ -413,6 +496,8 @@ def generate_doc(doc_id: str, seed: int = DEFAULT_SEED) -> list[tuple]:
         return _gen_mixed(doc_id, r)
     if c == "grid":
         return _gen_grid(doc_id, r)
+    if c == "styled":
+        return styled_doc(int(doc_id.split("-", 1)[1]), seed)[0]
     raise ValueError(f"unknown corpus for doc_id {doc_id!r}")
 
 

@@ -55,6 +55,7 @@ BIG_DOC_THRESHOLD = 4000  # spans; FIXTURES.md median doc is ~10^2
 _KERNELS = {
     "pdfish": extract_pdfish,
     "mega": extract_pdfish,
+    "styled": extract_pdfish,  # pdfish + style flags riding media_ref
     "html": extract_html_doc,
     "mixed": extract_mixed,
     "grid": extract_grid_doc,
@@ -272,13 +273,19 @@ def extract(
 
 
 def _reassemble_columnar(big_pages: DataFrame) -> DataFrame:
-    """Mega-doc reassembly entirely in Catalyst (no Python): pages
-    ascending via sort_array(collect_list), offsets re-sequenced by an
-    index transform, metrics summed, drop-reason maps merged with an
-    explode + map_from_entries aggregation.  Ordering never depends on
-    partition iteration order (SURVEY.md §7.3); semantics identical to
-    the oracle's kernels.pdfish.reassemble_pages."""
-    body = big_pages.groupBy("doc_id").agg(
+    """Mega-doc reassembly entirely in Catalyst (no Python): ONE
+    ``groupBy(doc_id)`` produces the ordered span sequence AND the merged
+    metrics. Pages ascend via sort_array(collect_list), offsets are
+    re-sequenced by an index transform, and drop-reason maps fold with
+    ``aggregate`` + ``map_zip_with`` (key-union sum) inside the same
+    aggregation — an earlier shape computed reasons as a second
+    aggregation over ``big_pages``, which re-executed the Python page
+    kernel and added two shuffles plus a join; fusing makes the mega
+    branch exactly explode-shuffle -> kernel -> one wide agg. Ordering
+    never depends on partition iteration order (SURVEY.md §7.3);
+    semantics identical to the oracle's kernels.pdfish.reassemble_pages
+    (drop-reason keys re-sorted for byte-stable output)."""
+    return big_pages.groupBy("doc_id").agg(
         F.expr(
             "transform("
             "  flatten(transform(array_sort(collect_list(struct(page, spans))),"
@@ -288,35 +295,23 @@ def _reassemble_columnar(big_pages: DataFrame) -> DataFrame:
         ).alias("spans"),
         F.sum("metrics.spans_in").cast("int").alias("_si"),
         F.sum("metrics.dropped").cast("int").alias("_dr"),
-    )
-    reasons = (
-        big_pages.select(
-            "doc_id", F.explode("metrics.drop_reasons").alias("reason", "n")
-        )
-        .groupBy("doc_id", "reason")
-        .agg(F.sum("n").cast("int").alias("n"))
-        .groupBy("doc_id")
-        .agg(
+        F.expr(
+            "aggregate(collect_list(metrics.drop_reasons),"
+            "  cast(map() as map<string,int>),"
+            "  (acc, m) -> map_zip_with(acc, m,"
+            "    (k, a, b) -> coalesce(a, 0) + coalesce(b, 0)))"
+        ).alias("_reasons"),
+    ).select(
+        "doc_id",
+        "spans",
+        F.struct(
+            F.col("_si").alias("spans_in"),
+            F.size("spans").alias("spans_out"),
+            F.col("_dr").alias("dropped"),
             F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("reason", "n")))
-            ).alias("_reasons")
-        )
-    )
-    return (
-        body.join(reasons, "doc_id", "left")
-        .select(
-            "doc_id",
-            "spans",
-            F.struct(
-                F.col("_si").alias("spans_in"),
-                F.size("spans").alias("spans_out"),
-                F.col("_dr").alias("dropped"),
-                F.coalesce(
-                    "_reasons",
-                    F.expr("map()").cast("map<string,int>"),
-                ).alias("drop_reasons"),
-            ).alias("metrics"),
-        )
+                F.array_sort(F.map_entries("_reasons"))
+            ).alias("drop_reasons"),
+        ).alias("metrics"),
     )
 
 

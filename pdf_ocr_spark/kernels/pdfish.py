@@ -368,6 +368,108 @@ def _shares_anchors(
     return shared >= need
 
 
+# ----------------- style / visual evidence channel (FH2, FH3, VH3)
+# The reference runs a parallel font channel (compress.py:552-852) and a
+# visual-fill channel (compress.py:232-292) as table/header evidence.
+# The input span-struct shape (kind, text, media_ref, offset) is fixed
+# by the pipeline contract, so OPTIONAL style flags ride the otherwise-
+# unused media_ref of TEXT spans: "st:<flags>[#<fill>]" with flags a
+# subset of {b, i, m} (bold / italic / monospace) and <fill> a row fill-
+# color id. Output text spans always emit media_ref "" (tested), so the
+# channel is input-only evidence and the golden span-sequence invariant
+# (kind, text, media_ref, order) is untouched.
+
+
+def span_style(ref: str) -> tuple[str, str | None]:
+    """(flags, fill_color_id) parsed from a span's media_ref; ('', None)
+    for unstyled spans and media refs."""
+    if not ref or not ref.startswith("st:"):
+        return "", None
+    tok = ref[3:]
+    if "#" in tok:
+        flags, fill = tok.split("#", 1)
+        return flags, fill or None
+    return tok, None
+
+
+def _bold_header_prefix(block: list[list], run: list[int]) -> int:
+    """FH2 bold-header evidence (compress.py:600-646 semantics): leading
+    run rows where >50% of spans are bold are header rows — valid only
+    when the remaining (data) rows' aggregate bold ratio stays < 0.5
+    ('bold = labels, not values' needs the header/data contrast).
+    Returns the bold header-prefix length, 0 when the pattern is absent."""
+    ratios: list[float] = []
+    for k in run:
+        texts = [s for s in block[k] if s[2] != "media"]
+        if not texts:
+            ratios.append(0.0)
+            continue
+        nb = sum(1 for s in texts if "b" in span_style(s[4])[0])
+        ratios.append(nb / len(texts))
+    prefix = 0
+    for rt in ratios:
+        if rt > 0.5:
+            prefix += 1
+        else:
+            break
+    if prefix == 0 or prefix >= len(ratios):
+        return 0
+    data = ratios[prefix:]
+    if sum(data) / len(data) >= 0.5:
+        return 0
+    return prefix
+
+
+def _italic_ratio(texts: list) -> float:
+    """Fraction of a row's text spans flagged italic (FH3 input)."""
+    if not texts:
+        return 0.0
+    ni = sum(1 for s in texts if "i" in span_style(s[4])[0])
+    return ni / len(texts)
+
+
+def _detect_zebra_rows(
+    block: list[list], in_table: list[bool], kv: list[bool]
+) -> set[int]:
+    """VH3 zebra rescue (compress.py:232-292 semantics): maximal
+    sequences of consecutive rows the text heuristics did NOT claim
+    (not in a run, not key-value) whose spans all carry one fill-color
+    id per row; >= 4 alternations between exactly 2 colors confirm a
+    zebra-striped table, and the rows emit as cells. This is the
+    reference's cross-validation 'visual detects table but text didn't'
+    path made deterministic."""
+    rescued: set[int] = set()
+    i = 0
+    n = len(block)
+    while i < n:
+        seq: list[tuple[int, str]] = []
+        j = i
+        while j < n:
+            texts = [s for s in block[j] if s[2] != "media"]
+            fills = {
+                span_style(s[4])[1]
+                for s in texts
+            }
+            if (
+                texts
+                and not in_table[j]
+                and not kv[j]
+                and len(fills) == 1
+                and None not in fills
+            ):
+                seq.append((j, next(iter(fills))))
+                j += 1
+            else:
+                break
+        if len(seq) >= 2:
+            alt = sum(1 for (_, a), (_, b) in zip(seq, seq[1:]) if a != b)
+            colors = {c for _, c in seq}
+            if alt >= 4 and len(colors) == 2:
+                rescued.update(k for k, _ in seq)
+        i = max(j, i + 1)
+    return rescued
+
+
 def _is_flowing_text(row: list, med_len: float) -> bool:
     """Flowing-text rejection (compress.py:1316-1325 semantics): a
     multi-span row whose AVERAGE span length exceeds 2x the block's
@@ -496,6 +598,7 @@ def extract_page(
     for block in _xy_cut(rows):
         in_table, runs = _detect_table_runs(block)
         kv = _detect_kv_runs(block, in_table)
+        zebra_rows = _detect_zebra_rows(block, in_table, kv)
         # per-run SPECIAL handling, checked in the reference's order
         # (compress.py:2351 transposed first, then 2386-2400 multi-row):
         # a matched run pre-builds its whole emission at the run's first
@@ -548,6 +651,11 @@ def extract_page(
                 sum(1 for s in block[k] if s[2] != "media") for k in run
             ]
             hc = _estimate_header_count(counts)
+            # FH2 bold-header evidence can extend (never shrink) the
+            # structural estimate: with a uniform span-count signature
+            # and all-word rows, structure alone finds at most one
+            # header row — the bold prefix is the only signal
+            hc = max(hc, _bold_header_prefix(block, run))
             if hc > 0:
                 # H7 signature found: every row above the first data-like
                 # row is a header (compress.py:1469-1509 — no content
@@ -659,10 +767,23 @@ def extract_page(
                     )
                 )
                 continue
+            if idx in zebra_rows:
+                # VH3: fill-alternation confirmed a table the text
+                # heuristics missed — rows emit as cells
+                for s in texts:
+                    out.append(
+                        (KIND_CELL, ocr_repair(normalize_text(s[3])), "")
+                    )
+                continue
             if in_table[idx]:
                 if idx in header_rows:
                     for s in texts:
                         out.append((KIND_HEADING, normalize_text(s[3]), ""))
+                elif _italic_ratio(texts) > 0.8:
+                    # FH3: an in-run row that is >80% italic is secondary
+                    # content (caption / metadata), demoted to text
+                    for s in texts:
+                        out.append((KIND_TEXT, normalize_text(s[3]), ""))
                 elif (
                     idx in header_texts
                     and len(texts) >= 2

@@ -28,6 +28,7 @@ from . import (  # noqa: E402
     classify_q,
     dedup,
     extract_q,
+    fonts_q,
     functions_q,
     multimodal_q,
     schema_map_q,
@@ -42,7 +43,7 @@ from . import suites  # noqa: E402  (imports the modules above)
 
 for _mod in (tpch, windows, setops_arrays, functions_q, extract_q, dedup,
              similarity, textstats, multimodal_q, analytics_ext,
-             validation_q, schema_map_q, classify_q, suites):
+             validation_q, schema_map_q, classify_q, fonts_q, suites):
     FULL_QUERIES.update(_mod.QUERIES)
     FULL_ORACLES.update(_mod.ORACLE)
 
@@ -83,6 +84,7 @@ DRIVER_REGISTRY = [
     "x02_extract_report_suite",
     "x07_transposed_extract",
     "x08_multirow_extract",
+    "x09_style_extract",
     # dedup family
     "d01_exact_dedup",
     "d02_minhash_lsh_dedup",

@@ -285,6 +285,69 @@ QUERIES["x08_multirow_extract"] = x08_multirow_equivalence
 ORACLE["x08_multirow_extract"] = _PAIR_ORACLE
 
 
+# ---------------------------------------------------------------- x09
+_N_STYLED = 30
+
+
+def x09_style_extract(spark, sf):
+    """Style/visual evidence channel (docpact compress.py:552-852 font
+    heuristics FH2/FH3 + compress.py:232-292 visual zebra VH3): style
+    flags ride the otherwise-unused media_ref of input text spans
+    ("st:b" bold, "st:i" italic, "st:#N" row fill) — the contract span
+    struct is unchanged, and output text spans still emit media_ref "".
+    Each styled archetype only extracts correctly via the channel (bold
+    multi-row word headers / zebra-striped single-span lists / in-run
+    italic captions). The oracle embeds the GENERATOR's ground-truth
+    per-kind counts as constants — computed from how each doc was
+    built, independent of the kernels."""
+    from ..corpus import styled_doc
+    from ..extract.schema import INPUT_SCHEMA
+
+    rows = []
+    for i in range(_N_STYLED):
+        spans, _ = styled_doc(i)
+        rows.append(
+            {
+                "doc_id": f"styled-{i:06d}",
+                "spans": [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for k, t, m, o in spans
+                ],
+            }
+        )
+    inp = spark.createDataFrame(rows, INPUT_SCHEMA)
+    out = extract(inp)
+    sel = ["doc_id"]
+    for kind in ("heading", "cell", "text", "media"):
+        sel.append(
+            F.expr(f"size(filter(spans, s -> s.kind = '{kind}'))").alias(
+                f"n_{kind}"
+            )
+        )
+    return out.select(*sel)
+
+
+def _x09_oracle() -> str:
+    from ..corpus import styled_doc
+
+    vals = []
+    for i in range(_N_STYLED):
+        _, tr = styled_doc(i)
+        vals.append(
+            f"('styled-{i:06d}', {tr['heading']}, {tr['cell']},"
+            f" {tr['text']}, {tr['media']})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(doc_id, n_heading, n_cell, n_text, n_media)"
+    )
+
+
+QUERIES["x09_style_extract"] = x09_style_extract
+ORACLE["x09_style_extract"] = _x09_oracle()
+
+
 # ---------------------------------------------------------------- x06
 def x06_compression_ratio(spark, sf):
     """Content-compression parity metric (the reference's ONLY published

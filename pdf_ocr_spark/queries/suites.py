@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from . import (
     classify_q,
     dedup,
+    fonts_q,
     functions_q,
     multimodal_q,
     schema_map_q,
@@ -421,28 +422,34 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t3.ws_tokens, t3.bpe_tokens, t3.chars_per_token,
        t4.fingerprint,
        t7.corrupted_token, t7.repaired_token, t7.recovered_n,
-       t7.recovered_ok
+       t7.recovered_ok,
+       f1.header_bold_ratio, f1.data_bold_ratio, f1.n_bold_hdr_rows,
+       f1.n_meta_rows, f1.n_mono_cols, f1.zebra_alt, f1.is_zebra
 FROM {_sub(textstats, "t01_language_id")} t1
 JOIN {_sub(textstats, "t02_quality_score")} t2 ON t2.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t03_token_counts")} t3 ON t3.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t04_doc_fingerprint")} t4 ON t4.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t07_ocr_span_recovery")} t7 ON t7.doc_id = t1.doc_id
+JOIN {_sub(fonts_q, "f01_font_profile")} f1 ON f1.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
     """Per-document text-analysis suite (one row per doc, joined on
     doc_id): language ID (t01), quality signals (t02), token counts
-    (t03), rolling-hash fingerprint (t04), OCR span recovery (t07)."""
+    (t03), rolling-hash fingerprint (t04), OCR span recovery (t07),
+    font/visual evidence profile FH2-FH4 + VH3 (f01)."""
     t1 = textstats.QUERIES["t01_language_id"](spark, sf)
     t2 = textstats.QUERIES["t02_quality_score"](spark, sf)
     t3 = textstats.QUERIES["t03_token_counts"](spark, sf)
     t4 = textstats.QUERIES["t04_doc_fingerprint"](spark, sf)
     t7 = textstats.QUERIES["t07_ocr_span_recovery"](spark, sf)
+    f1 = fonts_q.QUERIES["f01_font_profile"](spark, sf)
     return (
         t1.join(t2, "doc_id")
         .join(t3, "doc_id")
         .join(t4, "doc_id")
         .join(t7, "doc_id")
+        .join(f1, "doc_id")
     )
 
 

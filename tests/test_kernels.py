@@ -466,3 +466,94 @@ def test_boxish_order_invariance():
         rng.shuffle(shuffled)
         out, _ = extract_boxish(shuffled)
         assert out == base
+
+
+# ------------------------------------------------- style channel (FH/VH)
+
+
+def test_pdfish_bold_header_prefix():
+    """FH2: two bold all-word header rows over all-word data rows — the
+    span-count signature is uniform and every row is numeric-free, so
+    structure alone would mark only row 0; the bold channel marks both."""
+    spans = []
+    for yi, ref in ((150, "st:b"), (170, "st:b"), (190, ""), (210, ""),
+                    (230, "")):
+        for ci, x in enumerate((10, 200, 400)):
+            spans.append(("pdf_text", f"w{yi}{ci}", ref, P(0, yi, x)))
+    out, _ = extract_pdfish(spans)
+    kinds = [k for k, _, _, _ in out]
+    assert kinds == ["heading"] * 6 + ["cell"] * 9
+    # style flags never leak into output media_refs
+    assert all(r == "" for _, _, r, _ in out)
+
+
+def test_pdfish_bold_needs_data_contrast():
+    """FH2 gate: all rows bold -> no bold-header evidence (no contrast);
+    falls back to the structural first-row rule."""
+    spans = []
+    for yi in (150, 170, 190, 210, 230):
+        for x in (10, 200, 400):
+            spans.append(("pdf_text", f"w{yi}{x}", "st:b", P(0, yi, x)))
+    out, _ = extract_pdfish(spans)
+    kinds = [k for k, _, _, _ in out]
+    assert kinds == ["heading"] * 3 + ["cell"] * 12
+
+
+def test_pdfish_zebra_rescue():
+    """VH3: >= 4 fill alternations between exactly 2 colors rescue a
+    single-span (structurally prose) list as table cells."""
+    spans = [
+        ("pdf_text", f"line {k}", f"st:#{k % 2}", P(0, 150 + 20 * k, 10))
+        for k in range(8)
+    ]
+    out, _ = extract_pdfish(spans)
+    assert [k for k, _, _, _ in out] == ["cell"] * 8
+    # below the alternation threshold the rows stay text
+    out2, _ = extract_pdfish(spans[:4])
+    assert [k for k, _, _, _ in out2] == ["text"] * 4
+    # one color only (no alternation) stays text
+    spans3 = [
+        ("pdf_text", f"line {k}", "st:#0", P(0, 150 + 20 * k, 10))
+        for k in range(8)
+    ]
+    out3, _ = extract_pdfish(spans3)
+    assert [k for k, _, _, _ in out3] == ["text"] * 8
+
+
+def test_pdfish_italic_caption_demoted():
+    """FH3: an in-run row that is >80% italic is secondary content —
+    emitted as text, not cells."""
+    spans = [
+        ("pdf_text", "Port", "", P(0, 150, 10)),
+        ("pdf_text", "Tonnage", "", P(0, 150, 200)),
+        ("pdf_text", "Albany", "", P(0, 170, 10)),
+        ("pdf_text", "1,234", "", P(0, 172, 200)),
+        ("pdf_text", "Kwinana", "", P(0, 190, 10)),
+        ("pdf_text", "2,500", "", P(0, 191, 200)),
+        # caption row: shares both anchors, all italic
+        ("pdf_text", "figures", "st:i", P(0, 210, 10)),
+        ("pdf_text", "provisional", "st:i", P(0, 210, 200)),
+    ]
+    out, _ = extract_pdfish(spans)
+    assert [(k, t) for k, t, _, _ in out] == [
+        ("heading", "Port"), ("heading", "Tonnage"),
+        ("cell", "Albany"), ("cell", "1,234"),
+        ("cell", "Kwinana"), ("cell", "2,500"),
+        ("text", "figures"), ("text", "provisional"),
+    ]
+
+
+def test_styled_corpus_matches_generator_truth():
+    """Every styled corpus doc extracts to exactly the generator's
+    ground-truth per-kind counts (the x09 oracle, kernel-independent)."""
+    from collections import Counter
+
+    from pdf_ocr_spark.corpus import styled_doc
+
+    for i in range(30):
+        spans, truth = styled_doc(i)
+        out, _ = extract_pdfish(spans)
+        got = Counter(k for k, _, _, _ in out)
+        assert {k: v for k, v in got.items() if v} == {
+            k: v for k, v in truth.items() if v
+        }, f"styled doc {i}"
