@@ -37,6 +37,7 @@ HEADLINE = [
     "d02_minhash_lsh_dedup",
     "d04_ngram_jaccard_dedup",
     "d06_simhash_bucketed",
+    "d07_simhash_wide",
     "s01_ann_bruteforce_topk",
     "s03_ivf_centroids",
     "t01_language_id",

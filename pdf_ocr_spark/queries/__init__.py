@@ -90,7 +90,7 @@ DRIVER_REGISTRY = [
     "d02_minhash_lsh_dedup",
     "d04_ngram_jaccard_dedup",
     "d05_embedding_cosine_dedup",
-    "d06_simhash_bucketed",
+    "d06_simhash_suite",
     # similarity / text / multimodal
     "s01_similarity_suite",
     "t01_text_analysis_suite",

@@ -485,3 +485,144 @@ def d06(spark, sf):
         .filter(F.col("hamming") <= _SIM_HAMMING)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------- d07
+# Production-setting SimHash (the d06 docstring's scale configuration):
+# 64-bit fingerprint, 4 x 16-bit pigeonhole blocks -> 2^16 buckets per
+# block, candidate sets ~N^2/2^18 of all-pairs. The fingerprint is kept
+# as FOUR 16-bit block-value columns (not one packed word): block values
+# ARE the bucket join keys, and 16-bit blocks never touch the BIGINT
+# sign bit in either engine. 64 hash bits come from two portable 32-bit
+# md5-prefix hashes (module docstring H32, chars 1-8 and 9-16).
+_WIDE_BLOCKS = 4
+_WIDE_BLOCK_BITS = 16
+_WIDE_HAMMING = 3
+
+
+def _wide_bit_sql(b: int) -> str:
+    src, sh = ("h1", b) if b < 32 else ("h2", b - 32)
+    return f"(({src} >> {sh}) & 1)"
+
+
+def _sql_wide_simhash() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN {_wide_bit_sql(b)} = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    blks = ",\n       ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN s{_WIDE_BLOCK_BITS * k + j} > 0 THEN {1 << j}"
+            " ELSE 0 END)"
+            for j in range(_WIDE_BLOCK_BITS)
+        )
+        + f") AS blk{k}"
+        for k in range(_WIDE_BLOCKS)
+    )
+    return f"""
+toks AS (SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents),
+bits AS (SELECT doc_id,
+                (('0x' || substr(md5(tok),1,8))::BIGINT) AS h1,
+                (('0x' || substr(md5(tok),9,8))::BIGINT) AS h2
+         FROM toks),
+sums AS (SELECT doc_id, {sums} FROM bits GROUP BY doc_id),
+fp AS (SELECT doc_id,
+       {blks}
+       FROM sums)
+"""
+
+
+_SQL_WIDE_HAM = " + ".join(
+    f"bit_count(xor(a.blk{k}, b.blk{k}))" for k in range(_WIDE_BLOCKS)
+)
+
+
+@q(
+    "d07_simhash_wide",
+    oracle=f"""
+WITH {_sql_wide_simhash()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({_SQL_WIDE_HAM} AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE {_SQL_WIDE_HAM} <= {_WIDE_HAMMING}
+""",
+)
+def d07(spark, sf):
+    """SimHash near-dup at the production setting: 64-bit fingerprint,
+    4 x 16-bit pigeonhole blocks. Any pair within hamming <= 3 agrees on
+    at least one block, so candidates are the (block_idx, block_value)
+    equi-join buckets; the exact hamming filter runs on candidates only.
+    One fingerprint shuffle + one bounded-bucket join — the shape that
+    survives 10^12 docs (d03 is the all-pairs demo twin; d06 the 16-bit
+    oracle-parity variant)."""
+    toks = (
+        spread(t(spark, sf, "documents").select("doc_id", "text"))
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        )
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"{_wide_bit_sql(b)} = 1"), 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+    blk_exprs = [
+        " + ".join(
+            f"(CASE WHEN s{_WIDE_BLOCK_BITS * k + j} > 0 THEN {1 << j}"
+            " ELSE 0 END)"
+            for j in range(_WIDE_BLOCK_BITS)
+        )
+        for k in range(_WIDE_BLOCKS)
+    ]
+    fp = sums.select(
+        "doc_id",
+        *[F.expr(e).cast("long").alias(f"blk{k}") for k, e in enumerate(blk_exprs)],
+    ).persist()
+    blocks = fp.select(
+        "doc_id",
+        *[f"blk{k}" for k in range(_WIDE_BLOCKS)],
+        F.expr(
+            f"explode(transform(sequence(0, {_WIDE_BLOCKS - 1}),"
+            " i -> struct(i as bi,"
+            f" CASE i {' '.join(f'WHEN {k} THEN blk{k}' for k in range(_WIDE_BLOCKS))}"
+            " END as bv)))"
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        *[f"blk{k}" for k in range(_WIDE_BLOCKS)],
+        F.col("b.bi").alias("bi"),
+        F.col("b.bv").alias("bv"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = sum(
+        F.bit_count(
+            F.col(f"a.blk{k}").bitwiseXOR(F.col(f"b.blk{k}"))
+        )
+        for k in range(_WIDE_BLOCKS)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _WIDE_HAMMING)
+        .distinct()
+    )

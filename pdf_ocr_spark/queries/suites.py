@@ -411,6 +411,33 @@ def s01_suite(spark, sf):
     return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
+# =============================================================== dedup
+@q(
+    "d06_simhash_suite",
+    oracle=f"""
+SELECT 'd06' AS fam, doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+FROM {_sub(dedup, "d06_simhash_bucketed")} _a
+UNION ALL
+SELECT 'd07' AS fam, doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+FROM {_sub(dedup, "d07_simhash_wide")} _b
+""",
+)
+def d06_suite(spark, sf):
+    """SimHash bucketed-dedup suite (tagged union): the 16-bit 4x4-block
+    variant (d06, shares d03's all-pairs oracle result set) and the
+    production 64-bit 4x16-block variant (d07). Both are pigeonhole
+    (block_idx, block_value) equi-joins — no all-pairs stage anywhere."""
+    d6 = dedup.QUERIES["d06_simhash_bucketed"](spark, sf).select(
+        F.lit("d06").alias("fam"), "doc_a", "doc_b",
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+    d7 = dedup.QUERIES["d07_simhash_wide"](spark, sf).select(
+        F.lit("d07").alias("fam"), "doc_a", "doc_b",
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+    return d6.unionByName(d7)
+
+
 # =========================================================== textstats
 @q(
     "t01_text_analysis_suite",
