@@ -156,3 +156,58 @@ def map_headers(headers: DataFrame, aliases: DataFrame) -> DataFrame:
         .when(F.col("c3").isNotNull(), "joined")
         .alias("match_via"),
     )
+
+
+def match_title_dims(
+    titles: DataFrame, aliases: DataFrame, dim_cols: set[str]
+) -> DataFrame:
+    """Title -> constant-dimension match (docpact interpret.py:1388-1424
+    semantics): a table title that matches a DIMENSION-type schema
+    column's alias assigns that column as a constant dimension for every
+    record (e.g. title "RICE" matching Crop alias "rice" -> Crop="RICE").
+    Exact normalized match first; when it yields nothing, the fallback
+    accepts an alias (>= 3 chars) appearing as a word-boundary substring
+    of the title. BOTH passes require exactly one candidate column —
+    ambiguity means no match (the reference's len == 1 gates).
+
+    titles(title) -> (title, canonical, match_via) with match_via in
+    {'title', 'substring', null}. The alias side is a contract's worth
+    of rows (KBs -> broadcast); the substring pass is a LIKE-predicate
+    broadcast nested-loop against that tiny dictionary only — the big
+    title stream is never self-joined. Word boundaries are space
+    boundaries post-normalization (the reference's \\b over its
+    normalized form)."""
+    dims = aliases.filter(F.col("canonical").isin(list(dim_cols)))
+    n = titles.select(
+        "title", norm_header(F.col("title")).alias("norm")
+    ).distinct()
+    exact = (
+        n.join(F.broadcast(dims), n["norm"] == dims["norm_alias"])
+        .groupBy("title")
+        .agg(F.array_sort(F.collect_set("canonical")).alias("ec"))
+    )
+    subs = (
+        n.join(
+            F.broadcast(dims.filter(F.length("norm_alias") >= 3)),
+            F.expr(
+                "concat(' ', norm, ' ') LIKE concat('% ', norm_alias, ' %')"
+            ),
+        )
+        .groupBy("title")
+        .agg(F.array_sort(F.collect_set("canonical")).alias("sc"))
+    )
+    return (
+        titles.join(exact, "title", "left")
+        .join(subs, "title", "left")
+        .select(
+            "title",
+            F.when(F.size("ec") == 1, F.col("ec")[0])
+            .when(F.col("ec").isNull() & (F.size("sc") == 1), F.col("sc")[0])
+            .alias("canonical"),
+            F.when(F.size("ec") == 1, F.lit("title"))
+            .when(
+                F.col("ec").isNull() & (F.size("sc") == 1), F.lit("substring")
+            )
+            .alias("match_via"),
+        )
+    )

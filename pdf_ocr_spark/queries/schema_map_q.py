@@ -160,6 +160,63 @@ def h02(spark, sf):
     return coverage_report(mapped, SCHEMA)
 
 
+# ---------------------------------------------------------------- h03
+# Dimension-type schema columns (string dims can become title constants;
+# measures never do — docpact DIMENSION_TYPES analogue).
+DIM_COLS = {"port", "vessel", "cargo", "grade", "eta"}
+
+# Title fixture: exact alias hit, normalization noise, substring hit,
+# two-candidate ambiguity (skipped), measure-alias (excluded), no match.
+TITLES = [
+    "Port Name",
+    "GRADE  NAME",
+    "Ship",
+    "Winter shipping of grade name and stems",
+    "Vessel and cargo outlook",
+    "Tonnage (MT)",
+    "Freight market report",
+]
+
+_H03_ORACLE = f"""
+WITH titles(title) AS (VALUES {_sql_values([(x,) for x in TITLES])}),
+al(canonical, alias) AS (VALUES {_sql_values(_alias_rows())}),
+aln AS (SELECT DISTINCT canonical, {_NORM_A} AS norm_alias FROM al
+        WHERE canonical IN ({", ".join("'" + c + "'" for c in sorted(DIM_COLS))})),
+tn AS (SELECT DISTINCT title, {NORM_SQL.format(x="title")} AS norm FROM titles),
+exact AS (
+  SELECT t.title, count(DISTINCT a.canonical) AS nc, min(a.canonical) AS c
+  FROM tn t JOIN aln a ON t.norm = a.norm_alias GROUP BY 1
+),
+subs AS (
+  SELECT t.title, count(DISTINCT a.canonical) AS nc, min(a.canonical) AS c
+  FROM tn t JOIN aln a
+    ON len(a.norm_alias) >= 3
+   AND (' ' || t.norm || ' ') LIKE ('% ' || a.norm_alias || ' %')
+  GROUP BY 1
+)
+SELECT t.title,
+       CASE WHEN e.nc = 1 THEN e.c
+            WHEN e.title IS NULL AND s.nc = 1 THEN s.c END AS canonical,
+       CASE WHEN e.nc = 1 THEN 'title'
+            WHEN e.title IS NULL AND s.nc = 1 THEN 'substring' END AS match_via
+FROM titles t
+LEFT JOIN exact e ON e.title = t.title
+LEFT JOIN subs s ON s.title = t.title
+"""
+
+
+@q("h03_title_constant_dim", oracle=_H03_ORACLE)
+def h03(spark, sf):
+    """Title -> schema constant-dimension match (docpact
+    interpret.py:1388-1424): exact alias match then unique word-boundary
+    substring fallback, dimension-type columns only, ambiguity skipped.
+    Both passes broadcast against the tiny alias dictionary."""
+    from ..operators.schema_map import match_title_dims
+
+    titles = spark.createDataFrame([(x,) for x in TITLES], "title string")
+    return match_title_dims(titles, alias_table(spark, SCHEMA), DIM_COLS)
+
+
 # ---------------------------------------------------------------- u01
 _U01_ORACLE = """
 WITH f AS (

@@ -572,12 +572,17 @@ UNION ALL
 SELECT 'h02_coverage', '', canonical, CASE WHEN covered THEN 'covered'
        ELSE 'uncovered' END, n_headers
 FROM {_sub(schema_map_q, "h02_preflight_coverage")} _b
+UNION ALL
+SELECT 'h03_title', title, coalesce(canonical, ''),
+       coalesce(match_via, ''), 0
+FROM {_sub(schema_map_q, "h03_title_constant_dim")} _c
 """,
 )
 def h01_suite(spark, sf):
     """Schema-mapping suite: 3-pass broadcast alias resolution with
     year-template aliases resolved driver-side (h01) + the preflight
-    header-coverage report (h02)."""
+    header-coverage report (h02) + title -> constant-dimension matching
+    (h03, exact-then-unique-substring against dimension-type aliases)."""
     a = schema_map_q.QUERIES["h01_header_schema_map"](spark, sf).select(
         F.lit("h01_map").alias("fam"),
         "header",
@@ -594,7 +599,14 @@ def h01_suite(spark, sf):
         .alias("match_via"),
         F.col("n_headers").alias("n"),
     )
-    return a.unionByName(b)
+    c = schema_map_q.QUERIES["h03_title_constant_dim"](spark, sf).select(
+        F.lit("h03_title").alias("fam"),
+        F.col("title").alias("header"),
+        F.coalesce("canonical", F.lit("")).alias("canonical"),
+        F.coalesce("match_via", F.lit("")).alias("match_via"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 # ============================================================ classify
