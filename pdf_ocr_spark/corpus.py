@@ -392,6 +392,70 @@ def multirow_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
     return m_spans, f_spans
 
 
+def merged_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
+    """A document whose data rows carry PDF-merged spans — two adjacent
+    cell values in ONE span, geometry intact — plus the width channel
+    ("st:@<w>" tokens, 10 layout units per char), and its UNMERGED twin.
+    The kernel's median char width (docpact spatial_text.py:297-308) and
+    span splitting at column boundaries owned by other rows
+    (compress.py:948-1032) must extract both to the SAME span sequence —
+    the 'width' family of the twin-suite oracle.
+
+    Geometry: the first column holds fixed-width 5-char time tokens, so
+    col1 sits exactly 6 chars (60 units) right of col0 and the merged
+    span's single space lands on the boundary's char index."""
+    r = _rng(f"pairw-{pair_id}", seed)
+    cw = 10
+    ncols = r.randint(3, 4)
+    cols = [10, 70] + [70 + 170 * ci for ci in range(1, ncols - 1)]
+    title = _sentence(r, 6)
+
+    def tok():
+        return f"{r.randint(10, 99)}:{r.randint(10, 59)}"  # 5 chars
+
+    def styled(text, extra=0):
+        return f"st:@{cw * len(text) + extra}"
+
+    n_rows = r.randint(4, 8)
+    recs = []
+    for _ in range(n_rows):
+        recs.append([tok()] + [_word(r) for _ in range(ncols - 1)])
+    m_spans = [("pdf_text", title, styled(title), _pack(0, 50, 10))]
+    u_spans = [("pdf_text", title, styled(title), _pack(0, 50, 10))]
+    y = 150
+    for ci, x in enumerate(cols):
+        h = _HEADERS[ci % len(_HEADERS)]
+        for spans in (m_spans, u_spans):
+            spans.append(("pdf_text", h, styled(h), _pack(0, y, x)))
+    y += 20
+    for ri, rec in enumerate(recs):
+        # odd rows merge cells 0+1 into one span in the merged doc: the
+        # text keeps ONE space but the rendered width spans the gap
+        if ri % 2 == 1:
+            merged = f"{rec[0]} {rec[1]}"
+            w = (cols[1] - cols[0]) + cw * len(rec[1])
+            m_spans.append(
+                ("pdf_text", merged, f"st:@{w}", _pack(0, y, cols[0]))
+            )
+            for ci in range(2, ncols):
+                m_spans.append(
+                    ("pdf_text", rec[ci], styled(rec[ci]),
+                     _pack(0, y, cols[ci]))
+                )
+        else:
+            for ci in range(ncols):
+                m_spans.append(
+                    ("pdf_text", rec[ci], styled(rec[ci]),
+                     _pack(0, y, cols[ci]))
+                )
+        for ci in range(ncols):
+            u_spans.append(
+                ("pdf_text", rec[ci], styled(rec[ci]), _pack(0, y, cols[ci]))
+            )
+        y += 20
+    return m_spans, u_spans
+
+
 # ----------------------------------------------------------------- styled
 
 # Style flags ride the otherwise-unused media_ref of text spans

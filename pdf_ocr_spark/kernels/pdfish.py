@@ -19,6 +19,10 @@ Re-expresses the semantics (NOT the code) of the reference pipeline:
     ....................................... compress.py:1469-1509
   - key-value regions (runs of two-span non-table rows) rendered as
     'key: value' text lines ................ compress.py:1111-1137, 2026-2060
+  - median char width over width-carrying spans
+    ....................................... spatial_text.py:297-308
+  - span splitting at column boundaries owned by other rows
+    (word-boundary only, min_gap 5 chars) .. compress.py:948-1032
 
 Input spans carry a packed ``offset``: ``page*1_000_000 + y_centi*1_000
 + x`` (integer centipoint grid — float-free determinism, FIXTURES.md).
@@ -373,10 +377,12 @@ def _shares_anchors(
 # visual-fill channel (compress.py:232-292) as table/header evidence.
 # The input span-struct shape (kind, text, media_ref, offset) is fixed
 # by the pipeline contract, so OPTIONAL style flags ride the otherwise-
-# unused media_ref of TEXT spans: "st:<flags>[#<fill>]" with flags a
-# subset of {b, i, m} (bold / italic / monospace) and <fill> a row fill-
-# color id. Output text spans always emit media_ref "" (tested), so the
-# channel is input-only evidence and the golden span-sequence invariant
+# unused media_ref of TEXT spans: "st:<flags>[#<fill>][@<width>]" with
+# flags a subset of {b, i, m} (bold / italic / monospace), <fill> a row
+# fill-color id, and <width> the rendered span width in layout x-units
+# (the glyph-geometry signal behind median char width + span splitting).
+# Output text spans always emit media_ref "" (tested), so the channel is
+# input-only evidence and the golden span-sequence invariant
 # (kind, text, media_ref, order) is untouched.
 
 
@@ -386,10 +392,106 @@ def span_style(ref: str) -> tuple[str, str | None]:
     if not ref or not ref.startswith("st:"):
         return "", None
     tok = ref[3:]
+    if "@" in tok:
+        tok = tok.split("@", 1)[0]
     if "#" in tok:
         flags, fill = tok.split("#", 1)
         return flags, fill or None
     return tok, None
+
+
+def span_width(ref: str) -> int:
+    """Optional rendered span WIDTH (layout x-units) from the style
+    token's ``@<width>`` suffix ("st:[flags][#fill][@width]"); 0 when
+    the corpus carries no width signal. The width channel feeds the two
+    glyph-geometry operators (median char width, span splitting) that
+    are otherwise undefined on a positions-only span model."""
+    if not ref or not ref.startswith("st:") or "@" not in ref:
+        return 0
+    try:
+        return int(ref.rsplit("@", 1)[1])
+    except ValueError:
+        return 0
+
+
+def _median_char_width(rows: list[list]) -> float:
+    """Median char width over the page's width-carrying spans (docpact
+    spatial_text.py:297-308: median of bbox_width / char_count) —
+    0.0 when no span carries the width channel."""
+    ratios = [
+        span_width(s[4]) / len(s[3])
+        for r in rows
+        for s in r
+        if s[2] != "media" and (s[3] or "") and span_width(s[4]) > 0
+    ]
+    return median(ratios) if ratios else 0.0
+
+
+def _split_merged_spans(rows: list[list]) -> list[list]:
+    """Split text spans that merge multiple column values into one span
+    (docpact compress.py:948-1032 semantics): column x positions are
+    collected from ALL rows; when a span's rendered extent
+    ``[x, x + width)`` crosses a position owned by OTHER rows — beyond
+    ``min_gap`` (5 chars) from the span start — and the corresponding
+    character index lands on a word boundary, the span splits there
+    (word-boundary only, never mid-word). The char index comes from the
+    page's median char width; rows without the width channel pass
+    through untouched, so positions-only corpora are unaffected."""
+    cw = _median_char_width(rows)
+    if cw <= 0:
+        return rows
+    col_rows: dict[int, set[int]] = {}
+    for ri, r in enumerate(rows):
+        for s in r:
+            if s[2] != "media":
+                col_rows.setdefault(s[1], set()).add(ri)
+    positions = sorted(col_rows)
+    if len(positions) < 2:
+        return rows
+    min_gap = 5 * cw
+    out_rows: list[list] = []
+    for ri, r in enumerate(rows):
+        new_r: list = []
+        for s in r:
+            text = s[3] or ""
+            w = span_width(s[4]) if s[2] != "media" else 0
+            if w <= 0 or " " not in text:
+                new_r.append(s)
+                continue
+            span_end = s[1] + w
+            splits: list[int] = []  # char indices, ascending
+            for pos in positions:
+                if pos <= s[1] + min_gap:
+                    continue
+                if pos >= span_end:
+                    break
+                if ri in col_rows[pos]:
+                    continue
+                ci = int(round((pos - s[1]) / cw))
+                if 0 < ci <= len(text) and (
+                    text[ci - 1] == " "
+                    or (ci < len(text) and text[ci] == " ")
+                ):
+                    splits.append(ci)
+            if not splits:
+                new_r.append(s)
+                continue
+            cur = 0
+            for ci in splits:
+                left = text[cur:ci].rstrip()
+                if left:
+                    new_r.append(
+                        (s[0], s[1] + round(cur * cw), s[2], left, s[4])
+                    )
+                cur = ci
+                while cur < len(text) and text[cur] == " ":
+                    cur += 1
+            rem = text[cur:].rstrip()
+            if rem:
+                new_r.append((s[0], s[1] + round(cur * cw), s[2], rem, s[4]))
+        new_r.sort(key=lambda t: (t[1], t[3]))
+        out_rows.append(new_r)
+    return out_rows
 
 
 def _bold_header_prefix(block: list[list], run: list[int]) -> int:
@@ -594,7 +696,7 @@ def extract_page(
     """Extract one page. items = (y, x, kind, text, media_ref) tuples.
     Returns ordered (kind, text, media_ref) triples for the page."""
     out: list[tuple[str, str, str]] = []
-    rows = _cluster_rows(items)
+    rows = _split_merged_spans(_cluster_rows(items))
     for block in _xy_cut(rows):
         in_table, runs = _detect_table_runs(block)
         kv = _detect_kv_runs(block, in_table)

@@ -82,8 +82,7 @@ DRIVER_REGISTRY = [
     "x01_extract_documents",
     "z01_zone_text",
     "x02_extract_report_suite",
-    "x07_transposed_extract",
-    "x08_multirow_extract",
+    "x07_twin_extract_suite",
     "x09_style_extract",
     # dedup family
     "d01_exact_dedup",

@@ -285,6 +285,23 @@ QUERIES["x08_multirow_extract"] = x08_multirow_equivalence
 ORACLE["x08_multirow_extract"] = _PAIR_ORACLE
 
 
+def x10_width_split_equivalence(spark, sf):
+    """Span splitting via the width channel (docpact compress.py:948-1032
+    + median char width spatial_text.py:297-308): a document whose data
+    rows carry PDF-merged two-cell spans — with rendered widths riding
+    the style token ("st:@<w>") — must extract to the SAME span sequence
+    as its unmerged twin. Without the width signal the merged cells
+    stay merged (negative control in tests), so equal=true per pair
+    pins the splitting operator itself."""
+    from ..corpus import merged_pair
+
+    return _pair_equality(spark, merged_pair, "w")
+
+
+QUERIES["x10_width_split_extract"] = x10_width_split_equivalence
+ORACLE["x10_width_split_extract"] = _PAIR_ORACLE
+
+
 # ---------------------------------------------------------------- x09
 _N_STYLED = 30
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from . import (
     classify_q,
     dedup,
+    extract_q,
     fonts_q,
     functions_q,
     multimodal_q,
@@ -657,6 +658,41 @@ def c01_suite(spark, sf):
             "gated",
         )
     )
+
+
+# ====================================================== twin equality
+@q(
+    "x07_twin_extract_suite",
+    oracle="""
+SELECT f.family, g.pair_id, true AS equal
+FROM (VALUES ('transposed'), ('multirow'), ('width')) f(family),
+     (SELECT unnest(generate_series(0, 23)) AS pair_id) g
+""",
+)
+def x07_suite(spark, sf):
+    """Twin-equality extraction suite — each family runs a twin-pair
+    corpus through the FULL Spark pipeline and pins per-pair span-
+    sequence equality (equal=true constants as the oracle):
+    'transposed' (x07: transposed table vs flat twin, docpact
+    compress.py:1762-1803 + interpret.py:1738-1816), 'multirow' (x08:
+    period-2 records vs pre-merged twin, compress.py:1390-1466),
+    'width' (x10: PDF-merged spans + width channel vs unmerged twin,
+    compress.py:948-1032 + spatial_text.py:297-308)."""
+    fams = (
+        ("transposed", "x07_transposed_extract"),
+        ("multirow", "x08_multirow_extract"),
+        ("width", "x10_width_split_extract"),
+    )
+    parts = [
+        extract_q.QUERIES[name](spark, sf).select(
+            F.lit(fam).alias("family"), "pair_id", "equal"
+        )
+        for fam, name in fams
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # =================================================== extraction report

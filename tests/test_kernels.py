@@ -557,3 +557,66 @@ def test_styled_corpus_matches_generator_truth():
         assert {k: v for k, v in got.items() if v} == {
             k: v for k, v in truth.items() if v
         }, f"styled doc {i}"
+
+
+def test_twin_pairs_extract_equal():
+    """Every twin-pair family extracts both sides to the SAME span
+    sequence (the x07_twin_extract_suite invariant, kernel level):
+    transposed vs flat, multi-row vs pre-merged, width-merged vs
+    unmerged."""
+    from pdf_ocr_spark.corpus import merged_pair, multirow_pair, transposed_pair
+
+    for fam, pair_fn in (
+        ("transposed", transposed_pair),
+        ("multirow", multirow_pair),
+        ("width", merged_pair),
+    ):
+        for i in range(24):
+            a, b = pair_fn(i)
+            assert extract_pdfish(a)[0] == extract_pdfish(b)[0], (fam, i)
+
+
+def test_width_split_requires_width_channel():
+    """Negative control: with the width tokens stripped, the merged-span
+    doc must NOT split (positions-only corpora are untouched by
+    compress.py:948-1032 semantics — the operator is undefined without
+    a glyph-width signal)."""
+    from pdf_ocr_spark.corpus import merged_pair
+
+    for i in range(8):
+        m, u = merged_pair(i)
+        m_nw = [(k, t, "", o) for k, t, _r, o in m]
+        u_nw = [(k, t, "", o) for k, t, _r, o in u]
+        assert extract_pdfish(m_nw)[0] != extract_pdfish(u_nw)[0], i
+
+
+def test_split_merged_spans_semantics():
+    """Direct split-operator checks (compress.py:948-1032): word-boundary
+    only, min_gap guard, boundary must be owned by a different row."""
+    from pdf_ocr_spark.kernels.pdfish import _split_merged_spans
+
+    # row 0 owns x=70; row 1 has one merged span 10..130 crossing it
+    rows = [
+        [(150, 10, "pdf_text", "Head1", "st:@50"),
+         (150, 70, "pdf_text", "Head2", "st:@50")],
+        [(170, 10, "pdf_text", "12:34 abc", "st:@90")],
+    ]
+    out = _split_merged_spans(rows)
+    assert [(s[1], s[3]) for s in out[1]] == [(10, "12:34"), (70, "abc")]
+    # no split mid-word: boundary char index lands inside 'abcdef'
+    rows_mid = [
+        [(150, 10, "pdf_text", "Head1", "st:@50"),
+         (150, 70, "pdf_text", "Head2", "st:@50")],
+        [(170, 10, "pdf_text", "x abcdefgh", "st:@100")],
+    ]
+    # boundary at 70 -> char 6 -> inside 'abcdefgh' (no space at 5/6)
+    out_mid = _split_merged_spans(rows_mid)
+    assert [(s[1], s[3]) for s in out_mid[1]] == [(10, "x abcdefgh")]
+    # boundary owned by the SAME row only: never splits
+    rows_same = [
+        [(170, 10, "pdf_text", "12:34 abc", "st:@90"),
+         (170, 200, "pdf_text", "zz", "st:@20")],
+    ]
+    assert _split_merged_spans(rows_same) == [
+        sorted(rows_same[0], key=lambda t: (t[1], t[3]))
+    ]
