@@ -53,3 +53,24 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def to_pandas(df: DataFrame):
+    """Driver-side pandas frame (docpact serialize.py:753-811 analogue).
+    Debug/small-result use only — a collect; never call on a 10^12-row
+    table. Arrow-accelerated when spark.sql.execution.arrow.pyspark is
+    enabled (the session default here)."""
+    return df.toPandas()
+
+
+def to_polars(df: DataFrame):
+    """Driver-side polars frame (docpact serialize.py:814-876 analogue),
+    via the Arrow interchange (zero-copy from the pandas/Arrow batch).
+    Gated on polars being installed; same collect caveat as to_pandas."""
+    try:
+        import polars as pl
+    except ImportError as e:  # sandbox has no polars; real deploys may
+        raise NotImplementedError(
+            "polars is not installed; install polars to use to_polars"
+        ) from e
+    return pl.from_pandas(df.toPandas())

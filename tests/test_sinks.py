@@ -50,3 +50,20 @@ def test_parquet_partitioned(spark, tmp_path):
     # partition pruning applies on the partition column
     pruned = back.filter(back["name"] == "a")
     assert pruned.count() == 1
+
+
+def test_pandas_polars_sinks(spark):
+    import pytest
+
+    from pdf_ocr_spark.sources.sinks import to_pandas, to_polars
+
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    pdf = to_pandas(df)
+    assert list(pdf.columns) == ["id", "v"] and len(pdf) == 3
+    try:
+        import polars  # noqa: F401
+
+        assert to_polars(df).shape == (3, 2)
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            to_polars(df)
