@@ -191,9 +191,72 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _extract_page_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Page-grain extraction over a FLAT, partition-sorted span stream
+    (mega-doc path, opt-in). Input rows (doc_id, page, kind, text,
+    media_ref, offset) are hash-partitioned on (doc_id, page) and sorted
+    by those keys within the partition, so every page group is a
+    contiguous run; runs are found with numpy boundary detection and the
+    trailing (possibly incomplete) run is buffered across Arrow batch
+    boundaries. This replaces the earlier groupBy(collect_list) page
+    grouping: the exchange now carries flat primitive rows — no nested
+    list building in a hash aggregation, no list<struct> Arrow
+    conversion — and the kernel consumes each run straight off the
+    sorted stream. Span order within a run is partition-layout-dependent,
+    which is safe: the kernels are span-order invariant (full-tuple
+    sort, tests/test_properties.py)."""
+    import numpy as np
+
+    cur_key: tuple | None = None
+    cur_spans: list[tuple] = []
+
+    def _flush() -> dict:
+        spans_out, m = extract_pdfish_page_spans(cur_spans)
+        return {
+            "doc_id": cur_key[0],
+            "page": int(cur_key[1]),
+            "spans": span_dicts(spans_out),
+            "metrics": metrics_dict(m),
+        }
+
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        doc = pdf["doc_id"].to_numpy()
+        page = pdf["page"].to_numpy()
+        cols = [
+            pdf["kind"].to_numpy(),
+            pdf["text"].to_numpy(),
+            pdf["media_ref"].to_numpy(),
+            pdf["offset"].to_numpy(),
+        ]
+        change = (
+            np.flatnonzero((doc[1:] != doc[:-1]) | (page[1:] != page[:-1])) + 1
+        )
+        starts = [0, *change.tolist(), n]
+        out_rows: list[dict] = []
+        for i, j in zip(starts, starts[1:]):
+            key = (str(doc[i]), int(page[i]))
+            spans = list(
+                zip(*(c[i:j].tolist() for c in cols))
+            )
+            if cur_key == key:
+                cur_spans.extend(spans)
+                continue
+            if cur_key is not None:
+                out_rows.append(_flush())
+            cur_key, cur_spans = key, spans
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+    if cur_key is not None:
+        yield pd.DataFrame([_flush()])
+
+
 def _extract_page_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Page-grain extraction (mega-doc path). Offsets stay page-local;
-    the reassembly stage re-sequences them document-wide."""
+    """Page-grain extraction (mega-doc path, pre-grouped variant kept for
+    A/B measurement). Offsets stay page-local; the reassembly stage
+    re-sequences them document-wide."""
     for pdf in batches:
         out_spans, out_metrics = [], []
         for spans in pdf["spans"]:
@@ -218,6 +281,7 @@ def extract(
     big_doc_threshold: int = BIG_DOC_THRESHOLD,
     salt_partitions: int | None = None,
     use_arrow: bool = True,
+    page_stream: bool = False,
 ) -> DataFrame:
     """input (doc_id, spans) -> output (doc_id, spans, metrics).
 
@@ -226,6 +290,16 @@ def extract(
     file) cannot pin a single task. Defaults to None = trust the scan's
     split sizing (maxPartitionBytes) — the right default when the input
     is well-laid-out Parquet/Iceberg.
+
+    ``page_stream``: mega-doc page grouping strategy. False (default) =
+    groupBy(collect_list) page grouping; True = shuffle FLAT span rows
+    and group page runs off the in-partition sort (no hash aggregation,
+    primitive-only exchange — sort-based grouping bounds agg memory for
+    pathological page sizes). Measured A/B on the 600-mega-doc corpus
+    (BENCH/BASELINE.md): parity at 16 cores, ~6% slower at 4 cores —
+    Python-side run detection costs what the JVM hash-agg saved, and at
+    low parallelism Python CPU is the binding resource — so the
+    measured-fastest shape stays the default.
     """
     df = df.withColumn("_n", F.size("spans"))
     if salt_partitions:
@@ -260,13 +334,38 @@ def extract(
 
     big = df.filter((F.col("_n") > big_doc_threshold) & _pageable).drop("_n")
     # explode to page grain (pages are independent in the layout kernel)
-    pages = (
-        big.select("doc_id", F.explode("spans").alias("s"))
-        .withColumn("page", (F.col("s.offset") / F.lit(1_000_000)).cast("long"))
-        .groupBy("doc_id", "page")
-        .agg(F.sort_array(F.collect_list("s")).alias("spans"))
-    )
-    big_pages = pages.mapInPandas(_extract_page_batch, schema=PAGE_OUTPUT_SCHEMA)
+    if page_stream:
+        # flat-row shuffle + in-partition sort + streaming run grouping:
+        # the ONE exchange of the mega branch carries primitive rows, and
+        # page groups come off the sorted stream with no hash aggregation
+        flat = big.select("doc_id", F.explode("spans").alias("s")).select(
+            "doc_id",
+            (F.col("s.offset") / F.lit(1_000_000)).cast("long").alias("page"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        if salt_partitions:
+            flat = flat.repartition(salt_partitions, "doc_id", "page")
+        else:
+            flat = flat.repartition("doc_id", "page")
+        grain = flat.sortWithinPartitions("doc_id", "page")
+        big_pages = grain.mapInPandas(
+            _extract_page_stream, schema=PAGE_OUTPUT_SCHEMA
+        )
+    else:
+        pages = (
+            big.select("doc_id", F.explode("spans").alias("s"))
+            .withColumn(
+                "page", (F.col("s.offset") / F.lit(1_000_000)).cast("long")
+            )
+            .groupBy("doc_id", "page")
+            .agg(F.sort_array(F.collect_list("s")).alias("spans"))
+        )
+        big_pages = pages.mapInPandas(
+            _extract_page_batch, schema=PAGE_OUTPUT_SCHEMA
+        )
     big_out = _reassemble_columnar(big_pages)
 
     return small_out.unionByName(big_out)

@@ -51,6 +51,17 @@ def test_skew_path_equals_whole_doc_path(spark):
 
 
 @pytest.mark.spark
+def test_page_stream_equals_grouped_path(spark):
+    """The flat-row streaming page grouping (page_stream=True) must be
+    byte-identical to the groupBy(collect_list) shape, including metrics
+    (both feed the same fused reassembly)."""
+    df = synthetic_corpus(spark, 6, skew_docs=3)
+    a = extract(df, big_doc_threshold=10, page_stream=True).collect()
+    b = extract(df, big_doc_threshold=10, page_stream=False).collect()
+    assert {r.doc_id: r for r in a} == {r.doc_id: r for r in b}
+
+
+@pytest.mark.spark
 def test_media_routed_path_equals_kernel(spark):
     """Columnar media routing (filter/array_sort/transform) == full kernel."""
     ids = [f"mixed-{i:06d}" for i in range(2, 90, 3)]
