@@ -110,3 +110,64 @@ def ocr_repair_col(c: Column) -> Column:
         ).otherwise(t),
     )
     return F.concat_ws(" ", fixed)
+
+
+_NAMED_COLORS = {
+    # docpact html_extractor.py:117-130 named subset, scaled to 0-255
+    "red": (255, 0, 0),
+    "green": (0, 128, 0),
+    "blue": (0, 0, 255),
+    "yellow": (255, 255, 0),
+    "orange": (255, 166, 0),
+    "gray": (128, 128, 128),
+    "grey": (128, 128, 128),
+    "lightgray": (212, 212, 212),
+    "lightgrey": (212, 212, 212),
+    "darkgray": (168, 168, 168),
+    "darkgrey": (168, 168, 168),
+}
+
+_RGB_RE = r"^rgb\s*\(\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)"
+
+
+def parse_css_color(c: Column) -> Column:
+    """CSS color string -> struct(r, g, b) ints in 0-255, NULL for
+    transparent/inherit/initial/none, white, and unparseable input
+    (docpact html_extractor.py:71-132 semantics, fully columnar: hex
+    #RGB/#RRGGBB via conv(), rgb(R,G,B) via anchored regexp_extract,
+    named subset via a CASE chain)."""
+    s = F.lower(F.trim(c))
+    hex6 = F.when(
+        s.rlike(r"^#[0-9a-f]{6}$"), F.substring(s, 2, 6)
+    ).when(
+        s.rlike(r"^#[0-9a-f]{3}$"),
+        F.concat(
+            *[
+                F.concat(F.substring(s, i, 1), F.substring(s, i, 1))
+                for i in (2, 3, 4)
+            ]
+        ),
+    )
+
+    def _hex_ch(pos: int) -> Column:
+        return F.conv(F.substring(hex6, pos, 2), 16, 10).cast("int")
+
+    rgb_ch = [
+        # regexp_extract yields '' on no match; try_cast -> NULL (ANSI)
+        F.regexp_extract(s, _RGB_RE, i).try_cast("int") for i in (1, 2, 3)
+    ]
+    named = [None, None, None]
+    for ch in range(3):
+        expr = F.lit(None).cast("int")
+        for name, rgb in _NAMED_COLORS.items():
+            expr = F.when(s == name, F.lit(rgb[ch])).otherwise(expr)
+        named[ch] = expr
+    r = F.coalesce(_hex_ch(1), rgb_ch[0], named[0])
+    g = F.coalesce(_hex_ch(3), rgb_ch[1], named[1])
+    b = F.coalesce(_hex_ch(5), rgb_ch[2], named[2])
+    out = F.struct(r.alias("r"), g.alias("g"), b.alias("b"))
+    return F.when(
+        r.isNull() | g.isNull() | b.isNull()
+        | ((r == 255) & (g == 255) & (b == 255)),
+        F.lit(None).cast("struct<r:int,g:int,b:int>"),
+    ).otherwise(out)

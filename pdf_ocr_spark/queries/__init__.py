@@ -77,6 +77,7 @@ DRIVER_REGISTRY = [
     "q29_scalar_suite",
     "q30_date_roundtrip",
     "p01_metadata_patterns",
+    "p02_color_parse",
     "q39_number_format",
     # extraction pipeline (north_rule)
     "x01_extract_documents",

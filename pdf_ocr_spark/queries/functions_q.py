@@ -466,3 +466,138 @@ def q39(spark, sf):
         .alias("us_accounting"),
         F.translate(us_abs, ",.", ".,").alias("eu_plain"),
     )
+
+
+# ---------------------------------------------------------------- p02
+_P02_NAMED = [
+    "red", "green", "blue", "yellow", "orange", "gray", "grey",
+    "lightgray", "lightgrey", "darkgray", "darkgrey",
+]
+
+_P02_SRC_SQL = """
+  SELECT p_brand, p_partkey,
+    CASE CAST(p_partkey % 6 AS INTEGER)
+      WHEN 0 THEN '#ffffff'
+      WHEN 1 THEN '#' || substr(md5(p_name), 1, 6)
+      WHEN 2 THEN '#' || substr(md5(p_name), 1, 3)
+      WHEN 3 THEN 'rgb(' || CAST(p_partkey % 256 AS INTEGER) || ', '
+                || CAST((p_partkey * 7) % 256 AS INTEGER) || ', '
+                || CAST((p_partkey * 13) % 256 AS INTEGER) || ')'
+      WHEN 4 THEN ['red','green','blue','yellow','orange','gray','grey',
+                   'lightgray','lightgrey','darkgray','darkgrey']
+                  [CAST(p_partkey % 11 AS INTEGER) + 1]
+      ELSE 'transparent'
+    END AS cstr
+  FROM part
+"""
+
+_P02_NAMED_CASE = {
+    "r": "CASE s WHEN 'red' THEN 255 WHEN 'green' THEN 0 WHEN 'blue' THEN 0"
+         " WHEN 'yellow' THEN 255 WHEN 'orange' THEN 255"
+         " WHEN 'gray' THEN 128 WHEN 'grey' THEN 128"
+         " WHEN 'lightgray' THEN 212 WHEN 'lightgrey' THEN 212"
+         " WHEN 'darkgray' THEN 168 WHEN 'darkgrey' THEN 168 END",
+    "g": "CASE s WHEN 'red' THEN 0 WHEN 'green' THEN 128 WHEN 'blue' THEN 0"
+         " WHEN 'yellow' THEN 255 WHEN 'orange' THEN 166"
+         " WHEN 'gray' THEN 128 WHEN 'grey' THEN 128"
+         " WHEN 'lightgray' THEN 212 WHEN 'lightgrey' THEN 212"
+         " WHEN 'darkgray' THEN 168 WHEN 'darkgrey' THEN 168 END",
+    "b": "CASE s WHEN 'red' THEN 0 WHEN 'green' THEN 0 WHEN 'blue' THEN 255"
+         " WHEN 'yellow' THEN 0 WHEN 'orange' THEN 0"
+         " WHEN 'gray' THEN 128 WHEN 'grey' THEN 128"
+         " WHEN 'lightgray' THEN 212 WHEN 'lightgrey' THEN 212"
+         " WHEN 'darkgray' THEN 168 WHEN 'darkgrey' THEN 168 END",
+}
+
+
+def _p02_chan(pos: int, rgb_group: int, named: str) -> str:
+    hx = (
+        f"(strpos('0123456789abcdef', substr(hex6, {pos}, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(hex6, {pos + 1}, 1)) - 1"
+    )
+    rgb = (
+        "TRY_CAST(regexp_extract(s,"
+        " 'rgb\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)',"
+        f" {rgb_group}) AS INTEGER)"
+    )
+    return f"CASE WHEN hex6 IS NOT NULL THEN {hx} ELSE coalesce({rgb}, {named}) END"
+
+
+_P02_ORACLE = f"""
+WITH src AS ({_P02_SRC_SQL}),
+norm AS (SELECT p_brand, lower(trim(cstr)) AS s FROM src),
+hexed AS (
+  SELECT p_brand, s,
+    CASE WHEN regexp_matches(s, '^#[0-9a-f]{{6}}$') THEN substr(s, 2, 6)
+         WHEN regexp_matches(s, '^#[0-9a-f]{{3}}$') THEN
+           substr(s,2,1)||substr(s,2,1)||substr(s,3,1)||substr(s,3,1)
+           ||substr(s,4,1)||substr(s,4,1)
+    END AS hex6
+  FROM norm
+),
+chan AS (
+  SELECT p_brand,
+    {_p02_chan(1, 1, _P02_NAMED_CASE["r"])} AS r,
+    {_p02_chan(3, 2, _P02_NAMED_CASE["g"])} AS g,
+    {_p02_chan(5, 3, _P02_NAMED_CASE["b"])} AS b
+  FROM hexed
+),
+flagged AS (
+  SELECT p_brand, r, g, b,
+    (r IS NOT NULL AND g IS NOT NULL AND b IS NOT NULL
+     AND NOT (r = 255 AND g = 255 AND b = 255)) AS valid
+  FROM chan
+)
+SELECT p_brand AS brand,
+  CAST(count(*) FILTER (valid) AS BIGINT) AS n_colors,
+  CAST(count(*) FILTER (NOT valid) AS BIGINT) AS n_null,
+  CAST(coalesce(sum(r) FILTER (valid), 0) AS BIGINT) AS sum_r,
+  CAST(coalesce(sum(g) FILTER (valid), 0) AS BIGINT) AS sum_g,
+  CAST(coalesce(sum(b) FILTER (valid), 0) AS BIGINT) AS sum_b
+FROM flagged GROUP BY p_brand
+"""
+
+
+@q("p02_color_parse", oracle=_P02_ORACLE)
+def p02(spark, sf):
+    """Color parsing (docpact html_extractor.py:71-132, the FH5 color
+    channel's input; int->RGB analogue spatial_text.py:72-80): CSS
+    #RRGGBB / #RGB / rgb(R,G,B) / named-subset colors parsed to RGB
+    structs ENTIRELY in Catalyst (conv + anchored regexp_extract + CASE
+    chain — zero Python), white and transparent/inherit/none dropped to
+    NULL exactly as the reference does. Deterministic color strings
+    derive from the part table (md5 hex digits, modular rgb components,
+    named-color rotation) so both engines generate identical inputs.
+    Plan: scan-local projection + one shuffle (brand aggregation)."""
+    from .. import functions as FN
+
+    p = t(spark, sf, "part")
+    key = F.col("p_partkey")
+    named = F.element_at(
+        F.array(*[F.lit(n) for n in _P02_NAMED]),
+        (key % 11 + 1).cast("int"),
+    )
+    cstr = (
+        F.when(key % 6 == 0, F.lit("#ffffff"))
+        .when(key % 6 == 1, F.concat(F.lit("#"), F.substring(F.md5("p_name"), 1, 6)))
+        .when(key % 6 == 2, F.concat(F.lit("#"), F.substring(F.md5("p_name"), 1, 3)))
+        .when(
+            key % 6 == 3,
+            F.concat(
+                F.lit("rgb("), (key % 256).cast("int").cast("string"),
+                F.lit(", "), (key * 7 % 256).cast("int").cast("string"),
+                F.lit(", "), (key * 13 % 256).cast("int").cast("string"),
+                F.lit(")"),
+            ),
+        )
+        .when(key % 6 == 4, named)
+        .otherwise(F.lit("transparent"))
+    )
+    parsed = p.select("p_brand", FN.parse_css_color(cstr).alias("c"))
+    return parsed.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.when(F.col("c").isNotNull(), 1)).alias("n_colors"),
+        F.count(F.when(F.col("c").isNull(), 1)).alias("n_null"),
+        F.coalesce(F.sum("c.r"), F.lit(0)).alias("sum_r"),
+        F.coalesce(F.sum("c.g"), F.lit(0)).alias("sum_g"),
+        F.coalesce(F.sum("c.b"), F.lit(0)).alias("sum_b"),
+    )
