@@ -470,21 +470,26 @@ def styled_doc(i: int, seed: int = DEFAULT_SEED) -> tuple[list[tuple], dict]:
     """A style-signaled document PLUS its generator ground truth — the
     expected per-kind span counts, computed from how the doc was BUILT,
     independent of any kernel (x09's oracle embeds these as SQL
-    constants; golden tests assert exact sequences). Three archetypes
-    that only extract correctly via the style channel:
+    constants; golden tests assert exact sequences). Four archetypes
+    that only extract correctly via the style/visual channel:
 
-      i%3==0  FH2: two bold all-word header rows over all-word data
+      i%4==0  FH2: two bold all-word header rows over all-word data
               rows — the H7 span-count signature is uniform and every
               row is numeric-free, so structure alone finds at most one
               header row (compress.py:600-646)
-      i%3==1  VH3: zebra list — single-span rows with alternating fill
+      i%4==1  VH3: zebra list — single-span rows with alternating fill
               ids, structurally prose (compress.py:232-292)
-      i%3==2  FH3: an all-italic caption row INSIDE a numeric table run
+      i%4==2  FH3: an all-italic caption row INSIDE a numeric table run
               (shares the run's anchors — structurally cells)
               (compress.py:651-693 metadata_rows)
+      i%4==3  VH1: a ruled grid (>= 3 significant h- and v-lines as
+              kind='pdf_line' spans) over single-span multi-word rows —
+              structurally prose, rescued as cells only by the visual
+              grid (compress.py:123-165 detection; 2251-2256 is the
+              reference's logged-and-deferred gap)
     """
     r = _rng(f"styled-{i:06d}", seed)
-    variant = i % 3
+    variant = i % 4
     cols = [10 + 170 * ci for ci in range(4)]
     spans: list[tuple] = [
         ("pdf_text", _sentence(r, 6), "", _pack(0, 50, 10))
@@ -513,7 +518,7 @@ def styled_doc(i: int, seed: int = DEFAULT_SEED) -> tuple[list[tuple], dict]:
             )
             truth["cell"] += 1
             y += 20
-    else:
+    elif variant == 2:
         for x in cols:
             spans.append(
                 ("pdf_text", r.choice(_SAFE_WORDS).title(), "", _pack(0, y, x))
@@ -536,6 +541,26 @@ def styled_doc(i: int, seed: int = DEFAULT_SEED) -> tuple[list[tuple], dict]:
             )
         truth["text"] += 2
         y += 20
+    else:
+        # VH1 ruled grid: single-span multi-word rows (structurally
+        # prose — one span never starts a run) bounded by ruling lines
+        x0, x1 = 10, 400
+        n = r.randint(4, 7)
+        y0 = y - 10
+        for _ in range(n):
+            txt = " ".join(r.choice(_SAFE_WORDS) for _ in range(3))
+            spans.append(("pdf_text", txt, "", _pack(0, y, x0 + 5)))
+            truth["cell"] += 1
+            y += 20
+        y1 = y - 10
+        for k in range(n + 1):
+            spans.append(
+                ("pdf_line", "", f"ln:h:{x0}:{x1}", _pack(0, y0 + 20 * k, x0))
+            )
+        for lx in (x0, (x0 + x1) // 2, x1):
+            spans.append(
+                ("pdf_line", "", f"ln:v:{y0}:{y1}", _pack(0, y0, lx))
+            )
     return spans, truth
 
 

@@ -23,6 +23,8 @@ Re-expresses the semantics (NOT the code) of the reference pipeline:
     ....................................... spatial_text.py:297-308
   - span splitting at column boundaries owned by other rows
     (word-boundary only, min_gap 5 chars) .. compress.py:948-1032
+  - VH1 visual-grid detection from ruling-line spans + rescue of
+    text-missed rows inside the grid ....... compress.py:123-165, 2251-2256
 
 Input spans carry a packed ``offset``: ``page*1_000_000 + y_centi*1_000
 + x`` (integer centipoint grid — float-free determinism, FIXTURES.md).
@@ -572,6 +574,71 @@ def _detect_zebra_rows(
     return rescued
 
 
+def _parse_line_ref(ref: str) -> tuple[str, int, int] | None:
+    """('h'|'v', start, end) from a ruling-line span's media_ref
+    ("ln:h:<start>:<end>" h-line extent in x / "ln:v:<start>:<end>"
+    v-line extent in y); None for malformed refs."""
+    parts = (ref or "").split(":")
+    if len(parts) != 4 or parts[0] != "ln" or parts[1] not in ("h", "v"):
+        return None
+    try:
+        return parts[1], int(parts[2]), int(parts[3])
+    except ValueError:
+        return None
+
+
+PAGE_WIDTH = 1000  # packed-offset x-range (x < 1000 by construction)
+
+
+def _detect_visual_grid(
+    lines: list[tuple[int, int, str]],
+) -> tuple[int, int, int, int] | None:
+    """VH1 grid detection (docpact compress.py:123-165 semantics): a
+    table grid exists when >= 3 SIGNIFICANT horizontal lines (extent
+    >= 10% of page width) and >= 3 significant vertical lines (extent
+    >= 2% of page height) are present. Returns the grid bbox
+    (x0, y0, x1, y1) — min/max v-line x positions x min/max h-line y
+    positions — or None. lines = (y, x, media_ref)."""
+    sig_h: list[int] = []  # y positions
+    sig_v: list[int] = []  # x positions
+    for y, x, ref in lines:
+        parsed = _parse_line_ref(ref)
+        if parsed is None:
+            continue
+        orient, start, end = parsed
+        if orient == "h" and end - start >= 0.1 * PAGE_WIDTH:
+            sig_h.append(y)
+        elif orient == "v" and end - start >= 0.02 * PAGE_HEIGHT:
+            sig_v.append(x)
+    if len(sig_h) < 3 or len(sig_v) < 3:
+        return None
+    return min(sig_v), min(sig_h), max(sig_v), max(sig_h)
+
+
+def _detect_grid_rows(
+    block: list[list],
+    in_table: list[bool],
+    kv: list[bool],
+    grid: tuple[int, int, int, int] | None,
+) -> set[int]:
+    """VH1 rescue: rows the text heuristics did NOT claim whose y falls
+    inside the visual grid bbox emit as table cells. This resolves the
+    reference's cross-validation gap — 'visual grid detected (VH1) but
+    no TABLE region found' (compress.py:2251-2256), which it can only
+    log and defer to the LLM fallback — deterministically."""
+    if grid is None:
+        return set()
+    _x0, y0, _x1, y1 = grid
+    return {
+        idx
+        for idx, row in enumerate(block)
+        if not in_table[idx]
+        and not kv[idx]
+        and any(s[2] != "media" for s in row)
+        and y0 - Y_CLUSTER_TOL <= row[0][0] <= y1 + Y_CLUSTER_TOL
+    }
+
+
 def _is_flowing_text(row: list, med_len: float) -> bool:
     """Flowing-text rejection (compress.py:1316-1325 semantics): a
     multi-span row whose AVERAGE span length exceeds 2x the block's
@@ -696,11 +763,20 @@ def extract_page(
     """Extract one page. items = (y, x, kind, text, media_ref) tuples.
     Returns ordered (kind, text, media_ref) triples for the page."""
     out: list[tuple[str, str, str]] = []
+    # ruling-line spans are structural evidence (VH1), never content:
+    # route them to the visual channel before row clustering and count
+    # them as consumed ("ruling" reason keeps spans_in/out accounting)
+    lines = [(y, x, ref) for y, x, k, _t, ref in items if k == "pdf_line"]
+    if lines:
+        items = [it for it in items if it[2] != "pdf_line"]
+        drop(metrics, "ruling", len(lines))
+    grid = _detect_visual_grid(lines) if lines else None
     rows = _split_merged_spans(_cluster_rows(items))
     for block in _xy_cut(rows):
         in_table, runs = _detect_table_runs(block)
         kv = _detect_kv_runs(block, in_table)
         zebra_rows = _detect_zebra_rows(block, in_table, kv)
+        grid_rows = _detect_grid_rows(block, in_table, kv, grid)
         # per-run SPECIAL handling, checked in the reference's order
         # (compress.py:2351 transposed first, then 2386-2400 multi-row):
         # a matched run pre-builds its whole emission at the run's first
@@ -869,9 +945,9 @@ def extract_page(
                     )
                 )
                 continue
-            if idx in zebra_rows:
-                # VH3: fill-alternation confirmed a table the text
-                # heuristics missed — rows emit as cells
+            if idx in zebra_rows or idx in grid_rows:
+                # VH3 zebra / VH1 grid: the visual channel confirmed a
+                # table the text heuristics missed — rows emit as cells
                 for s in texts:
                     out.append(
                         (KIND_CELL, ocr_repair(normalize_text(s[3])), "")
@@ -919,7 +995,7 @@ def extract_pdfish_page_spans(spans: list[tuple]) -> tuple[list, dict]:
     items = []
     for kind, text, ref, off in spans:
         _p, y, x = decode_offset(off)
-        if kind != "media" and not (text or "").strip():
+        if kind not in ("media", "pdf_line") and not (text or "").strip():
             drop(metrics, "empty")
             continue
         items.append((y, x, kind, text or "", ref or ""))
@@ -934,7 +1010,7 @@ def extract_pdfish(spans: list[tuple]) -> tuple[list, dict]:
     metrics = new_metrics(len(spans))
     for kind, text, ref, off in spans:
         page, y, x = decode_offset(off)
-        if kind != "media" and not (text or "").strip():
+        if kind not in ("media", "pdf_line") and not (text or "").strip():
             drop(metrics, "empty")
             continue
         pages.setdefault(page, []).append((y, x, kind, text or "", ref or ""))

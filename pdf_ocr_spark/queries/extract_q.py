@@ -312,11 +312,14 @@ def x09_style_extract(spark, sf):
     flags ride the otherwise-unused media_ref of input text spans
     ("st:b" bold, "st:i" italic, "st:#N" row fill) — the contract span
     struct is unchanged, and output text spans still emit media_ref "".
-    Each styled archetype only extracts correctly via the channel (bold
-    multi-row word headers / zebra-striped single-span lists / in-run
-    italic captions). The oracle embeds the GENERATOR's ground-truth
-    per-kind counts as constants — computed from how each doc was
-    built, independent of the kernels."""
+    Ruling lines ride kind='pdf_line' spans ("ln:h/v:<start>:<end>") —
+    the PDF drawings scan's span-model analogue (VH1 grid,
+    compress.py:123-165). Each styled archetype only extracts correctly
+    via the channel (bold multi-row word headers / zebra-striped
+    single-span lists / in-run italic captions / ruled grids over
+    single-span prose rows). The oracle embeds the GENERATOR's
+    ground-truth per-kind counts as constants — computed from how each
+    doc was built, independent of the kernels."""
     from ..corpus import styled_doc
     from ..extract.schema import INPUT_SCHEMA
 

@@ -620,3 +620,26 @@ def test_split_merged_spans_semantics():
     assert _split_merged_spans(rows_same) == [
         sorted(rows_same[0], key=lambda t: (t[1], t[3]))
     ]
+
+
+def test_vh1_grid_rescue():
+    """VH1 (compress.py:123-165 + 2251-2256): a ruled grid (>=3
+    significant h- and v-lines) rescues text-missed rows as cells;
+    without the lines the same rows stay prose; insignificant lines
+    (short extents) never form a grid."""
+    from pdf_ocr_spark.corpus import styled_doc
+
+    spans, truth = styled_doc(3)  # i%4==3 = VH1 archetype
+    out, m = extract_pdfish(spans)
+    assert sum(1 for k, *_ in out if k == "cell") == truth["cell"]
+    assert m["drop_reasons"].get("ruling", 0) > 0
+    nolines = [s for s in spans if s[0] != "pdf_line"]
+    out2, _ = extract_pdfish(nolines)
+    assert all(k != "cell" for k, *_ in out2)
+    # short lines are insignificant: extent < 10% page width (h)
+    short = [
+        (k, t, "ln:h:10:50" if k == "pdf_line" else r, o)
+        for k, t, r, o in spans
+    ]
+    out3, _ = extract_pdfish(short)
+    assert all(k != "cell" for k, *_ in out3)
