@@ -473,23 +473,26 @@ def styled_doc(i: int, seed: int = DEFAULT_SEED) -> tuple[list[tuple], dict]:
     constants; golden tests assert exact sequences). Four archetypes
     that only extract correctly via the style/visual channel:
 
-      i%4==0  FH2: two bold all-word header rows over all-word data
+      i%5==0  FH2: two bold all-word header rows over all-word data
               rows — the H7 span-count signature is uniform and every
               row is numeric-free, so structure alone finds at most one
               header row (compress.py:600-646)
-      i%4==1  VH3: zebra list — single-span rows with alternating fill
+      i%5==1  VH3: zebra list — single-span rows with alternating fill
               ids, structurally prose (compress.py:232-292)
-      i%4==2  FH3: an all-italic caption row INSIDE a numeric table run
+      i%5==2  FH3: an all-italic caption row INSIDE a numeric table run
               (shares the run's anchors — structurally cells)
               (compress.py:651-693 metadata_rows)
-      i%4==3  VH1: a ruled grid (>= 3 significant h- and v-lines as
+      i%5==3  VH1: a ruled grid (>= 3 significant h- and v-lines as
               kind='pdf_line' spans) over single-span multi-word rows —
               structurally prose, rescued as cells only by the visual
               grid (compress.py:123-165 detection; 2251-2256 is the
               reference's logged-and-deferred gap)
+      i%5==4  VH2: two header rows sharing one fill id over unfilled
+              all-word data rows — same structural ambiguity as FH2,
+              the header fill is the only signal (compress.py:169-226)
     """
     r = _rng(f"styled-{i:06d}", seed)
-    variant = i % 4
+    variant = i % 5
     cols = [10 + 170 * ci for ci in range(4)]
     spans: list[tuple] = [
         ("pdf_text", _sentence(r, 6), "", _pack(0, 50, 10))
@@ -541,7 +544,7 @@ def styled_doc(i: int, seed: int = DEFAULT_SEED) -> tuple[list[tuple], dict]:
             )
         truth["text"] += 2
         y += 20
-    else:
+    elif variant == 3:
         # VH1 ruled grid: single-span multi-word rows (structurally
         # prose — one span never starts a run) bounded by ruling lines
         x0, x1 = 10, 400
@@ -561,6 +564,25 @@ def styled_doc(i: int, seed: int = DEFAULT_SEED) -> tuple[list[tuple], dict]:
             spans.append(
                 ("pdf_line", "", f"ln:v:{y0}:{y1}", _pack(0, y0, lx))
             )
+    else:
+        # VH2 header fill: two rows sharing one fill id over unfilled
+        # all-word data rows — uniform span counts + numeric-free rows,
+        # so only the fill contrast identifies the 2-row header
+        for _hr in range(2):
+            for x in cols:
+                spans.append(
+                    ("pdf_text", r.choice(_SAFE_WORDS).title(), "st:#7",
+                     _pack(0, y, x))
+                )
+            truth["heading"] += len(cols)
+            y += 20
+        for _ in range(r.randint(4, 8)):
+            for x in cols:
+                spans.append(
+                    ("pdf_text", r.choice(_SAFE_WORDS), "", _pack(0, y, x))
+                )
+            truth["cell"] += len(cols)
+            y += 20
     return spans, truth
 
 

@@ -524,6 +524,39 @@ def _bold_header_prefix(block: list[list], run: list[int]) -> int:
     return prefix
 
 
+def _fill_header_prefix(block: list[list], run: list[int]) -> int:
+    """VH2 header-fill evidence (compress.py:169-226 semantics): leading
+    run rows whose spans all share ONE fill-color id are header rows —
+    valid only when that color does not also dominate the remaining
+    (data) rows ('header highlight' needs the header/data contrast,
+    mirroring the reference's most-common-color + first-rows check).
+    Returns the filled header-prefix length, 0 when absent."""
+    fills: list[str | None] = []
+    for k in run:
+        texts = [s for s in block[k] if s[2] != "media"]
+        row_fills = {span_style(s[4])[1] for s in texts}
+        fills.append(
+            next(iter(row_fills))
+            if len(row_fills) == 1 and None not in row_fills
+            else None
+        )
+    if not fills or fills[0] is None:
+        return 0
+    color = fills[0]
+    prefix = 0
+    for f in fills:
+        if f == color:
+            prefix += 1
+        else:
+            break
+    if prefix == 0 or prefix >= len(fills):
+        return 0
+    data = fills[prefix:]
+    if sum(1 for f in data if f == color) / len(data) >= 0.5:
+        return 0
+    return prefix
+
+
 def _italic_ratio(texts: list) -> float:
     """Fraction of a row's text spans flagged italic (FH3 input)."""
     if not texts:
@@ -829,11 +862,15 @@ def extract_page(
                 sum(1 for s in block[k] if s[2] != "media") for k in run
             ]
             hc = _estimate_header_count(counts)
-            # FH2 bold-header evidence can extend (never shrink) the
-            # structural estimate: with a uniform span-count signature
-            # and all-word rows, structure alone finds at most one
-            # header row — the bold prefix is the only signal
-            hc = max(hc, _bold_header_prefix(block, run))
+            # FH2 bold / VH2 header-fill evidence can extend (never
+            # shrink) the structural estimate: with a uniform span-count
+            # signature and all-word rows, structure alone finds at most
+            # one header row — the style channel is the only signal
+            hc = max(
+                hc,
+                _bold_header_prefix(block, run),
+                _fill_header_prefix(block, run),
+            )
             if hc > 0:
                 # H7 signature found: every row above the first data-like
                 # row is a header (compress.py:1469-1509 — no content

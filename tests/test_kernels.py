@@ -643,3 +643,17 @@ def test_vh1_grid_rescue():
     ]
     out3, _ = extract_pdfish(short)
     assert all(k != "cell" for k, *_ in out3)
+
+
+def test_vh2_fill_header_prefix():
+    """VH2 (compress.py:169-226): a shared-fill header prefix over
+    unfilled data rows extends the header estimate; stripping the fills
+    collapses it to the structural single-row fallback."""
+    from pdf_ocr_spark.corpus import styled_doc
+
+    spans, truth = styled_doc(4)  # i%5==4 = VH2 archetype
+    out, _ = extract_pdfish(spans)
+    assert sum(1 for k, *_ in out if k == "heading") == truth["heading"]
+    nofill = [(k, t, "", o) for k, t, _r, o in spans]
+    out2, _ = extract_pdfish(nofill)
+    assert sum(1 for k, *_ in out2 if k == "heading") < truth["heading"]
