@@ -330,7 +330,8 @@ Phase probes at each level (same taskset confinement, warm JVM+workers):
 |---|---|---|---|
 | scan + salted repartition (JVM only) | ~8 s | 2.2 s | ~0.9 |
 | small-doc branch (Arrow→kernels→Arrow) | 128.0 s | 41.6 s | 0.77 |
-| mega-doc branch (explode→page UDF→reassembly shuffles) | 38.0 s | 13.7 s | 0.69 |
+| mega-doc branch, pre-fusion (explode→page UDF→2 aggs + join) | 38.0 s | 13.7 s | 0.69 |
+| mega-doc branch, FUSED reassembly (one groupBy agg) | 26.3 s | 10.3 s | see note |
 | Arrow conversion alone (passthrough UDF, no kernels) | — | 13.6 s | — |
 
 The small-doc map path — the common case — scales at 0.77 (vs the
@@ -340,9 +341,34 @@ are memory-bandwidth- and single-JVM-GC-bound — on a real multi-node
 cluster those shuffles spread across per-node disks, NICs, and heaps,
 which is exactly the single-box penalty the calibration ceiling cannot
 capture (it has no shuffle at all). Fixes that DID land from these
-probes: data-sized (level-identical) shuffle/salt grain, and single-scan
+probes: data-sized (level-identical) shuffle/salt grain, single-scan
 branch routing (both branches consume one shuffle stage instead of
-re-scanning the nested input).
+re-scanning the nested input), and the FUSED reassembly (round 2): the
+ordered `sort_array(collect_list)` span sequence and the merged metrics
+maps now come out of ONE `groupBy(doc_id)` — the second wide
+aggregation (which re-executed the page kernel) and its join are gone.
+Fusion note: the fused branch cut wall ~31 % at N (38.0→26.3 s) and
+~25 % at 4N (13.7→10.3 s). Its min-of-6 phase-ratio estimate is
+0.64–0.79 depending on run pairing — at this ~30 s probe length the
+co-tenant bursts (up to 50 % spread at 4 cores: 26.3–40.0 s) exceed
+the effect being measured, so we report the wall reductions (solid)
+and defer the ratio to the full-job number, which runs 3–6x longer and
+DID move: raw N→4N 0.709 → 0.729 (study l) with fusion as the only
+pipeline change in between.
+
+### Streaming vs hash-agg page grouping (A/B, measured)
+
+The judge-suggested restructure — flat-row shuffle +
+`sortWithinPartitions` + per-partition streaming run grouping instead
+of `groupBy(doc_id, page).agg(collect_list)` — is implemented
+(`extract(page_stream=True)`) and interleaved-A/B'd on the same
+600-mega-doc corpus: 16-core minima 11.5 s (stream) vs 10.7 s (group);
+4-core minima 32.6 s vs 30.6 s. Parity at 4N, ~6 % regression at N:
+the Python-side run detection costs what the JVM hash-agg saved, and
+at low parallelism Python CPU is the binding resource. The
+measured-fastest groupBy+fused-agg shape stays the default; the
+streaming shape remains available where sort-based grouping's bounded
+aggregation memory matters (pathologically large single pages).
 
 ### Why N=4 / 4N=16 (and not 8/32)
 
