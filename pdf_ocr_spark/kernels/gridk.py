@@ -9,7 +9,10 @@ grid-shaped extractors — the XLSX family (SURVEY.md §2.1–2.2):
       ................................. xlsx_extractor.py:983-1034
   - trailing footnote-row strip ....... xlsx_extractor.py:924-981
   - trailing empty-column trim ........ xlsx_extractor.py:794-922
-  - header row = first non-numeric row  (header estimation analogue)
+  - merge-based multi-row header estimation: last horizontal-merge row
+    within the first 10, extended while rows stay all-string (TH2) —
+    the XLSX/DOCX DH2 rule ............ xlsx_extractor.py:377-430
+  - fallback header row = first non-numeric row
 
 Input spans (corpus ``grid-``):
   kind='grid_cell'        text=value        offset=sheet*1_000_000+row*1_000+col
@@ -56,6 +59,38 @@ def _expand_merges(cells: dict, merges: list[tuple[int, int, int, int]]) -> None
         for r in range(r0, r1 + 1):
             for c in range(c0, c1 + 1):
                 cells[(r, c)] = val
+
+
+_HEADER_SCAN = 10  # xlsx_extractor.py:385 max_scan
+
+
+def _estimate_header_rows(
+    rows: list[int],
+    row_values,
+    merges: list[tuple[int, int, int, int]],
+) -> int:
+    """Merge-based header estimation (xlsx_extractor.py:377-430
+    semantics, mirroring DOCX's DH2): (1) the LAST row within the first
+    ``_HEADER_SCAN`` rows that starts a HORIZONTAL merge (a range
+    spanning multiple columns — vertical-only merges are row-label
+    grouping, not headers) anchors the header block; (2) the block
+    extends past it while rows stay all-string (TH2: no numeric cell).
+    Returns the header row count; 0 when no horizontal merge exists
+    (callers fall back to the first-non-numeric-row rule)."""
+    scan = set(rows[:_HEADER_SCAN])
+    h_merge_rows = [
+        r0 for r0, c0, _r1, c1 in merges if c1 > c0 and r0 in scan
+    ]
+    if not h_merge_rows:
+        return 0
+    last = max(h_merge_rows)
+    k = next(i for i, r in enumerate(rows) if r >= last) + 1
+    while k < len(rows):
+        filled = [v for v in row_values(rows[k]) if v.strip()]
+        if not filled or any(_NUM_RE.match(v.strip()) for v in filled):
+            break
+        k += 1
+    return k
 
 
 def _extract_sheet(
@@ -112,6 +147,11 @@ def _extract_sheet(
     for r, c, ref in media:
         media_by_row.setdefault(r, []).append((c, ref))
 
+    # multi-row headers from horizontal merges (DH2); fallback to the
+    # first-non-numeric-row rule when no horizontal merge exists
+    merge_header_count = _estimate_header_rows(rows, row_values, merges)
+    header_rows = set(rows[:merge_header_count])
+
     header_emitted = False
     for r in rows:
         vals = row_values(r)
@@ -122,9 +162,12 @@ def _extract_sheet(
         if _AGG_RE.match(filled[0]):
             drop(metrics, "aggregation_row", len(filled))
             continue
-        is_header = not header_emitted and not any(
-            _NUM_RE.match(v.strip()) for v in filled
-        )
+        if header_rows:
+            is_header = r in header_rows
+        else:
+            is_header = not header_emitted and not any(
+                _NUM_RE.match(v.strip()) for v in filled
+            )
         kind = KIND_HEADING if is_header else KIND_CELL
         if is_header:
             header_emitted = True

@@ -130,3 +130,56 @@ def test_spark_grid_extraction_matches_oracle(spark):
     for d in ids:
         want, _m = extract_grid_doc(generate_doc(d))
         assert got[d] == want, d
+
+
+def test_merge_based_multirow_header():
+    """DH2 (xlsx_extractor.py:377-430): a horizontal merge in the top
+    rows anchors a multi-row header; the block extends through the
+    following all-string row, stopping at the first numeric row."""
+    spans, _m = extract_grid_doc(
+        [
+            ("grid_merge", "0,1,0,2", "", 1),
+            g(0, 0, "Region"), g(0, 1, "Sales H1"),
+            g(1, 1, "Jan"), g(1, 2, "Feb"),
+            g(2, 0, "North"), g(2, 1, "10"), g(2, 2, "20"),
+        ]
+    )
+    assert kinds_texts(spans) == [
+        ("heading", "Region"), ("heading", "Sales H1"), ("heading", "Sales H1"),
+        ("heading", "Jan"), ("heading", "Feb"),
+        ("cell", "North"), ("cell", "10"), ("cell", "20"),
+    ]
+
+
+def test_vertical_merge_does_not_anchor_header():
+    """Vertical-only merges are row-label grouping, not headers — the
+    fallback first-non-numeric-row rule applies."""
+    spans, _m = extract_grid_doc(
+        [
+            ("grid_merge", "1,0,2,0", "", 1_000),
+            g(0, 0, "K"), g(0, 1, "V"),
+            g(1, 0, "a"), g(1, 1, "1"),
+            g(2, 1, "2"),
+        ]
+    )
+    assert kinds_texts(spans) == [
+        ("heading", "K"), ("heading", "V"),
+        ("cell", "a"), ("cell", "1"),
+        ("cell", "a"), ("cell", "2"),
+    ]
+
+
+def test_merge_header_stops_at_numeric_row():
+    """Extension past the merge row halts at the first row containing a
+    numeric cell: only the merge row itself is the header."""
+    spans, _m = extract_grid_doc(
+        [
+            ("grid_merge", "0,0,0,1", "", 0),
+            g(0, 0, "Totals by month"),
+            g(1, 0, "Jan"), g(1, 1, "5"),
+        ]
+    )
+    assert kinds_texts(spans) == [
+        ("heading", "Totals by month"), ("heading", "Totals by month"),
+        ("cell", "Jan"), ("cell", "5"),
+    ]
