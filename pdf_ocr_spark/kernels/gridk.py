@@ -12,6 +12,11 @@ grid-shaped extractors — the XLSX family (SURVEY.md §2.1–2.2):
   - merge-based multi-row header estimation: last horizontal-merge row
     within the first 10, extended while rows stay all-string (TH2) —
     the XLSX/DOCX DH2 rule ............ xlsx_extractor.py:377-430
+  - compound column names from multi-row headers: per-row forward
+    fill, vertical " / " stack, consecutive-duplicate collapse
+      ................................. xlsx_extractor.py:434-476
+  - title-row detection (XH2): single originally-filled cell atop a
+    multi-row header block ............ xlsx_extractor.py:478-496
   - fallback header row = first non-numeric row
 
 Input spans (corpus ``grid-``):
@@ -93,6 +98,35 @@ def _estimate_header_rows(
     return k
 
 
+def _compound_headers(
+    header_rows: list[int],
+    row_values,
+) -> list[str]:
+    """Compound column names from a multi-row header block
+    (xlsx_extractor.py:434-476 semantics): forward-fill each header row
+    independently, then stack rows per column with " / ", collapsing
+    consecutive duplicate fragments (merge expansion makes the fill a
+    no-op over merged ranges; it still recovers sparse typed rows)."""
+    filled_rows: list[list[str]] = []
+    for r in header_rows:
+        filled, last = [], ""
+        for v in row_values(r):
+            v = v.strip()
+            if v:
+                last = v
+            filled.append(v or last)
+        filled_rows.append(filled)
+    names = []
+    for ci in range(len(filled_rows[0])):
+        parts: list[str] = []
+        for fr in filled_rows:
+            v = fr[ci]
+            if v and (not parts or v != parts[-1]):
+                parts.append(v)
+        names.append(" / ".join(parts))
+    return names
+
+
 def _extract_sheet(
     cells: dict,
     media: list[tuple[int, int, str]],
@@ -101,6 +135,9 @@ def _extract_sheet(
     hidden_cols: set[int],
     metrics: dict,
 ) -> list[tuple[str, str, str]]:
+    # pre-expansion fill map: XH2 title detection counts ORIGINALLY
+    # filled cells (a full-width merged title has one source cell)
+    orig_filled = {k for k, v in cells.items() if (v or "").strip()}
     _expand_merges(cells, merges)
 
     for (r, c) in list(cells):
@@ -150,10 +187,33 @@ def _extract_sheet(
     # multi-row headers from horizontal merges (DH2); fallback to the
     # first-non-numeric-row rule when no horizontal merge exists
     merge_header_count = _estimate_header_rows(rows, row_values, merges)
-    header_rows = set(rows[:merge_header_count])
+    header_block = rows[:merge_header_count]
 
-    header_emitted = False
+    if header_block:
+        # XH2 title row: exactly one originally-filled cell atop a
+        # multi-row block is a title, not a column header
+        if len(header_block) > 1:
+            src = [c for c in cols if (header_block[0], c) in orig_filled]
+            if len(src) == 1:
+                out.append(
+                    (KIND_HEADING,
+                     normalize_text(cells[(header_block[0], src[0])]), "")
+                )
+                for c, ref in sorted(media_by_row.pop(header_block[0], [])):
+                    out.append((KIND_MEDIA, "", ref))
+                header_block = header_block[1:]
+        for name in _compound_headers(header_block, row_values):
+            if name:
+                out.append((KIND_HEADING, normalize_text(name), ""))
+        for r in header_block:
+            for c, ref in sorted(media_by_row.pop(r, [])):
+                out.append((KIND_MEDIA, "", ref))
+
+    header_set = set(rows[:merge_header_count])
+    header_emitted = bool(header_block)
     for r in rows:
+        if r in header_set:
+            continue
         vals = row_values(r)
         filled = [v for v in vals if v.strip()]
         if not filled:
@@ -162,12 +222,9 @@ def _extract_sheet(
         if _AGG_RE.match(filled[0]):
             drop(metrics, "aggregation_row", len(filled))
             continue
-        if header_rows:
-            is_header = r in header_rows
-        else:
-            is_header = not header_emitted and not any(
-                _NUM_RE.match(v.strip()) for v in filled
-            )
+        is_header = not header_emitted and not any(
+            _NUM_RE.match(v.strip()) for v in filled
+        )
         kind = KIND_HEADING if is_header else KIND_CELL
         if is_header:
             header_emitted = True

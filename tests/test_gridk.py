@@ -132,10 +132,12 @@ def test_spark_grid_extraction_matches_oracle(spark):
         assert got[d] == want, d
 
 
-def test_merge_based_multirow_header():
+def test_merge_based_multirow_header_compound_names():
     """DH2 (xlsx_extractor.py:377-430): a horizontal merge in the top
     rows anchors a multi-row header; the block extends through the
-    following all-string row, stopping at the first numeric row."""
+    following all-string row, stopping at the first numeric row. The
+    block is consumed as compound " / " column names
+    (xlsx_extractor.py:434-476)."""
     spans, _m = extract_grid_doc(
         [
             ("grid_merge", "0,1,0,2", "", 1),
@@ -145,8 +147,30 @@ def test_merge_based_multirow_header():
         ]
     )
     assert kinds_texts(spans) == [
-        ("heading", "Region"), ("heading", "Sales H1"), ("heading", "Sales H1"),
-        ("heading", "Jan"), ("heading", "Feb"),
+        ("heading", "Region"),
+        ("heading", "Sales H1 / Jan"), ("heading", "Sales H1 / Feb"),
+        ("cell", "North"), ("cell", "10"), ("cell", "20"),
+    ]
+
+
+def test_title_row_above_multirow_header():
+    """XH2 (xlsx_extractor.py:478-496): exactly one originally-filled
+    cell atop a multi-row header block is a title heading, excluded
+    from the compound column names."""
+    spans, _m = extract_grid_doc(
+        [
+            ("grid_merge", "0,0,0,2", "", 0),
+            g(0, 0, "Quarterly Report"),
+            ("grid_merge", "1,1,1,2", "", 1_001),
+            g(1, 0, "Region"), g(1, 1, "Sales"),
+            g(2, 1, "Jan"), g(2, 2, "Feb"),
+            g(3, 0, "North"), g(3, 1, "10"), g(3, 2, "20"),
+        ]
+    )
+    assert kinds_texts(spans) == [
+        ("heading", "Quarterly Report"),
+        ("heading", "Region"),
+        ("heading", "Sales / Jan"), ("heading", "Sales / Feb"),
         ("cell", "North"), ("cell", "10"), ("cell", "20"),
     ]
 
