@@ -265,13 +265,47 @@ def _gen_grid(doc_id: str, r: random.Random) -> list[tuple]:
     for sheet in range(r.randint(1, 2)):
         ncols = r.randint(3, 5)
         nrows = r.randint(4, 10)
-        # header row 0
-        for c in range(ncols):
+        # header block: usually one row; ~35% a multi-row header with a
+        # horizontal group merge (DH2, xlsx_extractor.py:377-430) and
+        # optionally an XH2 title row (full-width merge, single cell)
+        h = 1
+        if r.random() < 0.35 and ncols >= 4:
+            base = 0
+            if r.random() < 0.5:
+                spans.append(
+                    ("grid_cell", f"{_word(r).title()} Report", "",
+                     pack(sheet, 0, 0))
+                )
+                spans.append(
+                    ("grid_merge", f"0,0,0,{ncols - 1}", "", pack(sheet, 0, 0))
+                )
+                base = 1
+            # group row: left label + group label merged over data cols
             spans.append(
-                ("grid_cell", _HEADERS[c % len(_HEADERS)], "", pack(sheet, 0, c))
+                ("grid_cell", _HEADERS[0], "", pack(sheet, base, 0))
             )
-        # data rows 1..nrows
-        for row in range(1, nrows + 1):
+            spans.append(
+                ("grid_cell", "Traffic by period", "", pack(sheet, base, 2))
+            )
+            spans.append(
+                ("grid_merge", f"{base},2,{base},{ncols - 1}", "",
+                 pack(sheet, base, 2))
+            )
+            # leaf header row
+            for c in range(ncols):
+                spans.append(
+                    ("grid_cell", _HEADERS[c % len(_HEADERS)], "",
+                     pack(sheet, base + 1, c))
+                )
+            h = base + 2
+        else:
+            for c in range(ncols):
+                spans.append(
+                    ("grid_cell", _HEADERS[c % len(_HEADERS)], "",
+                     pack(sheet, 0, c))
+                )
+        # data rows h..h+nrows-1
+        for row in range(h, h + nrows):
             for c in range(ncols):
                 val = (
                     r.choice(_PORTS).title()
@@ -283,14 +317,14 @@ def _gen_grid(doc_id: str, r: random.Random) -> list[tuple]:
                 spans.append(("grid_cell", val, "", pack(sheet, row, c)))
         # merged range in the data area (top-left keeps its value)
         if r.random() < 0.6 and nrows >= 3:
-            r0 = r.randint(1, nrows - 1)
+            r0 = r.randint(h, h + nrows - 2)
             spans.append(
                 ("grid_merge", f"{r0},0,{r0 + 1},0", "", pack(sheet, r0, 0))
             )
         # hidden row / column
         if r.random() < 0.5:
             spans.append(
-                ("grid_hidden_row", str(r.randint(1, nrows)), "",
+                ("grid_hidden_row", str(r.randint(h, h + nrows - 1)), "",
                  pack(sheet, 0, 0))
             )
         if r.random() < 0.3:
@@ -298,7 +332,7 @@ def _gen_grid(doc_id: str, r: random.Random) -> list[tuple]:
                 ("grid_hidden_col", str(ncols - 1), "", pack(sheet, 0, 0))
             )
         # aggregation total row
-        agg_row = nrows + 1
+        agg_row = h + nrows
         spans.append(("grid_cell", "Total", "", pack(sheet, agg_row, 0)))
         spans.append(
             ("grid_cell", f"{r.randint(100, 999)},000", "",
@@ -311,12 +345,12 @@ def _gen_grid(doc_id: str, r: random.Random) -> list[tuple]:
                  pack(sheet, agg_row + 1, 0))
             )
         # trailing empty column (value-less cells)
-        spans.append(("grid_cell", "  ", "", pack(sheet, 1, ncols)))
+        spans.append(("grid_cell", "  ", "", pack(sheet, h, ncols)))
         # embedded chart/image
         if r.random() < 0.4:
             spans.append(
                 ("media", "", f"img://{doc_id}/s{sheet}",
-                 pack(sheet, r.randint(1, nrows), 1))
+                 pack(sheet, r.randint(h, h + nrows - 1), 1))
             )
     return spans
 
