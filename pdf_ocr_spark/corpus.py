@@ -490,6 +490,53 @@ def merged_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
     return m_spans, u_spans
 
 
+def grid_header_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
+    """A grid doc with a MULTI-ROW header (horizontal group merge over
+    the data columns + leaf header row, docpact
+    xlsx_extractor.py:377-430) and its FLAT TWIN whose single header row
+    carries the pre-stacked compound " / " names
+    (xlsx_extractor.py:434-476). The grid kernel's DH2 estimation +
+    compound stacking must extract both to the SAME span sequence —
+    the 'gridheader' family of the twin-suite oracle."""
+    r = _rng(f"pairg-{pair_id}", seed)
+    ncols = r.randint(4, 5)
+    nrows = r.randint(3, 6)
+    group = f"Traffic {_word(r).title()}"
+    leaf = [_HEADERS[c % len(_HEADERS)] for c in range(ncols)]
+
+    def pack(row, col):
+        return row * 1_000 + col
+
+    # multi-row side: group row repeats the label columns' leaf names
+    # (consecutive-duplicate collapse keeps them single) and merges the
+    # group label over the numeric columns
+    m_spans: list[tuple] = []
+    for c in range(2):
+        m_spans.append(("grid_cell", leaf[c], "", pack(0, c)))
+    m_spans.append(("grid_cell", group, "", pack(0, 2)))
+    m_spans.append(("grid_merge", f"0,2,0,{ncols - 1}", "", pack(0, 2)))
+    for c in range(ncols):
+        m_spans.append(("grid_cell", leaf[c], "", pack(1, c)))
+    # flat twin: one header row of compound names
+    f_spans: list[tuple] = []
+    for c in range(ncols):
+        name = leaf[c] if c < 2 else f"{group} / {leaf[c]}"
+        f_spans.append(("grid_cell", name, "", pack(0, c)))
+    # identical data rows on both sides
+    for ri in range(nrows):
+        for c in range(ncols):
+            val = (
+                r.choice(_PORTS).title()
+                if c == 0
+                else _word(r)
+                if c == 1
+                else f"{r.randint(1, 99)},{r.randint(100, 999)}"
+            )
+            m_spans.append(("grid_cell", val, "", pack(2 + ri, c)))
+            f_spans.append(("grid_cell", val, "", pack(1 + ri, c)))
+    return m_spans, f_spans
+
+
 # ----------------------------------------------------------------- styled
 
 # Style flags ride the otherwise-unused media_ref of text spans

@@ -215,17 +215,22 @@ ORACLE["z01_zone_text"] = _Z01_ORACLE
 _N_PAIRS = 24
 
 
-def _pair_equality(spark, pair_fn, tag):
+def _pair_equality(spark, pair_fn, tag, corpus="pdfish"):
     """Run a twin-pair corpus through the FULL Spark extraction pipeline
-    and compare the two sides' output span sequences per pair."""
+    and compare the two sides' output span sequences per pair. The
+    ``corpus`` prefix routes each side to its kernel (corpus_of)."""
     from ..extract.pipeline import extract
     from ..extract.schema import INPUT_SCHEMA, span_dicts
 
     rows = []
     for i in range(_N_PAIRS):
         a, b = pair_fn(i)
-        rows.append({"doc_id": f"pdfish-{tag}a{i:04d}", "spans": span_dicts(a)})
-        rows.append({"doc_id": f"pdfish-{tag}b{i:04d}", "spans": span_dicts(b)})
+        rows.append(
+            {"doc_id": f"{corpus}-{tag}a{i:04d}", "spans": span_dicts(a)}
+        )
+        rows.append(
+            {"doc_id": f"{corpus}-{tag}b{i:04d}", "spans": span_dicts(b)}
+        )
     inp = spark.createDataFrame(rows, INPUT_SCHEMA)
     seq = extract(inp).select(
         F.regexp_extract("doc_id", r"(a|b)(\d+)$", 2).cast("long").alias(
@@ -300,6 +305,21 @@ def x10_width_split_equivalence(spark, sf):
 
 QUERIES["x10_width_split_extract"] = x10_width_split_equivalence
 ORACLE["x10_width_split_extract"] = _PAIR_ORACLE
+
+
+def x11_grid_header_equivalence(spark, sf):
+    """Multi-row grid headers (docpact xlsx_extractor.py:377-430 DH2
+    merge-based estimation + 434-476 compound " / " stacking): a grid
+    doc whose header is a group merge + leaf row must extract to the
+    SAME span sequence as its flat twin carrying the pre-stacked
+    compound names. Oracle pins equal=true per pair."""
+    from ..corpus import grid_header_pair
+
+    return _pair_equality(spark, grid_header_pair, "g", corpus="grid")
+
+
+QUERIES["x11_grid_header_extract"] = x11_grid_header_equivalence
+ORACLE["x11_grid_header_extract"] = _PAIR_ORACLE
 
 
 # ---------------------------------------------------------------- x09

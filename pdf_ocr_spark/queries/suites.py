@@ -665,7 +665,8 @@ def c01_suite(spark, sf):
     "x07_twin_extract_suite",
     oracle="""
 SELECT f.family, g.pair_id, true AS equal
-FROM (VALUES ('transposed'), ('multirow'), ('width')) f(family),
+FROM (VALUES ('transposed'), ('multirow'), ('width'), ('gridheader'))
+     f(family),
      (SELECT unnest(generate_series(0, 23)) AS pair_id) g
 """,
 )
@@ -677,11 +678,14 @@ def x07_suite(spark, sf):
     compress.py:1762-1803 + interpret.py:1738-1816), 'multirow' (x08:
     period-2 records vs pre-merged twin, compress.py:1390-1466),
     'width' (x10: PDF-merged spans + width channel vs unmerged twin,
-    compress.py:948-1032 + spatial_text.py:297-308)."""
+    compress.py:948-1032 + spatial_text.py:297-308), 'gridheader'
+    (x11: multi-row grid header vs flat compound-name twin,
+    xlsx_extractor.py:377-430 + 434-476)."""
     fams = (
         ("transposed", "x07_transposed_extract"),
         ("multirow", "x08_multirow_extract"),
         ("width", "x10_width_split_extract"),
+        ("gridheader", "x11_grid_header_extract"),
     )
     parts = [
         extract_q.QUERIES[name](spark, sf).select(
