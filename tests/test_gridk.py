@@ -207,3 +207,122 @@ def test_merge_header_stops_at_numeric_row():
         ("heading", "Totals by month"), ("heading", "Totals by month"),
         ("cell", "Jan"), ("cell", "5"),
     ]
+
+
+def test_xh1_two_tables_split_by_blank_rows():
+    """XH1 (xlsx_extractor.py:593-649): >=2 blank rows split a sheet
+    into regions, each with its own header detection."""
+    spans, _m = extract_grid_doc(
+        [
+            g(0, 0, "Port"), g(0, 1, "Tonnage"),
+            g(1, 0, "Albany"), g(1, 1, "10"),
+            # rows 2-3 blank
+            g(4, 0, "Vessel"), g(4, 1, "Grade"),
+            g(5, 0, "Maria"), g(5, 1, "A"),
+        ]
+    )
+    assert kinds_texts(spans) == [
+        ("heading", "Port"), ("heading", "Tonnage"),
+        ("cell", "Albany"), ("cell", "10"),
+        ("heading", "Vessel"), ("heading", "Grade"),
+        ("cell", "Maria"), ("cell", "A"),
+    ]
+
+
+def test_xh1_side_by_side_tables_split_by_blank_cols():
+    """XH1 horizontal split: >=2 blank columns separate side-by-side
+    tables within one vertical band."""
+    spans, _m = extract_grid_doc(
+        [
+            g(0, 0, "Port"), g(0, 1, "Tonnage"),
+            g(1, 0, "Albany"), g(1, 1, "10"),
+            # cols 2-3 blank
+            g(0, 4, "Vessel"), g(0, 5, "Grade"),
+            g(1, 4, "Maria"), g(1, 5, "A"),
+        ]
+    )
+    assert kinds_texts(spans) == [
+        ("heading", "Port"), ("heading", "Tonnage"),
+        ("cell", "Albany"), ("cell", "10"),
+        ("heading", "Vessel"), ("heading", "Grade"),
+        ("cell", "Maria"), ("cell", "A"),
+    ]
+
+
+def test_xh1_small_fragment_dropped():
+    """A lone far-away cell is not a table (min 2x2): it drops with a
+    region_too_small metric while the real table extracts."""
+    spans, m = extract_grid_doc(
+        [
+            g(0, 0, "Port"), g(0, 1, "Tonnage"),
+            g(1, 0, "Albany"), g(1, 1, "10"),
+            g(9, 9, "stray"),
+        ]
+    )
+    assert kinds_texts(spans) == [
+        ("heading", "Port"), ("heading", "Tonnage"),
+        ("cell", "Albany"), ("cell", "10"),
+    ]
+    assert m["drop_reasons"]["region_too_small"] == 1
+
+
+def test_xh5_annotation_block_above_table():
+    """XH5 (xlsx_extractor.py:707-787): sparse annotation rows above a
+    blank separator emit as text lines, not header or data cells."""
+    hdr = ["Port", "Tonnage", "Grade", "ETA", "Cargo"]
+    d1 = ["Albany", "10", "A", "12", "oil"]
+    d2 = ["Sydney", "20", "B", "13", "ore"]
+    spans, _m = extract_grid_doc(
+        [g(0, 0, "Q3 Workbook"), g(1, 0, "Author:"), g(1, 1, "J. Doe")]
+        # row 2 blank (gap of 1 keeps one region)
+        + [g(3, c, v) for c, v in enumerate(hdr)]
+        + [g(4, c, v) for c, v in enumerate(d1)]
+        + [g(5, c, v) for c, v in enumerate(d2)]
+    )
+    assert kinds_texts(spans) == (
+        [("text", "Q3 Workbook"), ("text", "Author:; J. Doe")]
+        + [("heading", v) for v in hdr]
+        + [("cell", v) for v in d1]
+        + [("cell", v) for v in d2]
+    )
+
+
+def test_xh6_notes_column_behind_blank_fence():
+    """XH6 phase 1 (xlsx_extractor.py:790-850): a blank fence column
+    with a small notes section beyond it trims both."""
+    rows = [
+        ["Port", "Tonnage", "ETA", "Cargo", "", "Notes"],
+        ["Albany", "10", "12", "oil", "", "check"],
+        ["Sydney", "20", "13", "ore", "", ""],
+    ]
+    spans, _m = extract_grid_doc(
+        [
+            g(r, c, v)
+            for r, row in enumerate(rows)
+            for c, v in enumerate(row)
+        ]
+    )
+    texts = [t for _k, t in kinds_texts(spans)]
+    assert "Notes" not in texts and "check" not in texts
+    assert kinds_texts(spans)[:4] == [
+        ("heading", "Port"), ("heading", "Tonnage"),
+        ("heading", "ETA"), ("heading", "Cargo"),
+    ]
+
+
+def test_xh6_headerless_sparse_edge_column():
+    """XH6 phase 2: a directly-adjacent edge column with no header and
+    sparse data trims inward."""
+    spans, _m = extract_grid_doc(
+        [
+            g(0, 0, "Port"), g(0, 1, "Tonnage"),
+            g(1, 0, "Albany"), g(1, 1, "10"),
+            g(2, 0, "Sydney"), g(2, 1, "20"),
+            g(3, 0, "Hobart"), g(3, 1, "30"),
+            g(1, 2, "x"),  # headerless, 1/3 of data rows filled
+        ]
+    )
+    texts = [t for _k, t in kinds_texts(spans)]
+    assert "x" not in texts
+    assert texts == ["Port", "Tonnage", "Albany", "10", "Sydney", "20",
+                     "Hobart", "30"]
