@@ -265,21 +265,39 @@ def _gen_grid(doc_id: str, r: random.Random) -> list[tuple]:
     for sheet in range(r.randint(1, 2)):
         ncols = r.randint(3, 5)
         nrows = r.randint(4, 10)
+        # ~20%: an XH5 annotation block (sparse metadata rows + blank
+        # separator) sits above the table when it is wide enough for the
+        # sparsity gate (xlsx_extractor.py:707-787)
+        base_row = 0
+        ncols_wide = ncols >= 4
+        if ncols_wide and r.random() < 0.2:
+            spans.append(
+                ("grid_cell", f"{_word(r).title()} Workbook", "",
+                 pack(sheet, 0, 0))
+            )
+            spans.append(
+                ("grid_cell", "Author:", "", pack(sheet, 1, 0))
+            )
+            spans.append(
+                ("grid_cell", _word(r).title(), "", pack(sheet, 1, 1))
+            )
+            base_row = 3  # row 2 stays blank (single-row separator)
         # header block: usually one row; ~35% a multi-row header with a
         # horizontal group merge (DH2, xlsx_extractor.py:377-430) and
         # optionally an XH2 title row (full-width merge, single cell)
-        h = 1
-        if r.random() < 0.35 and ncols >= 4:
-            base = 0
+        h = base_row + 1
+        if r.random() < 0.35 and ncols_wide:
+            base = base_row
             if r.random() < 0.5:
                 spans.append(
                     ("grid_cell", f"{_word(r).title()} Report", "",
-                     pack(sheet, 0, 0))
+                     pack(sheet, base, 0))
                 )
                 spans.append(
-                    ("grid_merge", f"0,0,0,{ncols - 1}", "", pack(sheet, 0, 0))
+                    ("grid_merge", f"{base},0,{base},{ncols - 1}", "",
+                     pack(sheet, base, 0))
                 )
-                base = 1
+                base += 1
             # group row: left label + group label merged over data cols
             spans.append(
                 ("grid_cell", _HEADERS[0], "", pack(sheet, base, 0))
@@ -302,7 +320,7 @@ def _gen_grid(doc_id: str, r: random.Random) -> list[tuple]:
             for c in range(ncols):
                 spans.append(
                     ("grid_cell", _HEADERS[c % len(_HEADERS)], "",
-                     pack(sheet, 0, c))
+                     pack(sheet, base_row, c))
                 )
         # data rows h..h+nrows-1
         for row in range(h, h + nrows):
@@ -344,6 +362,26 @@ def _gen_grid(doc_id: str, r: random.Random) -> list[tuple]:
                 ("grid_cell", f"* Note: {_sentence(r, 4)}", "",
                  pack(sheet, agg_row + 1, 0))
             )
+        # ~15%: an XH1 second table region after a >=2-blank-row gap
+        # (xlsx_extractor.py:593-649 multi-table sheets)
+        if r.random() < 0.15:
+            t2 = agg_row + 4
+            n2c, n2r = r.randint(2, 3), r.randint(2, 3)
+            for c in range(n2c):
+                spans.append(
+                    ("grid_cell", _HEADERS[(c + 2) % len(_HEADERS)], "",
+                     pack(sheet, t2, c))
+                )
+            for ri in range(1, n2r + 1):
+                for c in range(n2c):
+                    val = (
+                        r.choice(_PORTS).title()
+                        if c == 0
+                        else f"{r.randint(1, 99)},{r.randint(100, 999)}"
+                    )
+                    spans.append(
+                        ("grid_cell", val, "", pack(sheet, t2 + ri, c))
+                    )
         # trailing empty column (value-less cells)
         spans.append(("grid_cell", "  ", "", pack(sheet, h, ncols)))
         # embedded chart/image
