@@ -705,6 +705,60 @@ def styled_doc(i: int, seed: int = DEFAULT_SEED) -> tuple[list[tuple], dict]:
     return spans, truth
 
 
+# -------------------------------------------------------------- boxes
+
+
+def _gen_boxes(doc_id: str, r: random.Random) -> list[tuple]:
+    """Slide-deck-shaped doc (PPTX family, docpact pptx_extractor.py):
+    1-3 slides, each with a title box, usually an aligned text-box
+    table (>=3 rows so the slide gates pass), free-text bullets, and
+    sometimes a 2-row aligned pair that must STAY text
+    (pptx_extractor.py:352-380 gates) or an embedded image."""
+    spans: list[tuple] = []
+    for slide in range(r.randint(1, 3)):
+        spans.append(
+            ("box", f"{_word(r).title()} {_word(r)}", "", _pack(slide, 40, 60))
+        )
+        if r.random() < 0.75:
+            ncols = r.randint(2, 4)
+            nrows = r.randint(3, 6)
+            xs = [100 + 150 * c for c in range(ncols)]
+            for c in range(ncols):
+                spans.append(
+                    ("box", _HEADERS[c % len(_HEADERS)], "",
+                     _pack(slide, 200, xs[c]))
+                )
+            for ri in range(1, nrows):
+                for c in range(ncols):
+                    val = (
+                        r.choice(_PORTS).title()
+                        if c == 0
+                        else f"{r.randint(1, 99)},{r.randint(100, 999)}"
+                    )
+                    spans.append(
+                        ("box", val, "", _pack(slide, 200 + 60 * ri, xs[c]))
+                    )
+        # free-text bullets below the table zone
+        y = 700
+        for _ in range(r.randint(1, 3)):
+            spans.append(("box", _sentence(r, 5), "", _pack(slide, y, 80)))
+            y += 40
+        if r.random() < 0.3:
+            # 2-row aligned pair: the run-length gate keeps it text
+            for ri in range(2):
+                for c in range(2):
+                    spans.append(
+                        ("box", _word(r), "",
+                         _pack(slide, y + 50 * ri, 120 + 200 * c))
+                    )
+            y += 120
+        if r.random() < 0.3:
+            spans.append(
+                ("media", "", f"img://{doc_id}/s{slide}", _pack(slide, y, 400))
+            )
+    return spans
+
+
 # ------------------------------------------------------------------- API
 
 
@@ -726,12 +780,18 @@ def generate_doc(doc_id: str, seed: int = DEFAULT_SEED) -> list[tuple]:
         return _gen_mixed(doc_id, r)
     if c == "grid":
         return _gen_grid(doc_id, r)
+    if c == "boxes":
+        return _gen_boxes(doc_id, r)
     if c == "styled":
         return styled_doc(int(doc_id.split("-", 1)[1]), seed)[0]
     raise ValueError(f"unknown corpus for doc_id {doc_id!r}")
 
 
-def doc_ids(n_docs: int, skew_docs: int = 0, corpora=("pdfish", "html", "mixed")) -> list[str]:
+def doc_ids(
+    n_docs: int,
+    skew_docs: int = 0,
+    corpora=("pdfish", "html", "mixed", "grid", "boxes"),
+) -> list[str]:
     """Deterministic doc_id list: round-robin across corpora plus
     ``skew_docs`` mega documents (FIXTURES.md scale tiers)."""
     ids = [f"{corpora[i % len(corpora)]}-{i:06d}" for i in range(n_docs)]

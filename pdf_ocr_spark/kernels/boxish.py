@@ -3,8 +3,9 @@
 Re-expresses (NOT ports) docpact pptx_extractor.py:
   - y/x clustering of free text boxes into rows/columns with the
     slide-specific tolerances (y 5pt, x 10pt) .......... :248-309
-  - table detection from aligned box clusters (>= 2 aligned boxes in
-    >= 2 consecutive rows) ............................. :352-430
+  - table detection from aligned box clusters, gated by the slide
+    rules: >= 6 boxes on the slide, >= 3 run rows, span-count spread
+    <= 3 .............................................. :352-430
   - table shapes pass through as cell grids ............ :144-196
 
 Input spans: ``kind='box'`` text boxes and ``kind='media'`` images with
@@ -84,6 +85,26 @@ def extract_boxish(spans: list[tuple]) -> tuple[list, dict]:
     for slide in sorted(slides):
         rows = _cluster_box_rows(slides[slide])
         in_table, runs = _detect_table_runs(rows, tol=X_BOX_TOL)
+        # slide-specific table gates (pptx_extractor.py:352-380):
+        # a slide needs >= min_rows*min_cols (6) boxes to host a table;
+        # a run needs >= 3 rows; span counts across the run must stay
+        # within a spread of 3 ("too variable, probably not a table")
+        n_boxes = sum(1 for row in rows for s in row if s[2] != "media")
+        kept = []
+        for run in runs:
+            counts = [
+                sum(1 for s in rows[k] if s[2] != "media") for k in run
+            ]
+            if (
+                n_boxes < 6
+                or len(run) < 3
+                or max(counts) - min(counts) > 3
+            ):
+                for k in run:
+                    in_table[k] = False
+            else:
+                kept.append(run)
+        runs = kept
         header_rows: set[int] = set()
         for run in runs:
             counts = [

@@ -9,6 +9,8 @@ Spark pipeline output and this reference evaluation without Spark.
 from __future__ import annotations
 
 from .corpus import corpus_of, generate_doc
+from .kernels.boxish import extract_boxish
+from .kernels.gridk import extract_grid_doc
 from .kernels.htmlk import extract_html_doc
 from .kernels.mixed import extract_mixed
 from .kernels.pdfish import extract_pdfish
@@ -18,6 +20,8 @@ KERNELS = {
     "mega": extract_pdfish,
     "html": extract_html_doc,
     "mixed": extract_mixed,
+    "grid": extract_grid_doc,
+    "boxes": extract_boxish,
 }
 
 

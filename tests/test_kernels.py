@@ -657,3 +657,31 @@ def test_vh2_fill_header_prefix():
     nofill = [(k, t, "", o) for k, t, _r, o in spans]
     out2, _ = extract_pdfish(nofill)
     assert sum(1 for k, *_ in out2 if k == "heading") < truth["heading"]
+
+
+def test_boxish_slide_table_gates():
+    """Slide-specific gates (pptx_extractor.py:352-380): a 2-row
+    aligned cluster, or a sparse slide (<6 boxes), stays free text."""
+    from pdf_ocr_spark.kernels.boxish import extract_boxish
+
+    # 2 aligned rows x 3 cols on a 7-box slide: run too short
+    spans = [
+        ("box", "Intro", "", P(0, 50, 10)),
+        ("box", "A", "", P(0, 200, 100)),
+        ("box", "B", "", P(0, 200, 300)),
+        ("box", "C", "", P(0, 200, 500)),
+        ("box", "1", "", P(0, 300, 100)),
+        ("box", "2", "", P(0, 300, 300)),
+        ("box", "3", "", P(0, 300, 500)),
+    ]
+    out, _m = extract_boxish(spans)
+    assert all(k == "text" for k, *_ in out)
+
+    # 3 aligned rows but only 4 boxes on the slide: below 6-box minimum
+    spans2 = [
+        ("box", "A", "", P(0, 200, 100)), ("box", "B", "", P(0, 200, 300)),
+        ("box", "1", "", P(0, 300, 100)),
+        ("box", "2", "", P(0, 400, 300)),
+    ]
+    out2, _m2 = extract_boxish(spans2)
+    assert all(k == "text" for k, *_ in out2)

@@ -64,7 +64,7 @@ def test_page_stream_equals_grouped_path(spark):
 @pytest.mark.spark
 def test_media_routed_path_equals_kernel(spark):
     """Columnar media routing (filter/array_sort/transform) == full kernel."""
-    ids = [f"mixed-{i:06d}" for i in range(2, 90, 3)]
+    ids = [d for d in doc_ids(90) if d.startswith("mixed-")]
     df = synthetic_corpus(spark, 90).filter("doc_id like 'mixed-%'")
     routed = extract_routed_media(df)
     _assert_golden(routed.collect(), ids)
