@@ -185,14 +185,32 @@ def q25(spark, sf):
     )
 
 
+@q(
+    "q26_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS hll_within_10pct
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def q26(spark, sf):
-    """approx_count_distinct (HLL) — engine-specific estimates can't
-    hash-match DuckDB, so rows-only; the exact twin is q25."""
+    """approx_count_distinct (HLL) validated against the exact count.
+
+    The HLL estimate itself is engine-specific, so the oracle-checked
+    output is the exact count plus the deterministic claim that the
+    sketch landed within 10% of it (Spark's HLL is a hash-based sketch
+    whose merge is commutative/associative — same input → same estimate
+    regardless of partitioning, so the boolean is stable).  Exact twin
+    with raw estimates: q25."""
     li = t(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey")
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.10 * F.countDistinct("l_partkey")
+        ).alias("hll_within_10pct"),
     )
-
-
-QUERIES["q26_approx_distinct"] = q26
