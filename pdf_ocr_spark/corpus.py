@@ -528,6 +528,83 @@ def merged_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
     return m_spans, u_spans
 
 
+def stacked_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
+    """A PDF-layout doc with a STACKED header — a group-label row above
+    the run (preceding header, docpact compress.py:1810-1878) over an
+    in-run leaf header row — and its FLAT TWIN whose single header row
+    carries the pre-stacked compound " / " names. The kernel's
+    bounds-overlap assignment (_build_stacked_headers,
+    compress.py:1549-1644) must make both extract to the SAME span
+    sequence — the 'stacked' family of the twin-suite oracle (x12).
+
+    Geometry (cw=10): 4 columns 170 units apart. Group label 1 starts
+    AT column 0 (start-aligned — this is what admits the row into the
+    preceding-header scan). Group label 2 is centered BETWEEN columns 2
+    and 3 (equidistant from both anchors, where nearest-anchor
+    assignment would tie-break WRONG to column 2) with a rendered
+    extent that overlaps only column 3's data bounds — so the pair
+    only extracts equal if the bounds-overlap channel, not the anchor
+    fallback, assigns it."""
+    r = _rng(f"pairs-{pair_id}", seed)
+    cw = 10
+    cols = [10 + 170 * ci for ci in range(4)]
+    title = _sentence(r, 6)
+
+    def styled(text):
+        return f"st:@{cw * len(text)}"
+
+    leaf = [_word(r).title() for _ in range(4)]
+    g1 = _word(r).title()
+    g2 = _word(r).title()
+    n_rows = r.randint(4, 8)
+    recs = []
+    for _ in range(n_rows):
+        recs.append(
+            [r.choice(_PORTS).title()]
+            + [f"{r.randint(1, 9)},{r.randint(100, 999)}" for _ in range(3)]
+        )
+    # stacked side: title, group row, leaf row, data
+    s_spans = [("pdf_text", title, "", _pack(0, 50, 10))]
+    y = 150
+    s_spans.append(("pdf_text", g1, styled(g1), _pack(0, y, cols[0])))
+    # centered between col2 (350) and col3 (520): x = 435, extent
+    # [435, 435+150) overlaps only col3's margin-extended data bounds
+    g2_x = (cols[2] + cols[3]) // 2
+    s_spans.append(("pdf_text", g2, "st:@150", _pack(0, y, g2_x)))
+    y += 20
+    for ci, x in enumerate(cols):
+        s_spans.append(("pdf_text", leaf[ci], styled(leaf[ci]), _pack(0, y, x)))
+    y += 20
+    data_y = y
+    for rec in recs:
+        for ci, x in enumerate(cols):
+            s_spans.append(
+                ("pdf_text", rec[ci], styled(rec[ci]), _pack(0, y, x))
+            )
+        y += 20
+    # flat twin: ONE header row carrying the pre-stacked compound names
+    # (consecutive-repeat dedup mirrors _build_stacked_headers)
+    names = [
+        leaf[0] if g1 == leaf[0] else f"{g1} / {leaf[0]}",
+        leaf[1],
+        leaf[2],
+        leaf[3] if g2 == leaf[3] else f"{g2} / {leaf[3]}",
+    ]
+    f_spans = [("pdf_text", title, "", _pack(0, 50, 10))]
+    for ci, x in enumerate(cols):
+        f_spans.append(
+            ("pdf_text", names[ci], styled(names[ci]), _pack(0, 170, x))
+        )
+    y = data_y
+    for rec in recs:
+        for ci, x in enumerate(cols):
+            f_spans.append(
+                ("pdf_text", rec[ci], styled(rec[ci]), _pack(0, y, x))
+            )
+        y += 20
+    return s_spans, f_spans
+
+
 def grid_header_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
     """A grid doc with a MULTI-ROW header (horizontal group merge over
     the data columns + leaf header row, docpact
@@ -623,8 +700,10 @@ def styled_doc(i: int, seed: int = DEFAULT_SEED) -> tuple[list[tuple], dict]:
             for ci, x in enumerate(cols):
                 w = r.choice(_SAFE_WORDS).title()
                 spans.append(("pdf_text", w, "st:b", _pack(0, y, x)))
-            truth["heading"] += len(cols)
             y += 20
+        # the 2-row stacked header emits ONE compound " / " heading per
+        # column (compress.py:1549-1644 _build_stacked_headers)
+        truth["heading"] += len(cols)
         for _ in range(r.randint(4, 8)):
             for ci, x in enumerate(cols):
                 spans.append(
@@ -693,8 +772,9 @@ def styled_doc(i: int, seed: int = DEFAULT_SEED) -> tuple[list[tuple], dict]:
                     ("pdf_text", r.choice(_SAFE_WORDS).title(), "st:#7",
                      _pack(0, y, x))
                 )
-            truth["heading"] += len(cols)
             y += 20
+        # 2-row stacked header -> one compound heading per column
+        truth["heading"] += len(cols)
         for _ in range(r.randint(4, 8)):
             for x in cols:
                 spans.append(

@@ -734,6 +734,82 @@ def _detect_table_runs(
     return in_table, runs
 
 
+def _stacked_header_names(
+    block: list[list], header_idx: list[int], body_idx: list[int]
+) -> list[str]:
+    """Compound column names from stacked header rows (docpact
+    compress.py:1549-1644 ``_build_stacked_headers`` + 1512-1546
+    ``_compute_column_bounds`` semantics): body rows define the unified
+    columns and their horizontal bounds; each header span joins the
+    column with maximum bounds overlap (ties -> nearest start), with
+    extents from the width channel and the reference's 5-char left
+    margin. Spans without a width signal fall back to nearest-anchor
+    assignment (the positions-only span model has no extents). Per
+    column, row fragments dedup consecutive repeats and join " / " (the
+    DOCX-convention separator the grid kernel also uses). Returns []
+    when no body columns exist (compound does not apply)."""
+    body_rows = [
+        [s for s in block[k] if s[2] != "media"] for k in body_idx
+    ]
+    cols = _unify_xs(body_rows)
+    if not cols:
+        return []
+    bounds: list[list[int | None]] = [[None, None] for _ in cols]
+    for r in body_rows:
+        for s in r:
+            ci = _col_of(s[1], cols)
+            b = bounds[ci]
+            b[0] = s[1] if b[0] is None else min(b[0], s[1])
+            e = s[1] + max(span_width(s[4]), 0)
+            b[1] = e if b[1] is None else max(b[1], e)
+    cw = _median_char_width(
+        [block[k] for k in list(body_idx) + list(header_idx)]
+    )
+    margin = 5 * cw if cw > 0 else COL_ANCHOR_TOL
+    frags: list[list[str]] = [[] for _ in cols]
+    for k in header_idx:
+        row_assign: dict[int, str] = {}
+        for s in sorted(
+            (s for s in block[k] if s[2] != "media"), key=lambda s: s[1]
+        ):
+            if not (s[3] or "").strip():
+                continue
+            w = span_width(s[4])
+            ci = None
+            if w > 0:
+                h0, h1 = s[1], s[1] + w
+                best_ov, best_dist = 0, None
+                for cj, (d0, d1) in enumerate(bounds):
+                    if d0 is None:
+                        continue
+                    if h0 < d1 and h1 > d0 - margin:
+                        ov = min(h1, d1) - max(h0, d0 - margin)
+                        dist = abs(h0 - d0)
+                        if ov > best_ov or (
+                            ov == best_ov
+                            and (best_dist is None or dist < best_dist)
+                        ):
+                            ci, best_ov, best_dist = cj, ov, dist
+            if ci is None:
+                ci = _col_of(s[1], cols)
+            txt = normalize_text(s[3])
+            row_assign[ci] = (
+                row_assign[ci] + " " + txt if ci in row_assign else txt
+            )
+        for ci, txtv in row_assign.items():
+            frags[ci].append(txtv)
+    names: list[str] = []
+    for fl in frags:
+        deduped: list[str] = []
+        for f in fl:
+            f = f.strip()
+            if f and (not deduped or f != deduped[-1]):
+                deduped.append(f)
+        if deduped:
+            names.append(" / ".join(deduped))
+    return names
+
+
 def _estimate_header_count(span_counts: list[int]) -> int:
     """H7 bottom-up header estimation (compress.py:1469-1509 semantics):
     the bottom 2/3 of a run establishes the data span-count signature
@@ -888,6 +964,7 @@ def extract_page(
         # rows are gated harder (start-aligned, <= 15 chars, not a
         # section label) so document titles stay text
         pre_header_rows: set[int] = set()
+        pre_by_run: dict[int, list[int]] = {}
         for run in runs:
             if run[0] in special_emit:
                 continue
@@ -924,6 +1001,7 @@ def extract_page(
                     ):
                         break
                     pre_header_rows.add(idx2)
+                    pre_by_run.setdefault(run[0], []).append(idx2)
                     prev_y = y2
                 else:
                     if any(
@@ -931,9 +1009,35 @@ def extract_page(
                         for s in texts2
                     ):
                         pre_header_rows.add(idx2)
+                        pre_by_run.setdefault(run[0], []).append(idx2)
                         prev_y = y2
                     else:
                         break
+        # stacked-header compound naming (compress.py:2534-2552: the
+        # preceding header rows plus the in-run header block feed
+        # _build_stacked_headers): a run whose total header block spans
+        # >= 2 rows emits ONE " / "-joined compound heading per body
+        # column (the grid kernel's convention), each header span
+        # assigned to the column with maximum bounding-box overlap when
+        # the width channel is present, nearest-anchor otherwise.
+        # Single-row headers keep the span-per-cell emission unchanged.
+        compound_emit: dict[int, list] = {}
+        compound_rows: set[int] = set()
+        for run in runs:
+            if run[0] in special_emit:
+                continue
+            allh = sorted(pre_by_run.get(run[0], [])) + [
+                k for k in run if k in header_rows
+            ]
+            if len(allh) < 2:
+                continue
+            body_idx = [k for k in run if k not in header_rows]
+            names = _stacked_header_names(block, allh, body_idx)
+            if names:
+                compound_emit[allh[0]] = [
+                    (KIND_HEADING, nm, "") for nm in names
+                ]
+                compound_rows.update(allh)
         # re-header detection (interpret.py:1192-1220 semantics): a
         # mid-run row whose cells ALL match the run's global header
         # texts is a section re-header — consumed (its data columns are
@@ -967,6 +1071,11 @@ def extract_page(
                 continue
             if len(texts) == 1 and _is_footnote(texts[0][3].strip()):
                 drop(metrics, "footnote")
+                continue
+            if idx in compound_rows:
+                # stacked header block: the first row emits the compound
+                # " / " names; the remaining header rows are consumed
+                out.extend(compound_emit.get(idx, ()))
                 continue
             if idx in pre_header_rows:
                 for s in texts:

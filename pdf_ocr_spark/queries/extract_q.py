@@ -322,6 +322,24 @@ QUERIES["x11_grid_header_extract"] = x11_grid_header_equivalence
 ORACLE["x11_grid_header_extract"] = _PAIR_ORACLE
 
 
+def x12_stacked_header_equivalence(spark, sf):
+    """Stacked-header compound naming via bounds overlap (docpact
+    compress.py:2534-2552 preceding+in-run header stacking +
+    _build_stacked_headers 1549-1644): a doc whose header is a
+    group-label row over a leaf row — with one group label equidistant
+    between two column anchors so only its rendered extent decides the
+    column — must extract to the SAME span sequence as its flat twin
+    carrying the pre-stacked compound " / " names. Oracle pins
+    equal=true per pair."""
+    from ..corpus import stacked_pair
+
+    return _pair_equality(spark, stacked_pair, "s")
+
+
+QUERIES["x12_stacked_header_extract"] = x12_stacked_header_equivalence
+ORACLE["x12_stacked_header_extract"] = _PAIR_ORACLE
+
+
 # ---------------------------------------------------------------- x09
 _N_STYLED = 30
 

@@ -665,7 +665,8 @@ def c01_suite(spark, sf):
     "x07_twin_extract_suite",
     oracle="""
 SELECT f.family, g.pair_id, true AS equal
-FROM (VALUES ('transposed'), ('multirow'), ('width'), ('gridheader'))
+FROM (VALUES ('transposed'), ('multirow'), ('width'), ('gridheader'),
+             ('stacked'))
      f(family),
      (SELECT unnest(generate_series(0, 23)) AS pair_id) g
 """,
@@ -680,12 +681,15 @@ def x07_suite(spark, sf):
     'width' (x10: PDF-merged spans + width channel vs unmerged twin,
     compress.py:948-1032 + spatial_text.py:297-308), 'gridheader'
     (x11: multi-row grid header vs flat compound-name twin,
-    xlsx_extractor.py:377-430 + 434-476)."""
+    xlsx_extractor.py:377-430 + 434-476), 'stacked' (x12:
+    preceding+in-run stacked PDF header vs flat compound-name twin,
+    compress.py:2534-2552 + _build_stacked_headers 1549-1644)."""
     fams = (
         ("transposed", "x07_transposed_extract"),
         ("multirow", "x08_multirow_extract"),
         ("width", "x10_width_split_extract"),
         ("gridheader", "x11_grid_header_extract"),
+        ("stacked", "x12_stacked_header_extract"),
     )
     parts = [
         extract_q.QUERIES[name](spark, sf).select(

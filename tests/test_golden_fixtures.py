@@ -196,7 +196,9 @@ FIXTURES = {
         ],
     ),
     # compress.py:1810-1878: a short label row directly above the run,
-    # aligned to a column anchor, joins the header block
+    # aligned to a column anchor, joins the header block — and stacks
+    # into a compound " / " name with the in-run leaf header below it
+    # (compress.py:2534-2552 + _build_stacked_headers 1549-1644)
     "preceding_header": (
         [
             T("Exports", 150, X0),
@@ -205,8 +207,7 @@ FIXTURES = {
             T("Kwinana", 210, X0), T("2,000", 210, X1),
         ],
         [
-            ("heading", "Exports", ""),
-            ("heading", "Port", ""), ("heading", "Qty", ""),
+            ("heading", "Exports / Port", ""), ("heading", "Qty", ""),
             ("cell", "Albany", ""), ("cell", "1,000", ""),
             ("cell", "Kwinana", ""), ("cell", "2,000", ""),
         ],

@@ -198,7 +198,10 @@ def test_pdfish_preceding_header_scan():
         ]
     out, _ = extract_pdfish(spans)
     kinds = {t: k for k, t, _r, _o in out}
-    assert kinds["(tonnes)"] == "heading"
+    # the preceding label joins the header stack and compounds with the
+    # in-run leaf header below it (compress.py:2534-2552)
+    assert kinds["(tonnes) / Qty"] == "heading"
+    assert kinds["Port"] == "heading"
     assert kinds["Shipping Stem Report FY24"] == "text"  # too long -> title
 
 
@@ -243,9 +246,9 @@ def test_pdfish_stacked_header_rows():
     kinds_texts = [(k, t) for k, t, _, _ in out]
     headings = [t for k, t in kinds_texts if k == "heading"]
     # "2024" is numeric so that span keeps heading via its row; the row
-    # membership is what H7 estimates -- both leading rows are headers
-    assert "Port" in headings and "Qty" in headings
-    assert "Shipments" in headings
+    # membership is what H7 estimates -- both leading rows are headers,
+    # and the 2-row stack emits compound " / " names per column
+    assert headings == ["Shipments / Port", "2024 / Qty"]
     cells = [t for k, t in kinds_texts if k == "cell"]
     assert "port0" in cells and "3.5" in cells
 
@@ -482,7 +485,11 @@ def test_pdfish_bold_header_prefix():
             spans.append(("pdf_text", f"w{yi}{ci}", ref, P(0, yi, x)))
     out, _ = extract_pdfish(spans)
     kinds = [k for k, _, _, _ in out]
-    assert kinds == ["heading"] * 6 + ["cell"] * 9
+    # the 2-row bold stack emits compound " / " names, one per column
+    assert kinds == ["heading"] * 3 + ["cell"] * 9
+    assert [t for k, t, _, _ in out if k == "heading"] == [
+        "w1500 / w1700", "w1501 / w1701", "w1502 / w1702"
+    ]
     # style flags never leak into output media_refs
     assert all(r == "" for _, _, r, _ in out)
 
@@ -653,10 +660,35 @@ def test_vh2_fill_header_prefix():
 
     spans, truth = styled_doc(4)  # i%5==4 = VH2 archetype
     out, _ = extract_pdfish(spans)
-    assert sum(1 for k, *_ in out if k == "heading") == truth["heading"]
+    heads = [t for k, t, *_ in out if k == "heading"]
+    assert len(heads) == truth["heading"]
+    # the fill-extended 2-row stack produces compound " / " names
+    assert all(" / " in t for t in heads)
     nofill = [(k, t, "", o) for k, t, _r, o in spans]
     out2, _ = extract_pdfish(nofill)
-    assert sum(1 for k, *_ in out2 if k == "heading") < truth["heading"]
+    heads2 = [t for k, t, *_ in out2 if k == "heading"]
+    # without the fill contrast the structural fallback finds only the
+    # single leaf row: plain names, and the second row demotes to cells
+    assert all(" / " not in t for t in heads2)
+    assert sum(1 for k, *_ in out2 if k == "cell") > truth["cell"]
+
+
+def test_stacked_pair_bounds_overlap():
+    """x12 twin family: the stacked doc equals its flat compound-name
+    twin, and ONLY via the bounds-overlap channel — stripping the width
+    tokens drops g2 to the nearest-anchor tie-break (wrong column) and
+    breaks the equality (negative control)."""
+    from pdf_ocr_spark.corpus import stacked_pair
+
+    for i in range(12):
+        a, b = stacked_pair(i)
+        assert extract_pdfish(a)[0] == extract_pdfish(b)[0], i
+
+    a, b = stacked_pair(0)
+    no_width = [
+        (k, t, "" if r.startswith("st:") else r, o) for k, t, r, o in a
+    ]
+    assert extract_pdfish(no_width)[0] != extract_pdfish(b)[0]
 
 
 def test_boxish_slide_table_gates():
