@@ -839,6 +839,151 @@ def _gen_boxes(doc_id: str, r: random.Random) -> list[tuple]:
     return spans
 
 
+def flow_header_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
+    """A flow (DOCX-family) doc with a hierarchical merged header whose
+    index label would BLEED into the data columns under plain forward
+    fill — and its FLAT TWIN carrying the pre-stacked compound " / "
+    names. Equality pins DH4's boundary-aware fill
+    (docx_extractor.py:390-450): without it the index label pollutes
+    the first data column's compound name ("Region / 2020") and the
+    pair diverges — the 'flowheader' family of the twin-suite oracle.
+
+    Header shape (side a):
+      r0: [Region, "", "", Group(merge c3-c4), <expanded>]
+      r1: ["", 2020, 2021, 2020, 2021]
+    so column 1's name must be plain "2020" (no Region bleed), while
+    column 3 legitimately inherits "Group / 2020" via the merge."""
+    r = _rng(f"pairf-{pair_id}", seed)
+
+    def B(b, row=0, col=0):
+        return b * 1_000_000 + row * 1_000 + col
+
+    group = _word(r).title()
+    years = [str(2019 + pair_id % 4), str(2020 + pair_id % 4)]
+    n_rows = r.randint(3, 7)
+    recs = []
+    for _ in range(n_rows):
+        recs.append(
+            [r.choice(_PORTS).title()]
+            + [f"{r.randint(1, 9)},{r.randint(100, 999)}" for _ in range(4)]
+        )
+    intro = _sentence(r, 7)
+    a: list[tuple] = [("para", intro, "", B(0))]
+    a.append(("cell", _HEADERS[0], "", B(1, 0, 0)))
+    a.append(("cell", group, "", B(1, 0, 3)))
+    a.append(("merge", "0,3,0,4", "", B(1)))
+    for ci, yr in enumerate(years + years):
+        a.append(("cell", yr, "", B(1, 1, 1 + ci)))
+    for ri, rec in enumerate(recs):
+        for ci, v in enumerate(rec):
+            a.append(("cell", v, "", B(1, 2 + ri, ci)))
+    # flat twin: single pre-stacked header row, same data
+    names = [
+        _HEADERS[0], years[0], years[1],
+        f"{group} / {years[0]}", f"{group} / {years[1]}",
+    ]
+    b: list[tuple] = [("para", intro, "", B(0))]
+    for ci, nm in enumerate(names):
+        b.append(("cell", nm, "", B(1, 0, ci)))
+    for ri, rec in enumerate(recs):
+        for ci, v in enumerate(rec):
+            b.append(("cell", v, "", B(1, 1 + ri, ci)))
+    return a, b
+
+
+# --------------------------------------------------------------- flow
+
+
+def _gen_flow(doc_id: str, r: random.Random) -> list[tuple]:
+    """Document-flow doc (DOCX family, docpact docx_extractor.py):
+    paragraphs (some heading-styled) interleaved with explicit-grid
+    tables carrying hierarchical merged headers (DH2), occasional
+    in-grid title rows (DH3), vMerge row-label groups, and sometimes a
+    sparse leaf row whose empty index-column cell must NOT inherit the
+    data-column fill (DH4 boundary case)."""
+
+    def B(b, row=0, col=0):
+        return b * 1_000_000 + row * 1_000 + col
+
+    spans: list[tuple] = []
+    b = 0
+    for _sec in range(r.randint(1, 3)):
+        # section heading + intro paragraph(s)
+        if r.random() < 0.7:
+            spans.append(
+                ("para", _word(r).upper(), "st:h", B(b))
+            )
+            b += 1
+        for _ in range(r.randint(0, 2)):
+            spans.append(("para", _sentence(r, 8), "", B(b)))
+            b += 1
+        if r.random() < 0.85:
+            # table block with 1-2 header tiers
+            n_groups = r.randint(1, 2)
+            per = r.randint(2, 3)
+            ncols = 1 + n_groups * per
+            row = 0
+            if r.random() < 0.3:
+                # DH3 in-grid title row merged across the width
+                spans.append(
+                    ("cell", f"{_word(r).title()} summary", "", B(b, 0, 0))
+                )
+                spans.append(
+                    ("merge", f"0,0,0,{ncols - 1}", "", B(b))
+                )
+                row = 1
+            tiered = r.random() < 0.75
+            if tiered:
+                # group tier: label merged over its columns; the index
+                # column label vMerges down over both header rows
+                spans.append(("cell", _HEADERS[0], "", B(b, row, 0)))
+                spans.append(
+                    ("merge", f"{row},0,{row + 1},0", "", B(b))
+                )
+                for g in range(n_groups):
+                    c0 = 1 + g * per
+                    spans.append(
+                        ("cell", _word(r).title(), "", B(b, row, c0))
+                    )
+                    spans.append(
+                        ("merge", f"{row},{c0},{row},{c0 + per - 1}", "",
+                         B(b))
+                    )
+                row += 1
+                for g in range(n_groups):
+                    for k in range(per):
+                        spans.append(
+                            ("cell", str(2020 + k), "",
+                             B(b, row, 1 + g * per + k))
+                        )
+                row += 1
+            else:
+                spans.append(("cell", _HEADERS[0], "", B(b, row, 0)))
+                for c in range(1, ncols):
+                    spans.append(
+                        ("cell", _HEADERS[c % len(_HEADERS)], "", B(b, row, c))
+                    )
+                row += 1
+            for _ in range(r.randint(3, 8)):
+                spans.append(
+                    ("cell", r.choice(_PORTS).title(), "", B(b, row, 0))
+                )
+                for c in range(1, ncols):
+                    spans.append(
+                        ("cell",
+                         f"{r.randint(1, 9)},{r.randint(100, 999)}", "",
+                         B(b, row, c))
+                    )
+                row += 1
+            b += 1
+        if r.random() < 0.25:
+            spans.append(("media", "", f"img://{doc_id}/b{b}", B(b)))
+            b += 1
+    if not spans:
+        spans.append(("para", _sentence(r, 6), "", B(0)))
+    return spans
+
+
 # ------------------------------------------------------------------- API
 
 
@@ -862,6 +1007,8 @@ def generate_doc(doc_id: str, seed: int = DEFAULT_SEED) -> list[tuple]:
         return _gen_grid(doc_id, r)
     if c == "boxes":
         return _gen_boxes(doc_id, r)
+    if c == "flow":
+        return _gen_flow(doc_id, r)
     if c == "styled":
         return styled_doc(int(doc_id.split("-", 1)[1]), seed)[0]
     raise ValueError(f"unknown corpus for doc_id {doc_id!r}")
@@ -870,7 +1017,7 @@ def generate_doc(doc_id: str, seed: int = DEFAULT_SEED) -> list[tuple]:
 def doc_ids(
     n_docs: int,
     skew_docs: int = 0,
-    corpora=("pdfish", "html", "mixed", "grid", "boxes"),
+    corpora=("pdfish", "html", "mixed", "grid", "boxes", "flow"),
 ) -> list[str]:
     """Deterministic doc_id list: round-robin across corpora plus
     ``skew_docs`` mega documents (FIXTURES.md scale tiers)."""

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..corpus import corpus_of
 from ..kernels.common import new_metrics
 from ..kernels.boxish import extract_boxish
+from ..kernels.flowk import extract_flow_doc
 from ..kernels.gridk import extract_grid_doc
 from ..kernels.htmlk import extract_html_doc
 from ..kernels.mixed import extract_mixed, extract_mixed_text
@@ -60,6 +61,7 @@ _KERNELS = {
     "mixed": extract_mixed,
     "grid": extract_grid_doc,
     "boxes": extract_boxish,
+    "flow": extract_flow_doc,
 }
 
 

@@ -294,20 +294,65 @@ def _xh5_strip(
     return lines, stripped, max(1, header_count - stripped)
 
 
-def _compound_headers(header_grid: list[list[str]]) -> list[str]:
+def _classify_data_columns(
+    data_rows: list[list[str]], num_cols: int
+) -> list[str]:
+    """DH4 column classification (docx_extractor.py:294-318): a column
+    is "numeric" when >50% of its non-empty cells look numeric; empty
+    columns default to numeric (prevents false index detection)."""
+    types: list[str] = []
+    for ci in range(num_cols):
+        non_empty = numeric = 0
+        for row in data_rows:
+            v = row[ci].strip() if ci < len(row) else ""
+            if not v:
+                continue
+            non_empty += 1
+            if _NUM_RE.match(v):
+                numeric += 1
+        types.append(
+            "numeric"
+            if non_empty == 0 or numeric / non_empty > 0.5
+            else "text"
+        )
+    return types
+
+
+def _compound_headers(
+    header_grid: list[list[str]],
+    data_rows: list[list[str]] | None = None,
+) -> list[str]:
     """Compound column names from a multi-row header block
     (xlsx_extractor.py:434-476 semantics): forward-fill each header row
     independently, then stack rows per column with " / ", collapsing
     consecutive duplicate fragments (merge expansion makes the fill a
-    no-op over merged ranges; it still recovers sparse typed rows)."""
+    no-op over merged ranges; it still recovers sparse typed rows).
+
+    With ``data_rows`` the fill is BOUNDARY-AWARE (DH4,
+    docx_extractor.py:390-450): the leftmost contiguous text-typed
+    columns are index columns, and a fill sourced inside them never
+    bleeds into the numeric data columns — a merged "Region" label
+    stays out of "2025"-style data headers."""
+    index_cols: set[int] = set()
+    if data_rows is not None and header_grid:
+        types = _classify_data_columns(data_rows, len(header_grid[0]))
+        for ci, ty in enumerate(types):
+            if ty != "text":
+                break
+            index_cols.add(ci)
     filled_rows: list[list[str]] = []
     for row in header_grid:
-        filled, last = [], ""
-        for v in row:
+        filled: list[str] = []
+        last, src = "", -1
+        for ci, v in enumerate(row):
             v = v.strip()
             if v:
-                last = v
-            filled.append(v or last)
+                last, src = v, ci
+                filled.append(v)
+            elif src in index_cols and ci not in index_cols:
+                filled.append("")
+            else:
+                filled.append(last)
         filled_rows.append(filled)
     names = []
     for ci in range(len(filled_rows[0])):
@@ -373,10 +418,10 @@ def _emit_region(
             grid, row_ids = grid[1:], row_ids[1:]
             hc -= 1
 
-    # compound header emission
+    # compound header emission (DH4 boundary-aware fill vs data rows)
     hc = min(hc, len(grid))
     if hc > 0:
-        for name in _compound_headers(grid[:hc]):
+        for name in _compound_headers(grid[:hc], data_rows=grid[hc:]):
             if name:
                 out.append((KIND_HEADING, normalize_text(name), ""))
         for r in row_ids[:hc]:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from .corpus import corpus_of, generate_doc
 from .kernels.boxish import extract_boxish
+from .kernels.flowk import extract_flow_doc
 from .kernels.gridk import extract_grid_doc
 from .kernels.htmlk import extract_html_doc
 from .kernels.mixed import extract_mixed
@@ -22,6 +23,7 @@ KERNELS = {
     "mixed": extract_mixed,
     "grid": extract_grid_doc,
     "boxes": extract_boxish,
+    "flow": extract_flow_doc,
 }
 
 

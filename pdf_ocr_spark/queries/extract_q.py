@@ -340,6 +340,23 @@ QUERIES["x12_stacked_header_extract"] = x12_stacked_header_equivalence
 ORACLE["x12_stacked_header_extract"] = _PAIR_ORACLE
 
 
+def x13_flow_header_equivalence(spark, sf):
+    """DOCX-flow hierarchical headers with DH4 boundary-aware fill
+    (docpact docx_extractor.py:344-388 DH2 merge-based detection +
+    390-450 compound build): a flow doc whose merged index label would
+    bleed into the data columns under plain forward fill must extract
+    to the SAME span sequence as its flat twin carrying the
+    pre-stacked compound " / " names. Oracle pins equal=true per
+    pair."""
+    from ..corpus import flow_header_pair
+
+    return _pair_equality(spark, flow_header_pair, "f", corpus="flow")
+
+
+QUERIES["x13_flow_header_extract"] = x13_flow_header_equivalence
+ORACLE["x13_flow_header_extract"] = _PAIR_ORACLE
+
+
 # ---------------------------------------------------------------- x09
 _N_STYLED = 30
 

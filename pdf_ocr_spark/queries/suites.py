@@ -666,7 +666,7 @@ def c01_suite(spark, sf):
     oracle="""
 SELECT f.family, g.pair_id, true AS equal
 FROM (VALUES ('transposed'), ('multirow'), ('width'), ('gridheader'),
-             ('stacked'))
+             ('stacked'), ('flowheader'))
      f(family),
      (SELECT unnest(generate_series(0, 23)) AS pair_id) g
 """,
@@ -683,13 +683,17 @@ def x07_suite(spark, sf):
     (x11: multi-row grid header vs flat compound-name twin,
     xlsx_extractor.py:377-430 + 434-476), 'stacked' (x12:
     preceding+in-run stacked PDF header vs flat compound-name twin,
-    compress.py:2534-2552 + _build_stacked_headers 1549-1644)."""
+    compress.py:2534-2552 + _build_stacked_headers 1549-1644),
+    'flowheader' (x13: DOCX-flow merged hierarchical header + DH4
+    boundary-aware fill vs flat compound-name twin,
+    docx_extractor.py:344-450)."""
     fams = (
         ("transposed", "x07_transposed_extract"),
         ("multirow", "x08_multirow_extract"),
         ("width", "x10_width_split_extract"),
         ("gridheader", "x11_grid_header_extract"),
         ("stacked", "x12_stacked_header_extract"),
+        ("flowheader", "x13_flow_header_extract"),
     )
     parts = [
         extract_q.QUERIES[name](spark, sf).select(

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..corpus import DEFAULT_SEED, generate_doc
 from ..extract.schema import INPUT_SCHEMA, span_dicts
 
-_CORPORA = ("pdfish", "html", "mixed", "grid", "boxes")
+_CORPORA = ("pdfish", "html", "mixed", "grid", "boxes", "flow")
 
 
 def _gen_batch(seed: int):
@@ -40,7 +40,7 @@ def synthetic_corpus(
     id_offset: int = 0,
 ) -> DataFrame:
     """(doc_id, spans) DataFrame: round-robin pdfish/html/mixed/grid/
-    boxes docs plus ``skew_docs`` mega documents (FIXTURES.md scale
+    boxes/flow docs plus ``skew_docs`` mega documents (FIXTURES.md scale
     tiers).  ``id_offset``
     shifts the doc-id range so successive drops don't collide (streaming
     ingestion tests)."""
