@@ -16,6 +16,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from pdf_ocr_spark.corpus import generate_doc
+from pdf_ocr_spark.kernels.boxish import extract_boxish
+from pdf_ocr_spark.kernels.flowk import extract_flow_doc
 from pdf_ocr_spark.kernels.gridk import extract_grid_doc
 from pdf_ocr_spark.kernels.htmlk import extract_html_doc
 from pdf_ocr_spark.kernels.mixed import extract_mixed
@@ -26,6 +28,8 @@ _KERNELS = {
     "html": extract_html_doc,
     "mixed": extract_mixed,
     "grid": extract_grid_doc,
+    "boxes": extract_boxish,
+    "flow": extract_flow_doc,
 }
 
 _doc_ids = st.tuples(
