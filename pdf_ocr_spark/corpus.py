@@ -839,6 +839,65 @@ def _gen_boxes(doc_id: str, r: random.Random) -> list[tuple]:
     return spans
 
 
+def reheader_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
+    """A PDF-layout doc whose mid-run section RE-HEADER permutes the
+    global column order — its data cells must re-emit in GLOBAL header
+    order (docpact interpret.py:1185-1240 Phase A name-matched column
+    remap) — and its FLAT TWIN carrying every row in global order with
+    no re-header. The 'reheader' family of the twin-suite oracle
+    (x14)."""
+    r = _rng(f"pairr-{pair_id}", seed)
+    ncols = r.randint(3, 4)
+    cols = [10 + 170 * ci for ci in range(ncols)]
+    hdrs = _HEADERS[:ncols]
+    title = _sentence(r, 6)
+    perm = list(range(ncols))
+    while perm == list(range(ncols)):
+        r.shuffle(perm)
+
+    def rec():
+        out = []
+        for ci in range(ncols):
+            out.append(
+                r.choice(_PORTS).title() if ci == 0
+                else f"{r.randint(1, 9)},{r.randint(100, 999)}"
+            )
+        return out
+
+    first = [rec() for _ in range(r.randint(2, 5))]
+    second = [rec() for _ in range(r.randint(2, 5))]
+
+    a: list[tuple] = [("pdf_text", title, "", _pack(0, 50, 10))]
+    y = 150
+    for ci, x in enumerate(cols):
+        a.append(("pdf_text", hdrs[ci], "", _pack(0, y, x)))
+    y += 20
+    for row in first:
+        for ci, x in enumerate(cols):
+            a.append(("pdf_text", row[ci], "", _pack(0, y, x)))
+        y += 20
+    # permuted re-header: column j shows global header perm[j]
+    for j, x in enumerate(cols):
+        a.append(("pdf_text", hdrs[perm[j]], "", _pack(0, y, x)))
+    y += 20
+    for row in second:
+        # the section lays its data out in the re-header's order
+        for j, x in enumerate(cols):
+            a.append(("pdf_text", row[perm[j]], "", _pack(0, y, x)))
+        y += 20
+
+    b: list[tuple] = [("pdf_text", title, "", _pack(0, 50, 10))]
+    y = 150
+    for ci, x in enumerate(cols):
+        b.append(("pdf_text", hdrs[ci], "", _pack(0, y, x)))
+    y += 20
+    for row in first + second:
+        for ci, x in enumerate(cols):
+            b.append(("pdf_text", row[ci], "", _pack(0, y, x)))
+        y += 20
+    return a, b
+
+
 def flow_header_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
     """A flow (DOCX-family) doc with a hierarchical merged header whose
     index label would BLEED into the data columns under plain forward

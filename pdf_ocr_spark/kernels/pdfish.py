@@ -1043,6 +1043,12 @@ def extract_page(
         # texts is a section re-header — consumed (its data columns are
         # already aligned to the global header), never re-emitted
         header_texts: dict[int, frozenset] = {}
+        # re-header COLUMN REMAP (interpret.py:1185-1240 Phase A): when
+        # a consumed re-header's column ORDER differs from the global
+        # header, the section's data cells re-emit in global-header
+        # order (name-matched mapping). reheader_perm[row] holds the
+        # active emission order for each post-re-header data row.
+        reheader_perm: dict[int, list[int]] = {}
         for run in runs:
             if run[0] in special_emit:
                 continue
@@ -1053,10 +1059,47 @@ def extract_page(
                 for s in block[k]
                 if s[2] != "media" and (s[3] or "").strip()
             )
-            if names:
-                for k in run:
-                    if k not in header_rows:
-                        header_texts[k] = names
+            if not names:
+                continue
+            # global header name -> position (leaf row = last header
+            # row, cells in x order; first match wins like the
+            # reference's global_index)
+            global_order: dict[str, int] = {}
+            if hdr:
+                leaf = sorted(
+                    (s for s in block[hdr[-1]] if s[2] != "media"),
+                    key=lambda s: s[1],
+                )
+                for gi, s in enumerate(leaf):
+                    key = normalize_text(s[3]).strip().lower()
+                    if key and key not in global_order:
+                        global_order[key] = gi
+            perm: list[int] | None = None
+            for k in run:
+                if k in header_rows:
+                    continue
+                header_texts[k] = names
+                texts_k = sorted(
+                    (s for s in block[k] if s[2] != "media"),
+                    key=lambda s: s[1],
+                )
+                cells = [normalize_text(s[3]).strip().lower()
+                         for s in texts_k]
+                if (
+                    len(cells) >= 2
+                    and all(c in names for c in cells)
+                ):
+                    # this row WILL be consumed as a re-header at
+                    # emission: derive the section's column mapping
+                    gidx = [global_order.get(c) for c in cells]
+                    if None not in gidx and gidx != sorted(gidx):
+                        # permuted vs global order -> remap follows
+                        perm = sorted(range(len(gidx)),
+                                      key=lambda j: gidx[j])
+                    else:
+                        perm = None
+                elif perm is not None:
+                    reheader_perm[k] = perm
 
         for idx, row in enumerate(block):
             # media spans are emitted at their reading-order position
@@ -1122,7 +1165,16 @@ def extract_page(
                     # OCR-text span recovery on recovered table cells:
                     # glyph-confusion repair of number-shaped tokens
                     # (north_star stage; functions.ocr_repair_col twin)
-                    for s in texts:
+                    cells = texts
+                    perm = reheader_perm.get(idx)
+                    if perm is not None and len(perm) == len(cells):
+                        # re-header column remap: emit in global-header
+                        # order (interpret.py:1216-1220); rows whose
+                        # cell count diverges keep natural order (the
+                        # span model never drops unmatched text)
+                        cells = sorted(cells, key=lambda s: s[1])
+                        cells = [cells[j] for j in perm]
+                    for s in cells:
                         out.append(
                             (KIND_CELL, ocr_repair(normalize_text(s[3])), "")
                         )

@@ -357,6 +357,21 @@ QUERIES["x13_flow_header_extract"] = x13_flow_header_equivalence
 ORACLE["x13_flow_header_extract"] = _PAIR_ORACLE
 
 
+def x14_reheader_equivalence(spark, sf):
+    """Re-header column remap (docpact interpret.py:1185-1240 Phase A):
+    a doc whose mid-run section re-header PERMUTES the global column
+    order must extract to the SAME span sequence as its flat twin
+    carrying every row in global order — the name-matched mapping
+    reorders the section's cells. Oracle pins equal=true per pair."""
+    from ..corpus import reheader_pair
+
+    return _pair_equality(spark, reheader_pair, "r")
+
+
+QUERIES["x14_reheader_extract"] = x14_reheader_equivalence
+ORACLE["x14_reheader_extract"] = _PAIR_ORACLE
+
+
 # ---------------------------------------------------------------- x09
 _N_STYLED = 30
 

@@ -666,7 +666,7 @@ def c01_suite(spark, sf):
     oracle="""
 SELECT f.family, g.pair_id, true AS equal
 FROM (VALUES ('transposed'), ('multirow'), ('width'), ('gridheader'),
-             ('stacked'), ('flowheader'))
+             ('stacked'), ('flowheader'), ('reheader'))
      f(family),
      (SELECT unnest(generate_series(0, 23)) AS pair_id) g
 """,
@@ -686,7 +686,9 @@ def x07_suite(spark, sf):
     compress.py:2534-2552 + _build_stacked_headers 1549-1644),
     'flowheader' (x13: DOCX-flow merged hierarchical header + DH4
     boundary-aware fill vs flat compound-name twin,
-    docx_extractor.py:344-450)."""
+    docx_extractor.py:344-450), 'reheader' (x14: permuted section
+    re-header remapped to global column order,
+    interpret.py:1185-1240)."""
     fams = (
         ("transposed", "x07_transposed_extract"),
         ("multirow", "x08_multirow_extract"),
@@ -694,6 +696,7 @@ def x07_suite(spark, sf):
         ("gridheader", "x11_grid_header_extract"),
         ("stacked", "x12_stacked_header_extract"),
         ("flowheader", "x13_flow_header_extract"),
+        ("reheader", "x14_reheader_extract"),
     )
     parts = [
         extract_q.QUERIES[name](spark, sf).select(

@@ -673,6 +673,42 @@ def test_vh2_fill_header_prefix():
     assert sum(1 for k, *_ in out2 if k == "cell") > truth["cell"]
 
 
+def test_reheader_column_remap():
+    """interpret.py:1185-1240 Phase A: a permuted section re-header is
+    consumed AND its section's data cells re-emit in global-header
+    order; a same-order re-header leaves emission untouched."""
+    spans = [
+        ("pdf_text", "Port", "", P(0, 100, 10)),
+        ("pdf_text", "Vessel", "", P(0, 100, 200)),
+        ("pdf_text", "Tonnage", "", P(0, 100, 400)),
+        ("pdf_text", "Albany", "", P(0, 120, 10)),
+        ("pdf_text", "aurora", "", P(0, 120, 200)),
+        ("pdf_text", "1,000", "", P(0, 120, 400)),
+        ("pdf_text", "Kwinana", "", P(0, 140, 10)),
+        ("pdf_text", "borealis", "", P(0, 140, 200)),
+        ("pdf_text", "2,000", "", P(0, 140, 400)),
+        # permuted re-header
+        ("pdf_text", "Tonnage", "", P(0, 160, 10)),
+        ("pdf_text", "Port", "", P(0, 160, 200)),
+        ("pdf_text", "Vessel", "", P(0, 160, 400)),
+        ("pdf_text", "3,000", "", P(0, 180, 10)),
+        ("pdf_text", "Esperance", "", P(0, 180, 200)),
+        ("pdf_text", "corona", "", P(0, 180, 400)),
+        ("pdf_text", "4,000", "", P(0, 200, 10)),
+        ("pdf_text", "Bunbury", "", P(0, 200, 200)),
+        ("pdf_text", "delta", "", P(0, 200, 400)),
+    ]
+    out, m = extract_pdfish(spans)
+    assert m["drop_reasons"].get("reheader") == 3
+    cells = [t for k, t, _r, _o in out if k == "cell"]
+    assert cells == [
+        "Albany", "aurora", "1,000",
+        "Kwinana", "borealis", "2,000",
+        "Esperance", "corona", "3,000",
+        "Bunbury", "delta", "4,000",
+    ]
+
+
 def test_stacked_pair_bounds_overlap():
     """x12 twin family: the stacked doc equals its flat compound-name
     twin, and ONLY via the bounds-overlap channel — stripping the width
