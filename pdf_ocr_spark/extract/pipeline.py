@@ -255,6 +255,87 @@ def _extract_page_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield pd.DataFrame([_flush()])
 
 
+def _extract_doc_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Doc-grain streaming extraction + reassembly (mega-doc path,
+    opt-in): input rows (doc_id, page, kind, text, media_ref, offset)
+    are hash-partitioned on doc_id and sorted by (doc_id, page, offset)
+    within the partition, so every DOCUMENT is a contiguous run of page
+    runs in ascending page order. Page kernels run per page run and the
+    document's ordered output assembles in-stream — the mega branch
+    becomes ONE flat primitive-row shuffle with NO hash aggregation
+    anywhere (no page-grain collect_list, no final wide agg building
+    10^6-element nested rows in the JVM heap). Trailing (possibly
+    incomplete) documents buffer across Arrow batch boundaries."""
+    import numpy as np
+
+    cur_doc: str | None = None
+    cur_page: int | None = None
+    cur_pages: list[list[tuple]] = []  # page runs in arrival (sorted) order
+
+    def _flush() -> dict:
+        spans_out: list[tuple] = []
+        si = dr = 0
+        reasons: dict[str, int] = {}
+        for page_spans in cur_pages:
+            po, m = extract_pdfish_page_spans(page_spans)
+            spans_out.extend(po)
+            si += m["spans_in"]
+            dr += m["dropped"]
+            for k, v in m["drop_reasons"].items():
+                reasons[k] = reasons.get(k, 0) + v
+        seq = [
+            {"kind": k, "text": t, "media_ref": r, "offset": i}
+            for i, (k, t, r, _o) in enumerate(spans_out)
+        ]
+        return {
+            "doc_id": cur_doc,
+            "spans": seq,
+            "metrics": {
+                "spans_in": si,
+                "spans_out": len(seq),
+                "dropped": dr,
+                "drop_reasons": dict(sorted(reasons.items())),
+            },
+        }
+
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        doc = pdf["doc_id"].to_numpy()
+        page = pdf["page"].to_numpy()
+        cols = [
+            pdf["kind"].to_numpy(),
+            pdf["text"].to_numpy(),
+            pdf["media_ref"].to_numpy(),
+            pdf["offset"].to_numpy(),
+        ]
+        change = (
+            np.flatnonzero((doc[1:] != doc[:-1]) | (page[1:] != page[:-1])) + 1
+        )
+        starts = [0, *change.tolist(), n]
+        out_rows: list[dict] = []
+        for i, j in zip(starts, starts[1:]):
+            d, p = str(doc[i]), int(page[i])
+            spans = list(zip(*(c[i:j].tolist() for c in cols)))
+            if cur_doc == d:
+                if cur_page == p:
+                    # same page split across Arrow batches: extend the
+                    # open run (a page must reach its kernel whole)
+                    cur_pages[-1].extend(spans)
+                else:
+                    cur_pages.append(spans)
+                    cur_page = p
+                continue
+            if cur_doc is not None:
+                out_rows.append(_flush())
+            cur_doc, cur_page, cur_pages = d, p, [spans]
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+    if cur_doc is not None:
+        yield pd.DataFrame([_flush()])
+
+
 def _extract_page_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Page-grain extraction (mega-doc path, pre-grouped variant kept for
     A/B measurement). Offsets stay page-local; the reassembly stage
@@ -284,6 +365,7 @@ def extract(
     salt_partitions: int | None = None,
     use_arrow: bool = True,
     page_stream: bool = False,
+    doc_stream: bool = True,
 ) -> DataFrame:
     """input (doc_id, spans) -> output (doc_id, spans, metrics).
 
@@ -293,15 +375,26 @@ def extract(
     split sizing (maxPartitionBytes) — the right default when the input
     is well-laid-out Parquet/Iceberg.
 
-    ``page_stream``: mega-doc page grouping strategy. False (default) =
-    groupBy(collect_list) page grouping; True = shuffle FLAT span rows
-    and group page runs off the in-partition sort (no hash aggregation,
-    primitive-only exchange — sort-based grouping bounds agg memory for
-    pathological page sizes). Measured A/B on the 600-mega-doc corpus
-    (BENCH/BASELINE.md): parity at 16 cores, ~6% slower at 4 cores —
-    Python-side run detection costs what the JVM hash-agg saved, and at
-    low parallelism Python CPU is the binding resource — so the
-    measured-fastest shape stays the default.
+    Mega-doc branch strategy (three shapes, all byte-identical output):
+
+    ``doc_stream`` (True, DEFAULT): ONE flat primitive-row shuffle on
+    doc_id + in-partition sort by (doc_id, page, offset); page kernels
+    and whole-document reassembly stream off the sorted run — no
+    page-grain collect_list, no final wide agg. Measured on the
+    1200-mega-doc corpus: ~30% faster at 16 cores (18.5s vs 25.9s) and
+    ~5% slower at 4 cores than the agg shape; N→4N phase ratio 0.81 vs
+    0.54 — the scaling-correct default. Parallelism is doc-grain (one
+    document's pages run serially inside its partition): right when
+    doc count >> cores; for a SINGLE colossal document prefer
+    ``doc_stream=False`` so page kernels fan out across tasks.
+
+    ``doc_stream=False, page_stream=False``: groupBy(doc_id, page)
+    collect_list page grouping → page kernels → one fused wide agg
+    reassembly (page-grain kernel parallelism, heavier shuffle).
+
+    ``doc_stream=False, page_stream=True``: flat shuffle on
+    (doc_id, page) + sorted run grouping → page kernels → fused wide
+    agg (bounds agg memory for pathological page sizes).
     """
     df = df.withColumn("_n", F.size("spans"))
     if salt_partitions:
@@ -336,6 +429,29 @@ def extract(
 
     big = df.filter((F.col("_n") > big_doc_threshold) & _pageable).drop("_n")
     # explode to page grain (pages are independent in the layout kernel)
+    if doc_stream and not page_stream:
+        # ONE flat primitive-row shuffle on doc_id, in-partition sort by
+        # (doc_id, page, offset), then page kernels + whole-document
+        # reassembly stream off the sorted run — no page-grain
+        # collect_list, no final wide agg. Parallelism is doc-grain
+        # (each doc's pages run serially inside its partition), which
+        # is the right trade when doc count >> cores; the page-grain
+        # paths remain for single-colossal-doc layouts.
+        flat = big.select("doc_id", F.explode("spans").alias("s")).select(
+            "doc_id",
+            (F.col("s.offset") / F.lit(1_000_000)).cast("long").alias("page"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        if salt_partitions:
+            flat = flat.repartition(salt_partitions, "doc_id")
+        else:
+            flat = flat.repartition("doc_id")
+        grain = flat.sortWithinPartitions("doc_id", "page", "offset")
+        big_out = grain.mapInPandas(_extract_doc_stream, schema=OUTPUT_SCHEMA)
+        return small_out.unionByName(big_out)
     if page_stream:
         # flat-row shuffle + in-partition sort + streaming run grouping:
         # the ONE exchange of the mega branch carries primitive rows, and

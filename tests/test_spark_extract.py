@@ -56,8 +56,23 @@ def test_page_stream_equals_grouped_path(spark):
     byte-identical to the groupBy(collect_list) shape, including metrics
     (both feed the same fused reassembly)."""
     df = synthetic_corpus(spark, 6, skew_docs=3)
-    a = extract(df, big_doc_threshold=10, page_stream=True).collect()
-    b = extract(df, big_doc_threshold=10, page_stream=False).collect()
+    a = extract(
+        df, big_doc_threshold=10, page_stream=True, doc_stream=False
+    ).collect()
+    b = extract(
+        df, big_doc_threshold=10, page_stream=False, doc_stream=False
+    ).collect()
+    assert {r.doc_id: r for r in a} == {r.doc_id: r for r in b}
+
+
+@pytest.mark.spark
+def test_doc_stream_equals_whole_doc_path(spark):
+    """The doc-grain streaming shape (doc_stream=True, the default) —
+    one flat shuffle, sorted-run page kernels, in-stream reassembly —
+    must be byte-identical to the whole-doc path, including metrics."""
+    df = synthetic_corpus(spark, 6, skew_docs=3)
+    a = extract(df, big_doc_threshold=10, doc_stream=True).collect()
+    b = extract(df, big_doc_threshold=10**9).collect()
     assert {r.doc_id: r for r in a} == {r.doc_id: r for r in b}
 
 
