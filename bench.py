@@ -46,6 +46,7 @@ HEADLINE = [
     "m01_media_decode",
     "c01_keyword_classify",
     "u01_unpivot_compound_headers",
+    "u02_deterministic_mapping",
     "z01_zone_text",
     "q39_number_format",
     "p01_metadata_patterns",

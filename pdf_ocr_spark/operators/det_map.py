@@ -1,0 +1,258 @@
+"""Deterministic dimension/measure schema mapping (SURVEY.md §2.9).
+
+Re-expresses (NOT ports) the reference's deterministic unpivot mapping
+(docpact interpret.py:1335-1618) as pure DataFrame operators over a
+long-format cell stream:
+
+  Phase 2  column classification  (interpret.py:1335-1361)
+           each ' / ' header part resolves against the broadcast typed
+           alias dictionary; string/date matches are DIMENSIONS (value =
+           the raw header-part text), int/float matches are MEASURES
+           (value = the cell) — except the int+float shared-alias rule:
+           when one part matches both an int and a float column, the int
+           is a dimension (e.g. Year="2025") and the float the measure.
+           A single-part header whose matches are all dimension-type is
+           a SHARED column (cell value, e.g. Region).
+  Phase 3  unpivot-group detection (interpret.py:1462-1527)
+           per document: a dimension canonical appearing with >= 2
+           distinct header-text values is a GROUP dimension; one
+           appearing >= 2 times with a single value is a CONSTANT
+           dimension (applied to every record). Non-shared columns
+           grouped by their group-dimension value vector; no group
+           dimensions anywhere -> one implicit group.
+  Phase 4  record building          (interpret.py:1583-1618)
+           one record per (data row x group): shared cells + the
+           group's dimension header-values + constants + measure cells.
+
+Out of scope here, composed elsewhere: title constant-dims are
+`schema_map.match_title_dims` (h03); section-label columns are the
+§2.7 semi-join family; the re-classify branch for measure-less compound
+label columns (interpret.py:1504-1526) and blank-header inference
+(1440-1460) depend on loop-order accumulation and stay driver-side
+contract prep (documented deviation).
+
+Scale shape: every rule is an aggregation or join at HEADER grain
+(columns-per-doc rows — orders of magnitude smaller than the cell
+stream). The cell stream is touched exactly twice: two equi-joins on
+(doc_id, col_idx) against header-grain role tables, then ONE shuffle —
+the groupBy(doc_id, row_id, group_key) record pivot, which is the
+output cardinality itself. No collect, no driver loop, no per-row UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .schema_map import norm_header
+
+DIMENSION_TYPES = ("string", "date")  # interpret.py DIMENSION_TYPES
+
+
+def typed_alias_table(spark: SparkSession, schema: dict) -> DataFrame:
+    """schema: {canonical: (type, [aliases])} -> (canonical, type,
+    norm_alias). The canonical name itself is always an alias."""
+    rows = []
+    for canonical, (ty, aliases) in schema.items():
+        for a in {canonical, *aliases}:
+            rows.append((canonical, ty, a))
+    df = spark.createDataFrame(rows, "canonical string, type string, alias string")
+    return df.select(
+        "canonical", "type", norm_header(F.col("alias")).alias("norm_alias")
+    ).distinct()
+
+
+def classify_parts(headers: DataFrame, aliases: DataFrame) -> DataFrame:
+    """headers(doc_id, col_idx, header) -> one row per (header part x
+    alias match): (doc_id, col_idx, pi, part, canonical, type, role)
+    with role in {'dim','measure'} (null canonical for unmatched parts,
+    role null). Phase-2 semantics, interpret.py:1335-1361."""
+    parts = headers.select(
+        "doc_id",
+        "col_idx",
+        F.posexplode(F.split("header", r" / ")).alias("pi", "raw"),
+    ).select(
+        "doc_id",
+        "col_idx",
+        "pi",
+        F.trim("raw").alias("part"),
+        norm_header(F.col("raw")).alias("norm"),
+    )
+    m = parts.join(
+        F.broadcast(aliases), parts["norm"] == aliases["norm_alias"], "left"
+    )
+    w = Window.partitionBy("doc_id", "col_idx", "pi")
+    has_float = F.max((F.col("type") == "float").cast("int")).over(w) == 1
+    role = (
+        F.when(F.col("type").isin(*DIMENSION_TYPES), "dim")
+        .when((F.col("type") == "int") & has_float, "dim")
+        .when(F.col("type").isNotNull(), "measure")
+    )
+    return m.select(
+        "doc_id", "col_idx", "pi", "part", "canonical", "type",
+        role.alias("role"),
+    )
+
+
+def column_roles(classified: DataFrame) -> dict[str, DataFrame]:
+    """Phase 2/3 role tables from `classify_parts` output — all at
+    header grain. Returns {'shared','group_names','const_dims','groups',
+    'group_dims','group_measures'}; group_key is the sorted
+    'name=value'-vector of the column's group dimensions ('' when the
+    column has none — the implicit single group)."""
+    # header-grain (columns-per-doc rows): six role tables branch off
+    # this one relation — persist so the window+join pipeline above it
+    # runs once instead of once per branch
+    classified = classified.persist()
+    # shared: single-part columns, >=1 match, all matches dimension-type
+    per_col = classified.groupBy("doc_id", "col_idx").agg(
+        F.max("pi").alias("max_pi"),
+        F.sum(F.when(F.col("canonical").isNotNull(), 1).otherwise(0)).alias(
+            "n_match"
+        ),
+        F.sum(F.when(F.col("role") == "measure", 1).otherwise(0)).alias(
+            "n_meas"
+        ),
+        # the reference takes col_parts[0][1][0]; min() is its
+        # deterministic stand-in for the first matched column
+        F.min(F.when(F.col("role") == "dim", F.col("canonical"))).alias(
+            "canonical"
+        ),
+    )
+    shared = per_col.filter(
+        (F.col("max_pi") == 0) & (F.col("n_match") >= 1) & (F.col("n_meas") == 0)
+    ).select("doc_id", "col_idx", "canonical")
+
+    dims = classified.filter(F.col("role") == "dim").select(
+        "doc_id", "col_idx", "canonical", F.col("part").alias("value")
+    )
+    dv = dims.groupBy("doc_id", "canonical").agg(
+        F.countDistinct("value").alias("n_vals"),
+        F.count("*").alias("n_entries"),
+        F.min("value").alias("value"),
+    )
+    group_names = dv.filter(F.col("n_vals") >= 2).select("doc_id", "canonical")
+    const_dims = dv.filter(
+        (F.col("n_vals") == 1) & (F.col("n_entries") >= 2)
+    ).select("doc_id", "canonical", "value")
+
+    # group-key vector per non-shared column
+    not_shared = classified.join(
+        shared.select("doc_id", "col_idx"), ["doc_id", "col_idx"], "left_anti"
+    )
+    col_gdims = (
+        not_shared.filter(F.col("role") == "dim")
+        .join(group_names, ["doc_id", "canonical"])
+        .select("doc_id", "col_idx", "canonical", F.col("part").alias("value"))
+        .distinct()
+    )
+    gk = col_gdims.groupBy("doc_id", "col_idx").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("canonical", "value"))),
+                lambda s: F.concat_ws("=", s["canonical"], s["value"]),
+            ),
+        ).alias("group_key")
+    )
+
+    measures = not_shared.filter(F.col("role") == "measure").select(
+        "doc_id", "col_idx", "canonical"
+    )
+    # a column participates iff it has group dims or measures
+    member_cols = (
+        gk.select("doc_id", "col_idx")
+        .union(measures.select("doc_id", "col_idx"))
+        .distinct()
+    )
+    keyed = member_cols.join(gk, ["doc_id", "col_idx"], "left").select(
+        "doc_id", "col_idx", F.coalesce("group_key", F.lit("")).alias("group_key")
+    )
+    groups = keyed.select("doc_id", "group_key").distinct()
+    group_measures = measures.join(keyed, ["doc_id", "col_idx"]).select(
+        "doc_id", "group_key", "col_idx", "canonical"
+    )
+    # the group's dimension values: its own group dims + every constant
+    group_dims = (
+        col_gdims.join(keyed, ["doc_id", "col_idx"])
+        .select("doc_id", "group_key", "canonical", "value")
+        .distinct()
+        .union(groups.join(const_dims, "doc_id"))
+    )
+    return {
+        "shared": shared,
+        "group_names": group_names,
+        "const_dims": const_dims,
+        "groups": groups,
+        "group_dims": group_dims,
+        "group_measures": group_measures,
+    }
+
+
+def map_deterministic(
+    cells: DataFrame, headers: DataFrame, aliases: DataFrame,
+    record_cols: list[str],
+) -> DataFrame:
+    """cells(doc_id, row_id, col_idx, cell) + headers(doc_id, col_idx,
+    header) -> one record per (data row x unpivot group):
+    (doc_id, row_id, group_key, *record_cols) — phase-4 semantics,
+    interpret.py:1583-1618. Unpopulated fields are null.
+
+    The header-grain role tables are broadcast (columns-per-doc
+    cardinality; for contract-driven extraction this is a few rows per
+    layout), and the group-dimension values — constant per (doc, group)
+    — are pivoted at HEADER grain and broadcast-joined onto the finished
+    records instead of riding the big shuffle as rows. Field precedence
+    on canonical collisions mirrors the reference's assignment order
+    (interpret.py:1596-1612, later wins): measure > dimension > shared.
+    Cell-stream shuffles: the row-id distinct, and the record pivot
+    (spine join + groupBy share one 3-key partitioning)."""
+    r = column_roles(classify_parts(headers, aliases))
+    rows_u = cells.select("doc_id", "row_id").distinct()
+    spine = rows_u.join(F.broadcast(r["groups"]), "doc_id")
+    mvals = cells.join(
+        F.broadcast(r["group_measures"]), ["doc_id", "col_idx"]
+    ).select(
+        "doc_id", "row_id", "group_key", "canonical",
+        F.col("cell").alias("value"), F.lit("m").alias("src"),
+    )
+    svals = (
+        cells.join(F.broadcast(r["shared"]), ["doc_id", "col_idx"])
+        .join(F.broadcast(r["groups"]), "doc_id")
+        .select(
+            "doc_id", "row_id", "group_key", "canonical",
+            F.col("cell").alias("value"), F.lit("s").alias("src"),
+        )
+    )
+    piv = (
+        spine.join(mvals.union(svals), ["doc_id", "row_id", "group_key"], "left")
+        .groupBy("doc_id", "row_id", "group_key")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        (F.col("src") == s) & (F.col("canonical") == c),
+                        F.col("value"),
+                    )
+                ).alias(f"_{s}_{c}")
+                for c in record_cols
+                for s in ("m", "s")
+            ]
+        )
+    )
+    gdim_wide = r["group_dims"].groupBy("doc_id", "group_key").agg(
+        *[
+            F.max(F.when(F.col("canonical") == c, F.col("value"))).alias(
+                f"_d_{c}"
+            )
+            for c in record_cols
+        ]
+    )
+    return piv.join(F.broadcast(gdim_wide), ["doc_id", "group_key"], "left").select(
+        "doc_id",
+        "row_id",
+        "group_key",
+        *[
+            F.coalesce(f"_m_{c}", f"_d_{c}", f"_s_{c}").alias(c)
+            for c in record_cols
+        ],
+    )

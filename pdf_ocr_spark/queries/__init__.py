@@ -107,7 +107,7 @@ DRIVER_REGISTRY = [
     "v01_validation_suite",
     "r01_report_date_suite",
     "h01_schema_map_suite",
-    "u01_unpivot_compound_headers",
+    "u01_unpivot_suite",
     "c01_classify_suite",
 ]
 

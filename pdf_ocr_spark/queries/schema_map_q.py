@@ -239,6 +239,228 @@ LEFT JOIN py p ON p.o_custkey = k.o_custkey AND p.yr = s.yr
 """
 
 
+# ---------------------------------------------------------------- u02
+# Deterministic dimension/measure mapping (interpret.py:1335-1618) over
+# a Russian-ag-ministry-style wide layout: a shared label column, two
+# crop/unit compound columns (crop = GROUP dim, Th.ha. = CONSTANT dim +
+# float measure via the both-types alias rule), and two source/year
+# columns ("2025" aliases BOTH the int `year` and the float `value` —
+# the int+float rule makes year a constant dimension and value the
+# measure). Cell data derives from the customer table so the record
+# stream scales with SF while the header layout stays contract-sized.
+H04_SCHEMA = {
+    "region": ("string", []),
+    "crop": ("string", ["spring crops", "spring grain"]),
+    "unit": ("string", ["th.ha."]),
+    "area": ("float", ["th.ha."]),
+    "source": ("string", ["plan", "fact"]),
+    "year": ("int", ["2025"]),
+    "value": ("float", ["2025"]),
+}
+H04_HEADERS = [
+    "Region",
+    "Spring crops / Th.ha.",
+    "Spring grain / Th.ha.",
+    "Plan / 2025",
+    "Fact / 2025",
+]
+H04_RECORD_COLS = ["region", "crop", "unit", "source", "year", "area", "value"]
+
+
+def _h04_typed_alias_rows():
+    out = []
+    for canonical, (ty, aliases) in H04_SCHEMA.items():
+        for a in {canonical, *aliases}:
+            out.append((canonical, ty, a))
+    return sorted(out)
+
+
+_NORM_PART = NORM_SQL.format(x="string_split(header, ' / ')[u.pi]")
+
+_U02_ORACLE = f"""
+WITH cells AS (
+  SELECT 'doc-' || CAST(c_custkey % 40 AS VARCHAR) AS doc_id,
+         c_custkey AS row_id, u.ci - 1 AS col_idx,
+         [c_name, CAST(c_nationkey AS VARCHAR),
+          CAST(c_custkey % 100 AS VARCHAR),
+          CAST((c_custkey * 7) % 1000 AS VARCHAR),
+          c_mktsegment][u.ci] AS cell
+  FROM customer, unnest(generate_series(1, 5)) AS u(ci)
+),
+hdr0(col_idx, header) AS (VALUES {", ".join(
+    f"({i}, '" + h.replace("'", "''") + "')" for i, h in enumerate(H04_HEADERS)
+)}),
+hdrs AS (
+  SELECT d.doc_id, h.col_idx, h.header
+  FROM (SELECT DISTINCT doc_id FROM cells) d CROSS JOIN hdr0 h
+),
+al(canonical, type, alias) AS (VALUES {", ".join(
+    "('" + c + "', '" + ty + "', '" + a.replace("'", "''") + "')"
+    for c, ty, a in _h04_typed_alias_rows()
+)}),
+aln AS (SELECT DISTINCT canonical, type, {_NORM_A} AS norm_alias FROM al),
+parts AS (
+  SELECT doc_id, col_idx, u.pi - 1 AS pi,
+         trim(string_split(header, ' / ')[u.pi]) AS part,
+         {_NORM_PART} AS norm
+  FROM hdrs,
+       unnest(generate_series(1, len(string_split(header, ' / ')))) AS u(pi)
+),
+m AS (
+  SELECT p.doc_id, p.col_idx, p.pi, p.part, a.canonical, a.type
+  FROM parts p LEFT JOIN aln a ON p.norm = a.norm_alias
+),
+cls AS (
+  SELECT doc_id, col_idx, pi, part, canonical, type,
+         CASE WHEN type IN ('string', 'date') THEN 'dim'
+              WHEN type = 'int' AND max(CASE WHEN type = 'float' THEN 1
+                  ELSE 0 END) OVER (PARTITION BY doc_id, col_idx, pi) = 1
+                THEN 'dim'
+              WHEN type IS NOT NULL THEN 'measure' END AS role
+  FROM m
+),
+per_col AS (
+  SELECT doc_id, col_idx, max(pi) AS max_pi,
+         sum(CASE WHEN canonical IS NOT NULL THEN 1 ELSE 0 END) AS n_match,
+         sum(CASE WHEN role = 'measure' THEN 1 ELSE 0 END) AS n_meas,
+         min(CASE WHEN role = 'dim' THEN canonical END) AS canonical
+  FROM cls GROUP BY 1, 2
+),
+shared AS (
+  SELECT doc_id, col_idx, canonical FROM per_col
+  WHERE max_pi = 0 AND n_match >= 1 AND n_meas = 0
+),
+dims AS (
+  SELECT doc_id, col_idx, canonical, part AS value
+  FROM cls WHERE role = 'dim'
+),
+dv AS (
+  SELECT doc_id, canonical, count(DISTINCT value) AS n_vals,
+         count(*) AS n_entries, min(value) AS value
+  FROM dims GROUP BY 1, 2
+),
+gnames AS (SELECT doc_id, canonical FROM dv WHERE n_vals >= 2),
+cdims AS (
+  SELECT doc_id, canonical, value FROM dv
+  WHERE n_vals = 1 AND n_entries >= 2
+),
+ns AS (
+  SELECT c.* FROM cls c
+  WHERE NOT EXISTS (SELECT 1 FROM shared s
+                    WHERE s.doc_id = c.doc_id AND s.col_idx = c.col_idx)
+),
+colg AS (
+  SELECT DISTINCT n.doc_id, n.col_idx, n.canonical, n.part AS value
+  FROM ns n JOIN gnames g
+    ON g.doc_id = n.doc_id AND g.canonical = n.canonical
+  WHERE n.role = 'dim'
+),
+gk AS (
+  SELECT doc_id, col_idx,
+         string_agg(canonical || '=' || value, '|'
+                    ORDER BY canonical, value) AS group_key
+  FROM colg GROUP BY 1, 2
+),
+meas AS (SELECT doc_id, col_idx, canonical FROM ns WHERE role = 'measure'),
+member AS (
+  SELECT doc_id, col_idx FROM gk
+  UNION SELECT doc_id, col_idx FROM meas
+),
+keyed AS (
+  SELECT mb.doc_id, mb.col_idx, coalesce(g.group_key, '') AS group_key
+  FROM member mb LEFT JOIN gk g
+    ON g.doc_id = mb.doc_id AND g.col_idx = mb.col_idx
+),
+grps AS (SELECT DISTINCT doc_id, group_key FROM keyed),
+gmeas AS (
+  SELECT k.doc_id, k.group_key, me.col_idx, me.canonical
+  FROM meas me JOIN keyed k
+    ON k.doc_id = me.doc_id AND k.col_idx = me.col_idx
+),
+gdims AS (
+  SELECT DISTINCT k.doc_id, k.group_key, cg.canonical, cg.value
+  FROM colg cg JOIN keyed k
+    ON k.doc_id = cg.doc_id AND k.col_idx = cg.col_idx
+  UNION
+  SELECT g.doc_id, g.group_key, cd.canonical, cd.value
+  FROM grps g JOIN cdims cd ON cd.doc_id = g.doc_id
+),
+rows_u AS (SELECT DISTINCT doc_id, row_id FROM cells),
+spine AS (
+  SELECT r.doc_id, r.row_id, g.group_key
+  FROM rows_u r JOIN grps g ON g.doc_id = r.doc_id
+),
+allv AS (
+  SELECT c.doc_id, c.row_id, gm.group_key, gm.canonical, c.cell AS value
+  FROM cells c JOIN gmeas gm
+    ON gm.doc_id = c.doc_id AND gm.col_idx = c.col_idx
+  UNION ALL
+  SELECT c.doc_id, c.row_id, g.group_key, s.canonical, c.cell
+  FROM cells c
+  JOIN shared s ON s.doc_id = c.doc_id AND s.col_idx = c.col_idx
+  JOIN grps g ON g.doc_id = c.doc_id
+  UNION ALL
+  SELECT r.doc_id, r.row_id, d.group_key, d.canonical, d.value
+  FROM gdims d JOIN rows_u r ON r.doc_id = d.doc_id
+)
+SELECT s.doc_id, s.row_id, s.group_key,
+       {", ".join(
+           "coalesce(max(CASE WHEN a.canonical = '" + c + "' THEN a.value "
+           "END), '') AS " + c
+           for c in H04_RECORD_COLS
+       )}
+FROM spine s
+LEFT JOIN allv a ON a.doc_id = s.doc_id AND a.row_id = s.row_id
+   AND a.group_key = s.group_key
+GROUP BY 1, 2, 3
+"""
+
+
+@q("u02_deterministic_mapping", oracle=_U02_ORACLE)
+def u02(spark, sf):
+    """Deterministic dimension/measure mapping (docpact
+    interpret.py:1335-1618 semantics) as pure relational operators
+    (operators/det_map.py): ' / '-part classification against the
+    broadcast typed alias dictionary (string/date -> dimension from
+    header text, int/float -> measure from the cell, int+float
+    shared-alias -> the int becomes a dimension), shared single-part
+    dimension columns, per-doc GROUP dims (>= 2 distinct header values)
+    vs CONSTANT dims (1 value, >= 2 columns), and one record per
+    (data row x unpivot group). Header analysis runs at header grain;
+    the cell stream shuffles exactly once (the record pivot)."""
+    from ..operators.det_map import map_deterministic, typed_alias_table
+    from .base import t
+
+    c = t(spark, sf, "customer")
+    arr = F.array(
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        (F.col("c_custkey") % 100).cast("string"),
+        ((F.col("c_custkey") * 7) % 1000).cast("string"),
+        F.col("c_mktsegment"),
+    )
+    cells = c.select(
+        F.concat(
+            F.lit("doc-"), (F.col("c_custkey") % 40).cast("string")
+        ).alias("doc_id"),
+        F.col("c_custkey").alias("row_id"),
+        F.posexplode(arr).alias("col_idx", "cell"),
+    )
+    hdr = spark.createDataFrame(
+        list(enumerate(H04_HEADERS)), "col_idx int, header string"
+    )
+    headers = cells.select("doc_id").distinct().crossJoin(F.broadcast(hdr))
+    rec = map_deterministic(
+        cells, headers, typed_alias_table(spark, H04_SCHEMA), H04_RECORD_COLS
+    )
+    return rec.select(
+        "doc_id",
+        "row_id",
+        "group_key",
+        *[F.coalesce(c_, F.lit("")).alias(c_) for c_ in H04_RECORD_COLS],
+    )
+
+
 @q("u01_unpivot_compound_headers", oracle=_U01_ORACLE)
 def u01(spark, sf):
     """Schema-agnostic compound-header unpivot (docpact unpivot.py:143-400

@@ -610,6 +610,49 @@ def h01_suite(spark, sf):
     return a.unionByName(b).unionByName(c)
 
 
+# ============================================================= unpivot
+@q(
+    "u01_unpivot_suite",
+    oracle=f"""
+SELECT 'u01' AS fam, CAST(o_custkey AS VARCHAR) AS k, _pivot AS pivot,
+       n_orders AS n, total, '' AS rec
+FROM {_sub(schema_map_q, "u01_unpivot_compound_headers")} _a
+UNION ALL
+SELECT 'u02', doc_id, group_key, row_id, 0.0,
+       region || '|' || crop || '|' || unit || '|' || source || '|' ||
+       year || '|' || area || '|' || value
+FROM {_sub(schema_map_q, "u02_deterministic_mapping")} _b
+""",
+)
+def u01_suite(spark, sf):
+    """Unpivot/reshaping suite: schema-agnostic compound-header unpivot
+    via one stack() projection (u01, docpact unpivot.py:143-400) + the
+    full deterministic dimension/measure mapping (u02,
+    interpret.py:1335-1618 — group/constant dimensions, int+float
+    shared-alias rule, one record per row x group). u02's all-string
+    record fields ride a single concat column; u01's measures stay in
+    typed numeric columns for the comparator's float normalization."""
+    a = schema_map_q.QUERIES["u01_unpivot_compound_headers"](spark, sf).select(
+        F.lit("u01").alias("fam"),
+        F.col("o_custkey").cast("string").alias("k"),
+        F.col("_pivot").alias("pivot"),
+        F.col("n_orders").cast("long").alias("n"),
+        "total",
+        F.lit("").alias("rec"),
+    )
+    b = schema_map_q.QUERIES["u02_deterministic_mapping"](spark, sf).select(
+        F.lit("u02").alias("fam"),
+        F.col("doc_id").alias("k"),
+        F.col("group_key").alias("pivot"),
+        F.col("row_id").cast("long").alias("n"),
+        F.lit(0.0).alias("total"),
+        F.concat_ws(
+            "|", "region", "crop", "unit", "source", "year", "area", "value"
+        ).alias("rec"),
+    )
+    return a.unionByName(b)
+
+
 # ============================================================ classify
 @q(
     "c01_classify_suite",
