@@ -100,9 +100,10 @@ def column_roles(classified: DataFrame) -> dict[str, DataFrame]:
     'name=value'-vector of the column's group dimensions ('' when the
     column has none — the implicit single group)."""
     # header-grain (columns-per-doc rows): six role tables branch off
-    # this one relation — persist so the window+join pipeline above it
-    # runs once instead of once per branch
-    classified = classified.persist()
+    # this one relation. Deliberately NOT persisted — caching a
+    # layout-catalog-sized relation costs more (materialization jobs,
+    # broken exchange reuse) than recomputing the cheap lineage per
+    # branch; Catalyst reuses identical exchanges across branches.
     # shared: single-part columns, >=1 match, all matches dimension-type
     per_col = classified.groupBy("doc_id", "col_idx").agg(
         F.max("pi").alias("max_pi"),

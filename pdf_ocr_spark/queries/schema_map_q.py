@@ -446,10 +446,13 @@ def u02(spark, sf):
         F.col("c_custkey").alias("row_id"),
         F.posexplode(arr).alias("col_idx", "cell"),
     )
-    hdr = spark.createDataFrame(
-        list(enumerate(H04_HEADERS)), "col_idx int, header string"
+    # the layout catalog is a literal relation (doc residues 0..39 x 5
+    # headers) — deriving it from cells.distinct() would re-scan the
+    # parquet + shuffle once per header-grain role branch
+    headers = spark.createDataFrame(
+        [(f"doc-{d}", i, h) for d in range(40) for i, h in enumerate(H04_HEADERS)],
+        "doc_id string, col_idx int, header string",
     )
-    headers = cells.select("doc_id").distinct().crossJoin(F.broadcast(hdr))
     rec = map_deterministic(
         cells, headers, typed_alias_table(spark, H04_SCHEMA), H04_RECORD_COLS
     )
