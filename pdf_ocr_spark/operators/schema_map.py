@@ -64,6 +64,29 @@ def resolve_year_templates(schema: dict, pivot_year: int) -> dict:
     return out
 
 
+def merge_semantic_aliases(schema: dict, resolved: dict) -> dict:
+    """Additive semantic-alias enrichment (docpact pipeline.py:194-202 +
+    semantics.py:63-65 semantics): ontology-resolved aliases merge into
+    the contract schema case-insensitively — an alias already present in
+    any case is skipped, new ones append in resolution order. Driver-side
+    contract prep, applied before :func:`alias_table` builds the
+    broadcast dictionary (the ontology adapter itself is out of scope —
+    the reference resolves it offline into a SemanticContext dict).
+
+    schema/resolved: {canonical: [alias, ...]} -> new merged dict (inputs
+    untouched)."""
+    out: dict = {}
+    for canonical, aliases in schema.items():
+        merged = list(aliases)
+        seen = {a.lower() for a in merged}
+        for alias in resolved.get(canonical, []):
+            if alias.lower() not in seen:
+                merged.append(alias)
+                seen.add(alias.lower())
+        out[canonical] = merged
+    return out
+
+
 def coverage_report(mapped: DataFrame, schema: dict) -> DataFrame:
     """Preflight header-coverage report (docpact semantics.py:202-297):
     for every canonical schema column, how many of the document's headers

@@ -51,3 +51,22 @@ def test_joined_form_fallback(mapped):
 
 def test_unmatched_stays_null(mapped):
     assert mapped["mystery"] == (None, None)
+
+
+def test_merge_semantic_aliases():
+    """Additive ontology-alias merge, case-insensitive dedup
+    (docpact pipeline.py:194-202)."""
+    from pdf_ocr_spark.operators.schema_map import merge_semantic_aliases
+
+    schema = {"port": ["port name"], "vessel": ["ship"]}
+    resolved = {
+        "port": ["PORT NAME", "harbour", "Harbour", "terminal"],
+        "unknown_col": ["ignored"],
+    }
+    merged = merge_semantic_aliases(schema, resolved)
+    # existing alias skipped case-insensitively; new ones append in
+    # resolution order with their own case-insensitive dedup
+    assert merged["port"] == ["port name", "harbour", "terminal"]
+    assert merged["vessel"] == ["ship"]
+    # inputs untouched
+    assert schema["port"] == ["port name"]
