@@ -288,10 +288,12 @@ min-of-runs within a study):
 | local[16] (4N) | {best["n4"]["wall_sec"]} | {best["n4"]["docs_per_sec"]} |
 
 **Raw scaling efficiency N→4N = {eff:.3f}** (target ≥ 0.8:
-{"MET" if eff >= 0.8 else "NOT MET"} on this host — but see the
-calibration ceiling: the bar is not reachable by ANY Python workload on
-this sandbox, including embarrassingly-parallel multiprocessing with
-zero Spark involvement).
+{"MET on this host, uncalibrated" if eff >= 0.8 else
+ "NOT MET on this host raw — see the calibration ceiling: on noisy "
+ "studies the bar is not reachable by ANY Python workload on this "
+ "sandbox, including embarrassingly-parallel multiprocessing with "
+ "zero Spark involvement"}; the ceiling section below gives the
+cluster-predictive reading either way).
 
 ### Host calibration ceiling
 
