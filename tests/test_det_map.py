@@ -113,3 +113,184 @@ def test_records(spark, fixture):
     # missing cell (row 1, col 2) -> null measure, record still emitted
     r = rows[(1, "crop=Spring grain")]
     assert r["area"] is None and r["crop"] == "Spring grain"
+
+
+# ---------------------------------------------------------------------
+# Independent sequential oracle: a pure-Python implementation written
+# from the REFERENCE's loop structure (interpret.py:1335-1618), compared
+# against the Spark operator over seeded randomized layouts. The DuckDB
+# twin replicates the relational algorithm; this one replicates the
+# reference's sequential one — divergence in either direction fails.
+# Deliberate shared deviation (documented in operators/det_map.py): the
+# shared-column pick uses min(canonical) where the reference takes
+# alias-dict insertion order.
+
+
+def _norm(s: str) -> str:
+    import re
+
+    s = s.lower().replace('"', "")
+    s = re.sub(r"\s+", " ", s)
+    s = re.sub(r"\s*\(", " (", s)
+    return s.strip()
+
+
+def _ref_map(schema, headers_by_doc, cells, record_cols):
+    """Sequential phases 2-4. cells: {(doc,row,col): value}."""
+    DIM = ("string", "date")
+    amap = {}
+    for canonical, (ty, aliases) in schema.items():
+        for a in {canonical, *aliases}:
+            amap.setdefault(_norm(a), []).append((canonical, ty))
+    out = {}
+    rows_by_doc = {}
+    for (doc, row, _c) in cells:
+        rows_by_doc.setdefault(doc, set()).add(row)
+    for doc, headers in headers_by_doc.items():
+        # phase 2: classify each header column's parts
+        infos = []
+        for header in headers:
+            parts = [p.strip() for p in header.split(" / ")]
+            info = {"dims": [], "meas": [], "n_match": 0, "all_dim": True}
+            for part in parts:
+                matched = amap.get(_norm(part), [])
+                if matched:
+                    info["n_match"] += len(matched)
+                has_float = any(t == "float" for _c2, t in matched)
+                for canonical, ty in matched:
+                    if ty in DIM or (ty == "int" and has_float):
+                        info["dims"].append((canonical, part))
+                    else:
+                        info["meas"].append(canonical)
+                    if ty not in DIM:
+                        info["all_dim"] = False
+            info["single"] = len(parts) == 1
+            infos.append(info)
+        shared = {}  # col_idx -> canonical
+        for hi, info in enumerate(infos):
+            if info["single"] and info["n_match"] >= 1 and info["all_dim"]:
+                shared[hi] = min(c for c, _v in info["dims"])
+        # phase 3: group / constant dims
+        dim_values = {}
+        for info in infos:
+            for canonical, value in info["dims"]:
+                dim_values.setdefault(canonical, []).append(value)
+        group_names = {
+            c for c, vs in dim_values.items() if len(set(vs)) >= 2
+        }
+        const_dims = {
+            c: vs[0]
+            for c, vs in dim_values.items()
+            if c not in group_names and len(set(vs)) == 1 and len(vs) >= 2
+        }
+        groups = {}  # key tuple -> {"dims": {...}, "meas": [(col, canonical)]}
+        for hi, info in enumerate(infos):
+            if hi in shared:
+                continue
+            gdims = sorted(
+                {(c, v) for c, v in info["dims"] if c in group_names}
+            )
+            if not gdims and not info["meas"]:
+                continue
+            key = tuple(gdims)
+            if key not in groups:
+                d = dict(const_dims)
+                d.update({c: v for c, v in gdims})
+                groups[key] = {"dims": d, "meas": []}
+            groups[key]["meas"].extend((hi, c) for c in info["meas"])
+        # phase 4: records (shared -> dims -> measures, later wins)
+        for row in sorted(rows_by_doc.get(doc, ())):
+            for key, g in groups.items():
+                rec = {}
+                for hi, canonical in shared.items():
+                    if (doc, row, hi) in cells:
+                        rec[canonical] = cells[(doc, row, hi)]
+                rec.update(g["dims"])
+                for hi, canonical in g["meas"]:
+                    if (doc, row, hi) in cells:
+                        rec[canonical] = cells[(doc, row, hi)]
+                gk = "|".join(f"{c}={v}" for c, v in key)
+                out[(doc, row, gk)] = tuple(
+                    rec.get(c) for c in record_cols
+                )
+    return out
+
+
+def _gen_layout(seed):
+    import random
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa", "Th.ha.", "2025", "plan"]
+    types = ["string", "string", "date", "float", "float", "int"]
+    cols = [f"col{i}" for i in range(rng.randint(4, 7))]
+    schema = {}
+    for c in cols:
+        schema[c] = (rng.choice(types), [])
+    # alias entries: each word maps to 1-2 canonicals (sometimes mixed
+    # types -> exercises the both-types and int+float rules)
+    entries = []
+    for w in rng.sample(words, rng.randint(6, 10)):
+        targets = rng.sample(cols, rng.randint(1, 2))
+        for t in targets:
+            schema[t][1].append(w)
+        entries.append((w, set(targets)))
+    headers_by_doc = {}
+    cells = {}
+    for doc in ("da", "db"):
+        n_cols = rng.randint(3, 6)
+        headers = []
+        for _ in range(n_cols):
+            n_parts = rng.randint(1, 3)
+            # parts with disjoint canonical sets (see operator docstring:
+            # intra-column same-canonical repeats are out of scope)
+            chosen, used = [], set()
+            for w, tg in rng.sample(entries, len(entries)):
+                if len(chosen) == n_parts:
+                    break
+                if tg & used:
+                    continue
+                chosen.append(w)
+                used |= tg
+            if rng.random() < 0.3:
+                chosen.append(f"unknown{rng.randint(0, 9)}")
+            rng.shuffle(chosen)
+            headers.append(" / ".join(chosen) if chosen else "blank")
+        headers_by_doc[doc] = headers
+        for row in range(rng.randint(2, 4)):
+            for ci in range(n_cols):
+                if rng.random() < 0.85:
+                    cells[(doc, row, ci)] = f"{doc}r{row}c{ci}"
+    return schema, headers_by_doc, cells
+
+
+def test_matches_sequential_reference_semantics(spark):
+    """Spark operator == sequential reference implementation over 6
+    seeded randomized layouts (2 docs each, distinct layouts)."""
+    record_cols_of = lambda schema: sorted(schema)
+    for seed in range(6):
+        schema, headers_by_doc, cells = _gen_layout(seed)
+        record_cols = record_cols_of(schema)
+        expected = _ref_map(schema, headers_by_doc, cells, record_cols)
+        hdr_rows = [
+            (doc, i, h)
+            for doc, hs in headers_by_doc.items()
+            for i, h in enumerate(hs)
+        ]
+        cell_rows = [(d, r, c, v) for (d, r, c), v in cells.items()]
+        headers = spark.createDataFrame(
+            hdr_rows, "doc_id string, col_idx int, header string"
+        )
+        cdf = spark.createDataFrame(
+            cell_rows, "doc_id string, row_id int, col_idx int, cell string"
+        )
+        out = map_deterministic(
+            cdf, headers, typed_alias_table(spark, schema), record_cols
+        )
+        got = {
+            (x["doc_id"], x["row_id"], x["group_key"]): tuple(
+                x[c] for c in record_cols
+            )
+            for x in out.collect()
+        }
+        assert got == expected, f"seed {seed} diverged"
