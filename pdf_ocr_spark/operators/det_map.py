@@ -189,9 +189,85 @@ def column_roles(classified: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def infer_blank_header_shared(
+    cells: DataFrame, headers: DataFrame, classified: DataFrame,
+    aliases: DataFrame,
+) -> DataFrame:
+    """Phase-2.5 blank-header text-column inference
+    (interpret.py:1440-1460 semantics): when a document has exactly ONE
+    column with a blank header, zero alias matches, and majority-text
+    data (>50% of non-empty cells non-numeric under the comma-decimal /
+    NBSP-tolerant test, interpret.py:1007-1032), and exactly ONE
+    string-type schema column has no header match anywhere in the doc,
+    the two are assigned — an extra shared column. Returns
+    (doc_id, col_idx, canonical) rows; empty when either gate fails.
+    Title-matched dimensions are composed separately (h03) and are not
+    in the already-matched set here (documented deviation).
+
+    One narrow pass over the cell stream (broadcast-restricted to
+    candidate columns, then a header-grain agg); everything else is
+    header-grain."""
+    per_col = classified.groupBy("doc_id", "col_idx").agg(
+        F.sum(F.when(F.col("canonical").isNotNull(), 1).otherwise(0)).alias(
+            "n_match"
+        )
+    )
+    blank = (
+        per_col.filter(F.col("n_match") == 0)
+        .join(headers, ["doc_id", "col_idx"])
+        .filter(F.trim("header") == "")
+        .select("doc_id", "col_idx")
+    )
+    # >50% of non-empty cells non-numeric (cleaned: ','->'.', strip
+    # NBSP/space thousands, then a tolerant float parse)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.trim("cell"), ",", "."), "[  ]", ""
+    )
+    is_text = F.when(
+        F.expr(
+            "try_cast(regexp_replace(regexp_replace(trim(cell), ',', '.'),"
+            " '[\\u00A0 ]', '') AS double)"
+        ).isNull()
+        | (cleaned == ""),
+        1.0,
+    ).otherwise(0.0)
+    txt = (
+        cells.join(F.broadcast(blank), ["doc_id", "col_idx"])
+        .filter(F.trim("cell") != "")
+        .groupBy("doc_id", "col_idx")
+        .agg(F.avg(is_text).alias("text_frac"))
+        .filter(F.col("text_frac") > 0.5)
+    )
+    one_col = (
+        txt.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.min("col_idx").alias("col_idx"))
+        .filter(F.col("n") == 1)
+    )
+    matched = (
+        classified.filter(F.col("canonical").isNotNull())
+        .select("doc_id", "canonical")
+        .distinct()
+    )
+    string_cols = aliases.filter(F.col("type") == "string").select(
+        "canonical"
+    ).distinct()
+    one_schema = (
+        headers.select("doc_id")
+        .distinct()
+        .crossJoin(F.broadcast(string_cols))
+        .join(matched, ["doc_id", "canonical"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n2"), F.min("canonical").alias("canonical"))
+        .filter(F.col("n2") == 1)
+    )
+    return one_col.join(one_schema, "doc_id").select(
+        "doc_id", "col_idx", "canonical"
+    )
+
+
 def map_deterministic(
     cells: DataFrame, headers: DataFrame, aliases: DataFrame,
-    record_cols: list[str],
+    record_cols: list[str], infer_blank: bool = False,
 ) -> DataFrame:
     """cells(doc_id, row_id, col_idx, cell) + headers(doc_id, col_idx,
     header) -> one record per (data row x unpivot group):
@@ -206,8 +282,22 @@ def map_deterministic(
     on canonical collisions mirrors the reference's assignment order
     (interpret.py:1596-1612, later wins): measure > dimension > shared.
     Cell-stream shuffles: the row-id distinct, and the record pivot
-    (spine join + groupBy share one 3-key partitioning)."""
-    r = column_roles(classify_parts(headers, aliases))
+    (spine join + groupBy share one 3-key partitioning).
+
+    ``infer_blank`` adds the phase-2.5 blank-header inference
+    (:func:`infer_blank_header_shared`) to the shared columns. The
+    reference applies it unconditionally; here the caller enables it
+    for corpora whose layouts carry blank headers — the skip is the
+    single-category-skip analogue (SURVEY §4): the inference is
+    vacuous when no layout has a blank header, and skipping it keeps
+    the vacuous subtree out of the plan."""
+    classified = classify_parts(headers, aliases)
+    r = column_roles(classified)
+    shared = r["shared"]
+    if infer_blank:
+        shared = shared.unionByName(
+            infer_blank_header_shared(cells, headers, classified, aliases)
+        )
     rows_u = cells.select("doc_id", "row_id").distinct()
     spine = rows_u.join(F.broadcast(r["groups"]), "doc_id")
     mvals = cells.join(
@@ -217,7 +307,7 @@ def map_deterministic(
         F.col("cell").alias("value"), F.lit("m").alias("src"),
     )
     svals = (
-        cells.join(F.broadcast(r["shared"]), ["doc_id", "col_idx"])
+        cells.join(F.broadcast(shared), ["doc_id", "col_idx"])
         .join(F.broadcast(r["groups"]), "doc_id")
         .select(
             "doc_id", "row_id", "group_key", "canonical",

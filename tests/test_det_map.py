@@ -294,3 +294,53 @@ def test_matches_sequential_reference_semantics(spark):
             for x in out.collect()
         }
         assert got == expected, f"seed {seed} diverged"
+
+
+def test_blank_header_inference(spark):
+    """Phase-2.5 (interpret.py:1440-1460): exactly one blank-header
+    text-data column + exactly one unmatched string schema column ->
+    assigned as a shared column; numeric blank columns and two-way
+    ambiguity are rejected."""
+    schema = {
+        "region": ("string", []),       # never matched -> the ONE free string col
+        "area": ("float", ["th.ha."]),
+        "crop": ("string", ["crop"]),   # matched by header
+    }
+    headers = spark.createDataFrame(
+        [
+            # d1: blank col 0 with text data -> inferred as region
+            ("d1", 0, " "), ("d1", 1, "Th.ha."), ("d1", 2, "Crop"),
+            # d2: blank col is NUMERIC data -> no inference
+            ("d2", 0, ""), ("d2", 1, "Th.ha."),
+            # d3: TWO blank text columns -> ambiguous, no inference
+            ("d3", 0, ""), ("d3", 1, ""), ("d3", 2, "Th.ha."),
+        ],
+        "doc_id string, col_idx int, header string",
+    )
+    cells = spark.createDataFrame(
+        [
+            ("d1", 0, 0, "Moscow"), ("d1", 0, 1, "12"), ("d1", 0, 2, "rye"),
+            ("d1", 1, 0, "Kazan"), ("d1", 1, 1, "1 234,5"), ("d1", 1, 2, "oat"),
+            ("d2", 0, 0, "1 234,5"), ("d2", 0, 1, "9"),
+            ("d2", 1, 0, "77"), ("d2", 1, 1, "8"),
+            ("d3", 0, 0, "a"), ("d3", 0, 1, "b"), ("d3", 0, 2, "3"),
+        ],
+        "doc_id string, row_id int, col_idx int, cell string",
+    )
+    from pdf_ocr_spark.operators.det_map import infer_blank_header_shared
+
+    al = typed_alias_table(spark, schema)
+    extra = infer_blank_header_shared(
+        cells, headers, classify_parts(headers, al), al
+    )
+    assert [(r.doc_id, r.col_idx, r.canonical) for r in extra.collect()] == [
+        ("d1", 0, "region")
+    ]
+    # end-to-end: the inferred shared column lands in the records
+    out = map_deterministic(
+        cells, headers, al, ["region", "crop", "area"], infer_blank=True
+    )
+    recs = {(r.doc_id, r.row_id): r for r in out.collect()}
+    assert recs[("d1", 0)].region == "Moscow"
+    assert recs[("d1", 1)].region == "Kazan"
+    assert recs[("d2", 0)].region is None
