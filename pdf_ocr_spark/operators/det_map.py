@@ -24,12 +24,15 @@ long-format cell stream:
            one record per (data row x group): shared cells + the
            group's dimension header-values + constants + measure cells.
 
-Out of scope here, composed elsewhere: title constant-dims are
+Composed elsewhere / opt-in: title constant-dims are
 `schema_map.match_title_dims` (h03); section-label columns are the
-§2.7 semi-join family; the re-classify branch for measure-less compound
-label columns (interpret.py:1504-1526) and blank-header inference
-(1440-1460) depend on loop-order accumulation and stay driver-side
-contract prep (documented deviation).
+§2.7 semi-join family; blank-header inference (interpret.py:1440-1460)
+is :func:`infer_blank_header_shared`; the re-classify branch for
+measure-less compound label columns (1504-1526) is
+:func:`reclassify_label_columns` — inherently sequential per document
+(each promotion's constants feed the next column's coverage check), so
+it runs as a HEADER-GRAIN mapInPandas over per-doc candidate arrays,
+the kernel pattern (§2.11), never touching the cell stream.
 
 Scale shape: every rule is an aggregation or join at HEADER grain
 (columns-per-doc rows — orders of magnitude smaller than the cell
@@ -265,9 +268,116 @@ def infer_blank_header_shared(
     )
 
 
+def reclassify_label_columns(
+    classified: DataFrame, shared: DataFrame, group_names: DataFrame,
+    const_dims: DataFrame,
+) -> DataFrame:
+    """Re-classify measure-less compound label columns
+    (interpret.py:1504-1526 semantics): a non-shared column with only
+    non-group dimensions and no measures, whose dimensions are not all
+    covered by existing constants/shared columns, promotes its LAST
+    dimension part to a shared column (cell value) and the earlier
+    parts to constant dimensions. Promotions accumulate left-to-right —
+    an earlier column's new constants can fully cover a later column,
+    which is then skipped — so the rule is sequential per document.
+    Runs as one mapInPandas over per-doc candidate arrays (header
+    grain, a handful of rows per doc, zero cell-stream involvement).
+
+    Returns tagged rows: kind 's' -> new shared (doc_id, col_idx,
+    canonical); kind 'c' -> new constant (doc_id, canonical, value).
+    Within one part, multi-match ordering uses canonical sort (the
+    same deterministic stand-in as the shared-column pick)."""
+    import pandas as pd
+
+    not_shared = classified.join(
+        shared.select("doc_id", "col_idx").distinct(),
+        ["doc_id", "col_idx"],
+        "left_anti",
+    )
+    dim_rows = not_shared.filter(F.col("role") == "dim")
+    has_gdim = (
+        dim_rows.join(group_names, ["doc_id", "canonical"])
+        .select("doc_id", "col_idx")
+        .distinct()
+    )
+    percol = not_shared.groupBy("doc_id", "col_idx").agg(
+        F.sum(F.when(F.col("role") == "measure", 1).otherwise(0)).alias(
+            "n_meas"
+        ),
+        F.sum(F.when(F.col("role") == "dim", 1).otherwise(0)).alias("n_dims"),
+    )
+    cand = (
+        percol.filter((F.col("n_meas") == 0) & (F.col("n_dims") > 0))
+        .join(has_gdim, ["doc_id", "col_idx"], "left_anti")
+        .select("doc_id", "col_idx")
+    )
+    cdims = dim_rows.join(cand, ["doc_id", "col_idx"]).select(
+        "doc_id", "col_idx", "pi", "canonical", F.col("part").alias("value")
+    )
+    per_doc = cdims.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("col_idx", "pi", "canonical", "value"))
+        ).alias("dims")
+    )
+    cn = const_dims.groupBy("doc_id").agg(
+        F.collect_list("canonical").alias("const_names")
+    )
+    sn = shared.groupBy("doc_id").agg(
+        F.collect_list("canonical").alias("shared_names")
+    )
+    joined = per_doc.join(cn, "doc_id", "left").join(sn, "doc_id", "left")
+
+    def fn(batches):
+        for pdf in batches:
+            out: dict = {
+                "doc_id": [], "kind": [], "col_idx": [],
+                "canonical": [], "value": [],
+            }
+
+            def emit(doc, kind, col, canonical, value):
+                out["doc_id"].append(doc)
+                out["kind"].append(kind)
+                out["col_idx"].append(col)
+                out["canonical"].append(canonical)
+                out["value"].append(value)
+
+            for doc, dims, cns, sns in zip(
+                pdf["doc_id"], pdf["dims"], pdf["const_names"],
+                pdf["shared_names"],
+            ):
+                const_set = set(cns if cns is not None else [])
+                covered = const_set | set(sns if sns is not None else [])
+                bycol: dict = {}
+                for d in dims:
+                    bycol.setdefault(d["col_idx"], []).append(d)
+                for col in sorted(bycol):
+                    dd = sorted(
+                        bycol[col],
+                        key=lambda x: (x["pi"], x["canonical"], x["value"]),
+                    )
+                    if all(x["canonical"] in covered for x in dd):
+                        continue
+                    *consts, last = dd
+                    emit(doc, "s", int(col), last["canonical"], None)
+                    covered.add(last["canonical"])
+                    for x in consts:
+                        if x["canonical"] not in const_set:
+                            emit(doc, "c", None, x["canonical"], x["value"])
+                            const_set.add(x["canonical"])
+                            covered.add(x["canonical"])
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        fn,
+        schema="doc_id string, kind string, col_idx int, "
+        "canonical string, value string",
+    )
+
+
 def map_deterministic(
     cells: DataFrame, headers: DataFrame, aliases: DataFrame,
     record_cols: list[str], infer_blank: bool = False,
+    reclassify: bool = False,
 ) -> DataFrame:
     """cells(doc_id, row_id, col_idx, cell) + headers(doc_id, col_idx,
     header) -> one record per (data row x unpivot group):
@@ -290,13 +400,36 @@ def map_deterministic(
     for corpora whose layouts carry blank headers — the skip is the
     single-category-skip analogue (SURVEY §4): the inference is
     vacuous when no layout has a blank header, and skipping it keeps
-    the vacuous subtree out of the plan."""
+    the vacuous subtree out of the plan. ``reclassify`` likewise adds
+    the sequential label-column promotion
+    (:func:`reclassify_label_columns`): its new shared columns feed
+    the cell joins, its new constants feed every group like phase-3
+    constants."""
     classified = classify_parts(headers, aliases)
     r = column_roles(classified)
     shared = r["shared"]
+    group_dims = r["group_dims"]
     if infer_blank:
         shared = shared.unionByName(
             infer_blank_header_shared(cells, headers, classified, aliases)
+        )
+    if reclassify:
+        promoted = reclassify_label_columns(
+            classified, shared, r["group_names"], r["const_dims"]
+        )
+        shared = shared.unionByName(
+            promoted.filter(F.col("kind") == "s").select(
+                "doc_id", "col_idx", "canonical"
+            )
+        )
+        # promoted constants apply to every group, like phase-3 constants
+        group_dims = group_dims.union(
+            r["groups"].join(
+                promoted.filter(F.col("kind") == "c").select(
+                    "doc_id", "canonical", "value"
+                ),
+                "doc_id",
+            )
         )
     rows_u = cells.select("doc_id", "row_id").distinct()
     spine = rows_u.join(F.broadcast(r["groups"]), "doc_id")
@@ -330,7 +463,7 @@ def map_deterministic(
             ]
         )
     )
-    gdim_wide = r["group_dims"].groupBy("doc_id", "group_key").agg(
+    gdim_wide = group_dims.groupBy("doc_id", "group_key").agg(
         *[
             F.max(F.when(F.col("canonical") == c, F.col("value"))).alias(
                 f"_d_{c}"

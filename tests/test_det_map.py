@@ -344,3 +344,103 @@ def test_blank_header_inference(spark):
     assert recs[("d1", 0)].region == "Moscow"
     assert recs[("d1", 1)].region == "Kazan"
     assert recs[("d2", 0)].region is None
+
+
+def test_reclassify_label_columns(spark):
+    """Re-classify branch (interpret.py:1504-1526): 'Th.ha. / Region'
+    promotes Region to a shared cell column and Th.ha. to a constant;
+    a column whose dims are all already covered is skipped."""
+    from pdf_ocr_spark.operators.det_map import reclassify_label_columns
+
+    schema = {
+        "crop": ("string", []),
+        "unit": ("string", ["th.ha."]),
+        "region": ("string", []),
+        "moa": ("string", ["moa 2024"]),
+    }
+    headers = spark.createDataFrame(
+        [
+            ("d1", 0, "Crop"),               # shared (phase 2)
+            ("d1", 1, "Th.ha. / Region"),    # promote: unit const, region shared
+            ("d1", 2, "Th.ha. / MOA 2024"),  # second th.ha. -> phase-3 constant;
+                                             # moa + covered unit -> promote moa? no:
+                                             # last dim at col2 is moa -> shared
+        ],
+        "doc_id string, col_idx int, header string",
+    )
+    al = typed_alias_table(spark, schema)
+    cls = classify_parts(headers, al)
+    r = column_roles(cls)
+    out = reclassify_label_columns(
+        cls, r["shared"], r["group_names"], r["const_dims"]
+    ).collect()
+    got = {(x.kind, x.col_idx, x.canonical, x.value) for x in out}
+    # phase 3 already made unit a constant (2 entries, 1 value), so the
+    # const parts of both columns are covered; the LAST dim of each
+    # promotes to shared
+    assert got == {
+        ("s", 1, "region", None),
+        ("s", 2, "moa", None),
+    }
+
+
+def test_reclassify_skips_fully_covered_columns(spark):
+    """Every dim canonical occurring in >= 2 columns is already a
+    phase-3 constant (one value) or a group dimension (>= 2 values), so
+    repeated-label columns arrive fully covered and are skipped — which
+    also proves the reference's left-to-right constant accumulation
+    (interpret.py:1504-1526) can never change the outcome: promotions
+    only add canonicals that phase 3 would already have covered."""
+    from pdf_ocr_spark.operators.det_map import reclassify_label_columns
+
+    schema = {"u1": ("string", ["alpha"]), "u2": ("string", ["beta"])}
+    headers = spark.createDataFrame(
+        [
+            ("d1", 0, "alpha / beta"),  # alpha, beta both 2 entries /
+            ("d1", 1, "beta / alpha"),  # 1 value -> phase-3 constants
+        ],
+        "doc_id string, col_idx int, header string",
+    )
+    al = typed_alias_table(spark, schema)
+    cls = classify_parts(headers, al)
+    r = column_roles(cls)
+    out = reclassify_label_columns(
+        cls, r["shared"], r["group_names"], r["const_dims"]
+    ).collect()
+    assert out == []
+
+
+def test_reclassify_end_to_end(spark):
+    """map_deterministic(reclassify=True): the promoted shared column
+    carries cell values and the promoted constant rides every group."""
+    schema = {
+        "unit": ("string", ["th.ha."]),
+        "region": ("string", []),
+        "crop": ("string", ["spring crops", "spring grain"]),
+        "area": ("float", ["area"]),
+    }
+    headers = spark.createDataFrame(
+        [
+            ("d1", 0, "Th.ha. / Region"),        # label column -> promoted
+            ("d1", 1, "Spring crops / Area"),    # group crop=Spring crops
+            ("d1", 2, "Spring grain / Area"),    # group crop=Spring grain
+        ],
+        "doc_id string, col_idx int, header string",
+    )
+    cells = spark.createDataFrame(
+        [
+            ("d1", 0, 0, "Moscow"), ("d1", 0, 1, "10"), ("d1", 0, 2, "20"),
+        ],
+        "doc_id string, row_id int, col_idx int, cell string",
+    )
+    al = typed_alias_table(spark, schema)
+    out = map_deterministic(
+        cells, headers, al, ["unit", "region", "crop", "area"],
+        reclassify=True,
+    )
+    rows = {x.group_key: x for x in out.collect()}
+    assert set(rows) == {"crop=Spring crops", "crop=Spring grain"}
+    r = rows["crop=Spring crops"]
+    assert (r.region, r.unit, r.crop, r.area) == (
+        "Moscow", "Th.ha.", "Spring crops", "10",
+    )
