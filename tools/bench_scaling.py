@@ -368,9 +368,25 @@ of `groupBy(doc_id, page).agg(collect_list)` — is implemented
 4-core minima 32.6 s vs 30.6 s. Parity at 4N, ~6 % regression at N:
 the Python-side run detection costs what the JVM hash-agg saved, and
 at low parallelism Python CPU is the binding resource. The
-measured-fastest groupBy+fused-agg shape stays the default; the
-streaming shape remains available where sort-based grouping's bounded
-aggregation memory matters (pathologically large single pages).
+page-grain paths remain available for single-colossal-doc layouts
+where per-page fan-out matters.
+
+### Doc-grain streaming mega branch (round 2 — the default, and what
+### moved the raw number over the bar)
+
+Taking the flat-shuffle idea to DOC grain removed the aggregation
+entirely: the mega branch is now ONE primitive-row exchange
+hash-partitioned on doc_id, an in-partition sort by (doc_id, page,
+offset), and a `mapInPandas` that runs page kernels per sorted run and
+assembles each document's ordered span sequence in-stream
+(`extract/pipeline.py _extract_doc_stream`). No page-grain
+`collect_list`, no final wide agg materializing 10^6-element nested
+rows in the JVM heap — the branch's memory- and GC-bound phases are
+gone. Parallelism is doc-grain (a doc's pages run serially inside its
+partition), the right trade when doc count >> cores. This change is
+the only pipeline difference between study r (raw 0.693) and studies
+s/t/u (0.856 / 0.820 / 0.809) — the first three studies to clear the
+0.8 target raw, uncalibrated, under varying co-tenant load.
 
 ### Why N=4 / 4N=16 (and not 8/32)
 
