@@ -14,10 +14,17 @@ one Spark job chaining this engine's stages:
 Contract dict shape (the reference's JSON contract, simplified):
 
     {"schema": {canonical: [alias, ...]},
+     "types":  {canonical: "string"|"date"|"int"|"float"},   # optional
      "rules":  {canonical: {rule: arg, ...}}}
 
 Output tables under ``out_dir``:
     records/   (doc_id, span_idx, canonical, value, valid, violations_csv)
+    mapped/    (only when the contract declares ``types``) one WIDE
+               record per (data row x unpivot group) per table block —
+               the reference's deterministic dimension/measure mapping
+               (operators/det_map.py, interpret.py:1335-1618) with
+               blank-header inference and label-column re-classify on,
+               validated by the same contract rules as assert columns
     metrics/   per-document extraction metrics
     report/    violation histogram (violation, n_docs)
 
@@ -35,15 +42,15 @@ from ..operators.schema_map import alias_table, map_headers
 from ..operators.validation import validate, violation_histogram
 
 
-def _mapped_cells(spark, extracted: DataFrame, schema: dict) -> DataFrame:
-    """Ordered spans -> long-form (doc_id, span_idx, canonical, value).
+def _block_grid(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Ordered spans -> per-table-block grid coordinates.
 
     Column association is positional, reconstructed from reading order:
     consecutive heading spans form a header block of k columns; the
     cells that follow cycle through those k columns row-major
-    (cell_seq mod k).  All window functions — no Python.  Headings
-    resolve to canonical columns via the broadcast alias joins.
-    """
+    (cell_seq mod k, row_id = cell_seq div k).  All window functions —
+    no Python.  Returns (hdrs(doc_id, block, col_idx, header),
+    cells(doc_id, block, span_idx, row_id, col_idx, text))."""
     spans = extracted.select(
         "doc_id", F.posexplode("spans").alias("span_idx", "s")
     ).select(
@@ -82,8 +89,23 @@ def _mapped_cells(spark, extracted: DataFrame, schema: dict) -> DataFrame:
         )
         .join(k, ["doc_id", "block"], "left")
         .withColumn("col_idx", F.pmod("cell_seq", F.coalesce("k", F.lit(1))))
+        .withColumn(
+            "row_id",
+            F.floor(F.col("cell_seq") / F.coalesce("k", F.lit(1))).cast(
+                "int"
+            ),
+        )
+        .select("doc_id", "block", "span_idx", "row_id", "col_idx", "text")
     )
+    return hdrs, cells
 
+
+def _mapped_cells(
+    spark, hdrs: DataFrame, cells: DataFrame, schema: dict
+) -> DataFrame:
+    """Block grid -> long-form (doc_id, span_idx, canonical, value):
+    headings resolve to canonical columns via the broadcast alias
+    joins."""
     mapping = map_headers(
         hdrs.select("header").distinct(), alias_table(spark, schema)
     )
@@ -93,6 +115,42 @@ def _mapped_cells(spark, extracted: DataFrame, schema: dict) -> DataFrame:
         .select(
             "doc_id", "span_idx", "canonical", F.col("text").alias("value")
         )
+    )
+
+
+def _deterministic_records(
+    spark, hdrs: DataFrame, cells: DataFrame, contract: dict
+) -> DataFrame:
+    """Block grid -> WIDE records via the deterministic dimension/
+    measure mapping (operators/det_map.py, interpret.py:1335-1618).
+    Each table block maps independently — the det-map document grain is
+    (doc_id, block), carried through as one composite key and split
+    back after the record pivot. Blank-header inference and the
+    label-column re-classify branch are on (the reference applies both
+    unconditionally)."""
+    from ..operators.det_map import map_deterministic, typed_alias_table
+
+    schema = contract["schema"]
+    types = contract.get("types", {})
+    typed = {
+        c: (types.get(c, "string"), aliases) for c, aliases in schema.items()
+    }
+    record_cols = sorted(schema)
+    tbl = F.concat_ws("#", "doc_id", F.col("block").cast("string"))
+    h = hdrs.select(tbl.alias("doc_id"), "col_idx", "header")
+    cl = cells.select(
+        tbl.alias("doc_id"), "row_id", "col_idx", F.col("text").alias("cell")
+    )
+    rec = map_deterministic(
+        cl, h, typed_alias_table(spark, typed), record_cols,
+        infer_blank=True, reclassify=True,
+    )
+    return rec.select(
+        F.substring_index("doc_id", "#", 1).alias("doc_id"),
+        F.element_at(F.split("doc_id", "#"), -1).cast("int").alias("block"),
+        "row_id",
+        "group_key",
+        *record_cols,
     )
 
 
@@ -139,7 +197,8 @@ def run_contract_pipeline(
     """Run extract -> map -> validate; optionally write the three output
     tables. Returns {"records", "metrics", "report"} DataFrames."""
     extracted = extract(input_df, salt_partitions=salt_partitions)
-    cells = _mapped_cells(spark, extracted, contract["schema"])
+    hdrs, grid = _block_grid(extracted)
+    cells = _mapped_cells(spark, hdrs, grid, contract["schema"])
     records = _validated_records(cells, contract.get("rules", {}))
 
     metrics = extracted.select("doc_id", "metrics.*")
@@ -152,6 +211,14 @@ def run_contract_pipeline(
     )
 
     out = {"records": records, "metrics": metrics, "report": report}
+    if contract.get("types"):
+        mapped = _deterministic_records(spark, hdrs, grid, contract)
+        rules = {
+            c: r
+            for c, r in contract.get("rules", {}).items()
+            if c in contract["schema"]
+        }
+        out["mapped"] = validate(mapped, rules) if rules else mapped
     if out_dir:
         for name, df in out.items():
             df.write.mode("overwrite").parquet(f"{out_dir}/{name}")

@@ -75,3 +75,25 @@ def test_rules_flag_nonmatching_values(spark):
     assert bad.count() == out["records"].filter(
         out["records"].violations_csv.contains("tonnage.pattern")
     ).count()
+
+
+def test_typed_contract_produces_mapped_records(spark):
+    """A contract with declared column types adds the 'mapped' output:
+    wide records from the deterministic dimension/measure mapping, one
+    per (data row x unpivot group) per table block, validated by the
+    same rules as assert columns."""
+    ids = [f"pdfish-{i:06d}" for i in range(6)]
+    contract = dict(CONTRACT, types={"tonnage": "float"})
+    out = run_contract_pipeline(spark, contract, _input(spark, ids))
+    assert "mapped" in out
+    rows = out["mapped"].collect()
+    assert rows, "typed contract produced no mapped records"
+    # all headers here are single-part: strings become shared cell
+    # columns, the float tonnage is the measure -> one implicit group
+    assert all(r.group_key == "" for r in rows)
+    assert any(r.port is not None for r in rows)
+    assert any(r.tonnage is not None for r in rows)
+    # contract rules ride the wide records as assert columns
+    assert "violations" in out["mapped"].columns
+    for r in rows:
+        assert isinstance(list(r.violations), list)
