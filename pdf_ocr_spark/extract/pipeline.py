@@ -396,17 +396,25 @@ def extract(
     (doc_id, page) + sorted run grouping → page kernels → fused wide
     agg (bounds agg memory for pathological page sizes).
     """
-    df = df.withColumn("_n", F.size("spans"))
+    if "n_spans" in df.columns:
+        # ingest-materialized span count (sources/synthetic.py writes
+        # it): the branch predicate is now a plain column, so the
+        # parquet scan applies row-group min/max skipping per branch —
+        # the 10^12-doc shape (the computed-size fallback below can
+        # never push down)
+        df = df.withColumn("_n", F.col("n_spans")).drop("n_spans")
+    else:
+        df = df.withColumn("_n", F.size("spans"))
     if salt_partitions:
         # Salted repartition BEFORE the small/big branch split: both
         # branches then read the SAME shuffle stage output instead of
         # each re-scanning (and re-decoding the nested spans column of)
-        # the full input — the size filter is on a computed column, so
-        # it can never push down to the scan. One shuffle also spreads
+        # the full input — with a computed-size split that filter can
+        # never push down to the scan. One shuffle also spreads
         # mega-docs (which cluster in few input splits — size-based
         # split planning can't see row cost) so the 10^6-span explode
         # parallelizes instead of running in one task. At 10^12 docs
-        # prefer an ingest-materialized n_spans column (pushdown-able)
+        # prefer the ingest-materialized n_spans column (pushdown-able)
         # over this shuffle; with salt_partitions=None the plan stays
         # shuffle-free and trusts the scan's split sizing.
         df = df.repartition(

@@ -84,6 +84,13 @@ def write_corpus_table(
     partitions: int | None = None,
 ) -> None:
     """Materialize the corpus as the engine's input table (Parquet layout;
-    Iceberg via sources.catalog when jars are available)."""
+    Iceberg via sources.catalog when jars are available).
+
+    The span count is materialized as ``n_spans`` at ingest: the
+    extraction pipeline's small/big branch predicate then rides a plain
+    column with parquet row-group min/max stats (data skipping per
+    branch) instead of a computed ``size(spans)`` that can never push
+    down — the 10^12-doc shape (extract/pipeline.py)."""
     df = synthetic_corpus(spark, n_docs, skew_docs, seed, partitions)
+    df = df.withColumn("n_spans", F.size("spans"))
     df.write.mode("overwrite").parquet(path)
