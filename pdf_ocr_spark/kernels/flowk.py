@@ -65,8 +65,10 @@ def _dh2_flow_count(
     grid: list[list[str]], merges: list[tuple[int, int, int, int]]
 ) -> int:
     """DH2 (docx_extractor.py:344-388): scan the first ``_HEADER_SCAN``
-    rows for merge indicators — a gridSpan start (c1 > c0) or ANY row a
-    vMerge range covers (r0..r1 with r1 > r0) — and take the LAST such
+    rows for merge indicators — a gridSpan start (c1 > c0) or a vMerge
+    range that STARTS inside the window (the reference only inspects
+    ``table.rows[:max_scan]``, so a body vMerge starting past the
+    window contributes nothing) — and take the LAST covered in-window
     row; every row through it is a header. 0 when the scan window has
     no merge indicator (the title-above-merges case is why the scan
     runs forward instead of stopping at the first merge-free row)."""
@@ -75,7 +77,7 @@ def _dh2_flow_count(
     for r0, c0, r1, c1 in merges:
         if c1 > c0 and r0 < scan:
             last = max(last, r0)
-        if r1 > r0:
+        if r1 > r0 and r0 < scan:
             last = max(last, min(r1, scan - 1))
     return last + 1
 

@@ -478,19 +478,31 @@ def _split_merged_spans(rows: list[list]) -> list[list]:
             if not splits:
                 new_r.append(s)
                 continue
+
+            # each fragment gets its OWN width suffix (the merged
+            # span's full width would inflate the page's median char
+            # width and stretch stacked-header column bounds across
+            # neighbour columns on pages containing split rows)
+            def frag_ref(fragment: str) -> str:
+                base = s[4].rsplit("@", 1)[0]
+                return f"{base}@{max(1, round(len(fragment) * cw))}"
+
             cur = 0
             for ci in splits:
                 left = text[cur:ci].rstrip()
                 if left:
                     new_r.append(
-                        (s[0], s[1] + round(cur * cw), s[2], left, s[4])
+                        (s[0], s[1] + round(cur * cw), s[2], left,
+                         frag_ref(left))
                     )
                 cur = ci
                 while cur < len(text) and text[cur] == " ":
                     cur += 1
             rem = text[cur:].rstrip()
             if rem:
-                new_r.append((s[0], s[1] + round(cur * cw), s[2], rem, s[4]))
+                new_r.append(
+                    (s[0], s[1] + round(cur * cw), s[2], rem, frag_ref(rem))
+                )
         new_r.sort(key=lambda t: (t[1], t[3]))
         out_rows.append(new_r)
     return out_rows

@@ -409,6 +409,7 @@ def map_deterministic(
     r = column_roles(classified)
     shared = r["shared"]
     group_dims = r["group_dims"]
+    promoted_consts = None
     if infer_blank:
         shared = shared.unionByName(
             infer_blank_header_shared(cells, headers, classified, aliases)
@@ -422,17 +423,35 @@ def map_deterministic(
                 "doc_id", "col_idx", "canonical"
             )
         )
-        # promoted constants apply to every group, like phase-3 constants
-        group_dims = group_dims.union(
-            r["groups"].join(
-                promoted.filter(F.col("kind") == "c").select(
-                    "doc_id", "canonical", "value"
-                ),
-                "doc_id",
-            )
+        promoted_consts = promoted.filter(F.col("kind") == "c").select(
+            "doc_id", "canonical", "value"
         )
+    # Implicit single group for shared-only documents (interpret.py:
+    # 1531-1537): when a doc has NO group dimensions anywhere and no
+    # member columns, but does have shared columns, the reference still
+    # emits one record per data row (shared values + constants). Docs
+    # whose group dimensions live only in shared columns take the
+    # reference's grouped path and form no groups — excluded here too.
+    implicit = (
+        shared.select("doc_id")
+        .distinct()
+        .join(r["groups"].select("doc_id").distinct(), "doc_id", "left_anti")
+        .join(
+            r["group_names"].select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        .select("doc_id", F.lit("").alias("group_key"))
+    )
+    groups = r["groups"].unionByName(implicit)
+    group_dims = group_dims.unionByName(
+        implicit.join(r["const_dims"], "doc_id").select(
+            "doc_id", "group_key", "canonical", "value"
+        )
+    )
+    if promoted_consts is not None:
+        # promoted constants apply to every group, like phase-3 constants
+        group_dims = group_dims.union(groups.join(promoted_consts, "doc_id"))
     rows_u = cells.select("doc_id", "row_id").distinct()
-    spine = rows_u.join(F.broadcast(r["groups"]), "doc_id")
+    spine = rows_u.join(F.broadcast(groups), "doc_id")
     mvals = cells.join(
         F.broadcast(r["group_measures"]), ["doc_id", "col_idx"]
     ).select(
@@ -441,7 +460,7 @@ def map_deterministic(
     )
     svals = (
         cells.join(F.broadcast(shared), ["doc_id", "col_idx"])
-        .join(F.broadcast(r["groups"]), "doc_id")
+        .join(F.broadcast(groups), "doc_id")
         .select(
             "doc_id", "row_id", "group_key", "canonical",
             F.col("cell").alias("value"), F.lit("s").alias("src"),

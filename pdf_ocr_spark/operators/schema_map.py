@@ -102,9 +102,12 @@ def coverage_report(mapped: DataFrame, schema: dict) -> DataFrame:
         .groupBy("canonical")
         .agg(F.count("*").alias("n_headers"))
     )
+    # broadcast the aggregated (build) side: Spark cannot build the
+    # PRESERVED side of a left-outer join, so hinting `cols` would be
+    # silently ignored (HintErrorLogger warnings)
     return (
-        F.broadcast(cols)
-        .join(counts, "canonical", "left")
+        cols
+        .join(F.broadcast(counts), "canonical", "left")
         .select(
             "canonical",
             F.coalesce("n_headers", F.lit(0).cast("long")).alias("n_headers"),

@@ -141,7 +141,10 @@ def _ref_map(schema, headers_by_doc, cells, record_cols):
     amap = {}
     for canonical, (ty, aliases) in schema.items():
         for a in {canonical, *aliases}:
-            amap.setdefault(_norm(a), []).append((canonical, ty))
+            # dedupe aliases that normalize identically, like
+            # typed_alias_table's .distinct()
+            if (canonical, ty) not in amap.setdefault(_norm(a), []):
+                amap[_norm(a)].append((canonical, ty))
     out = {}
     rows_by_doc = {}
     for (doc, row, _c) in cells:
@@ -198,6 +201,11 @@ def _ref_map(schema, headers_by_doc, cells, record_cols):
                 d.update({c: v for c, v in gdims})
                 groups[key] = {"dims": d, "meas": []}
             groups[key]["meas"].extend((hi, c) for c in info["meas"])
+        # implicit single group (interpret.py:1531-1537): no group dims
+        # anywhere, no measure column formed a group, but shared columns
+        # exist -> one record per data row (shared values + constants)
+        if not groups and shared and not group_names:
+            groups[()] = {"dims": dict(const_dims), "meas": []}
         # phase 4: records (shared -> dims -> measures, later wins)
         for row in sorted(rows_by_doc.get(doc, ())):
             for key, g in groups.items():
@@ -294,6 +302,49 @@ def test_matches_sequential_reference_semantics(spark):
             for x in out.collect()
         }
         assert got == expected, f"seed {seed} diverged"
+
+
+def test_shared_only_doc_emits_implicit_group(spark):
+    """A doc whose matched columns are ALL shared dimensions (no
+    measures, no group dims) still emits one record per data row
+    carrying the shared values (interpret.py:1531-1537)."""
+    schema = {
+        "region": ("string", ["Region"]),
+        "port": ("string", ["Port"]),
+        "qty": ("float", ["Tonnes"]),
+    }
+    headers = spark.createDataFrame(
+        [("d1", 0, "Region"), ("d1", 1, "Port")],
+        "doc_id string, col_idx int, header string",
+    )
+    cells = spark.createDataFrame(
+        [
+            ("d1", 0, 0, "North"), ("d1", 0, 1, "Albany"),
+            ("d1", 1, 0, "South"), ("d1", 1, 1, "Kwinana"),
+        ],
+        "doc_id string, row_id int, col_idx int, cell string",
+    )
+    rc = ["port", "qty", "region"]
+    out = map_deterministic(
+        cells, headers, typed_alias_table(spark, schema), rc
+    )
+    got = {
+        (x["doc_id"], x["row_id"], x["group_key"]): tuple(x[c] for c in rc)
+        for x in out.collect()
+    }
+    assert got == {
+        ("d1", 0, ""): ("Albany", None, "North"),
+        ("d1", 1, ""): ("Kwinana", None, "South"),
+    }
+    # oracle parity on the same shape
+    exp = _ref_map(
+        schema,
+        {"d1": ["Region", "Port"]},
+        {("d1", 0, 0): "North", ("d1", 0, 1): "Albany",
+         ("d1", 1, 0): "South", ("d1", 1, 1): "Kwinana"},
+        rc,
+    )
+    assert got == exp
 
 
 def test_blank_header_inference(spark):

@@ -129,6 +129,26 @@ def test_flow_trailing_empty_column_strip():
     assert m["drop_reasons"].get("empty_col") == 2
 
 
+def test_flow_body_vmerge_past_scan_window_is_not_a_header():
+    """DH2 only inspects the first 10 rows (docx_extractor.py:344
+    ``table.rows[:max_scan]``): a vMerge'd row label deep in the data
+    body (rows 15-17 here) must contribute nothing to the header
+    count — the first data rows must NOT be consumed as headings."""
+    rows = [["Port", "Tonnes"]]
+    rows += [[f"P{r:02d}", str(100 + r)] for r in range(1, 20)]
+    rows[15][0] = "Merged"   # rows 15-17 vMerge in column 0
+    rows[16][0] = ""
+    rows[17][0] = ""
+    spans = _table(0, rows, merges=["15,0,17,0"])
+    out, _ = extract_flow_doc(spans)
+    kinds = [(k, t) for k, t, _r, _o in out]
+    assert kinds[:3] == [
+        ("heading", "Port"), ("heading", "Tonnes"), ("cell", "P01"),
+    ]
+    # exactly one header row: 2 headings, everything else cells
+    assert sum(1 for k, _t in kinds if k == "heading") == 2
+
+
 def test_flow_media_and_order_invariance():
     spans = [
         ("para", "Text one.", "", B(0)),

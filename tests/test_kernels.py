@@ -627,6 +627,24 @@ def test_split_merged_spans_semantics():
     assert _split_merged_spans(rows_same) == [
         sorted(rows_same[0], key=lambda t: (t[1], t[3]))
     ]
+    # each fragment gets its OWN width token (the merged span's full
+    # width must not ride along: it would inflate the page median char
+    # width and stretch stacked-header column bounds — downstream
+    # consumers read span_width(s[4]) per fragment)
+    from pdf_ocr_spark.kernels.pdfish import span_width
+
+    frags = _split_merged_spans(rows)[1]
+    assert [span_width(s[4]) for s in frags] == [
+        round(len("12:34") * 10), round(len("abc") * 10)
+    ]
+    # flags/fill portions of the token survive the rewrite
+    rows_flag = [
+        [(150, 10, "pdf_text", "Head1", "st:@50"),
+         (150, 70, "pdf_text", "Head2", "st:@50")],
+        [(170, 10, "pdf_text", "12:34 abc", "st:b#f1@90")],
+    ]
+    f2 = _split_merged_spans(rows_flag)[1]
+    assert [s[4] for s in f2] == ["st:b#f1@50", "st:b#f1@30"]
 
 
 def test_vh1_grid_rescue():
