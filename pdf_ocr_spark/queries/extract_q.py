@@ -79,6 +79,51 @@ def flagship(spark, sf):
 
 QUERIES["x01_extract_documents"] = flagship
 
+# Value-hash oracle for the flagship: on THIS corpus the mixed kernel
+# is provably the identity transform — documents.text is plain
+# single-spaced words (no digits, colons, parens, commas or doubled
+# spaces at any SF, asserted in tests/test_spark_extract.py), so
+# normalization strips nothing, no chunk matches the field pattern,
+# value coercion never fires, and the only field line is the prepended
+# title (required-field gate satisfied, enum gate never triggered).
+# The expected output is therefore pure layout algebra — the title
+# span + the 8-word chunking with every 4th chunk a media span —
+# which DuckDB reproduces exactly from the same parquet.
+_X01_ORACLE = """
+WITH base AS (
+  SELECT 'mixed-' || CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+n AS (
+  SELECT doc_id, ws,
+         CAST(ceil(len(ws) / 8.0) AS INT) AS n_chunks
+  FROM base
+),
+spans AS (
+  SELECT doc_id, n_chunks, 0 AS off, 'text' AS kind,
+         'title: doc ' || doc_id AS text, '' AS media_ref
+  FROM n
+  UNION ALL
+  SELECT doc_id, n_chunks, g.i + 1 AS off,
+         CASE WHEN g.i % 4 = 3 THEN 'media' ELSE 'text' END AS kind,
+         CASE WHEN g.i % 4 = 3 THEN ''
+              ELSE array_to_string(ws[g.i * 8 + 1 : g.i * 8 + 8], ' ')
+         END AS text,
+         CASE WHEN g.i % 4 = 3 THEN 'img://' || doc_id || '/' || g.i
+              ELSE ''
+         END AS media_ref
+  FROM n, LATERAL unnest(generate_series(0, n_chunks - 1)) AS g(i)
+)
+SELECT doc_id,
+       n_chunks + 1 AS spans_in,
+       n_chunks + 1 AS spans_out,
+       0 AS dropped,
+       kind, text, media_ref, off AS offset
+FROM spans
+"""
+ORACLE["x01_extract_documents"] = _X01_ORACLE
+
 
 def x02_extract_synthetic(spark, sf):
     """Full three-corpus synthetic extraction, summarized per corpus.

@@ -105,3 +105,32 @@ def test_output_schema_stable(spark):
         "media_ref",
         "offset",
     ]
+
+
+def test_x01_oracle_precondition_holds_on_testdata():
+    """The x01 value-hash oracle (queries/extract_q.py) relies on the
+    mixed kernel being the identity on documents.text: plain single-
+    spaced words — no digits, colons, commas, parens, %, $ or doubled
+    spaces (no coercion, no field lines beyond the title, no empty
+    drops). Pin that precondition on every available SF tier so a
+    testdata change fails HERE, not as an opaque hash mismatch."""
+    import os
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    checked = 0
+    for sf in ("0.001", "0.01", "0.1"):
+        p = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        rows = con.sql(
+            f"SELECT text FROM read_parquet('{p}')"
+        ).fetchall()
+        assert rows, p
+        for (text,) in rows:
+            assert text and " " in text, p
+            assert not re.search(r"[0-9:,.()%$]|  ", text), p
+        checked += 1
+    assert checked >= 2
