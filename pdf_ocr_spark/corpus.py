@@ -1043,6 +1043,213 @@ def _gen_flow(doc_id: str, r: random.Random) -> list[tuple]:
     return spans
 
 
+# --------------------------------------------------- generator ground truth
+# The x09 pattern (styled_doc) extended to the html/boxes/mixed families
+# per the round-2 review: each function builds a document AND its exact
+# expected OUTPUT span sequence from construction knowledge alone — no
+# kernel is consulted — so the driver oracle can embed the expectations
+# as SQL constants and the flagship extraction entries hash-match.
+
+# value-coercion outcomes (docpact serialize.py:435-495; the same table
+# the mixed generator exercises — outcomes fixed by the REFERENCE spec,
+# not by our kernel)
+_MIXED_COERCE = {
+    "amount: 1,234": "amount: 1234",
+    "amount: 55826,3": "amount: 55826.3",
+    "amount: (123)": "amount: -123",
+    "amount: 12.5%": "amount: 12.5",
+    "amount: $4,500": "amount: 4500",
+    "flag: yes": "flag: true",
+    "flag: no": "flag: false",
+    "amount: 1 234": "amount: 1234",
+}
+# normalization outcome (docpact normalize.py:14-46: NBSP -> space,
+# smart quotes -> ASCII, em dash -> hyphen, zero-width strip, collapse)
+_MIXED_NORM_RAW = "the\xa0quick  “brown” — fox​"
+_MIXED_NORM_EXPECTED = 'the quick "brown" - fox'
+
+
+def mixed_truth_doc(i: int, seed: int = DEFAULT_SEED):
+    """An interleaved text+media document PLUS its exact expected output
+    span sequence: every add() outcome (coercion, enum validation,
+    normalization, empty drop, media passthrough) is decided at
+    construction time. Returns (input spans, expected (kind, text,
+    media_ref) sequence, expected dropped count)."""
+    doc_id = f"mixed-tr{i:06d}"
+    r = _rng(doc_id, seed)
+    spans: list[tuple] = []
+    exp: list[tuple] = []
+    dropped = 0
+    idx = 0
+
+    def add(kind, text, ref=""):
+        nonlocal idx
+        spans.append((kind, text, ref, idx))
+        idx += 1
+
+    title = f"title: {_sentence(r, 4)}"
+    add("text", title)
+    exp.append(("text", title, ""))
+    for _ in range(r.randint(5, 15)):
+        roll = r.random()
+        if roll < 0.15:
+            ref = f"img://{doc_id}/{idx}"
+            add("media", "", ref)
+            exp.append(("media", "", ref))
+        elif roll < 0.35:
+            raw = r.choice(list(_MIXED_COERCE))
+            add("text", raw)
+            exp.append(("text", _MIXED_COERCE[raw], ""))
+        elif roll < 0.5:
+            grade = r.choice(_GRADES_VALID + _GRADES_BAD)
+            add("text", f"grade: {grade}")
+            if grade in _GRADES_VALID:
+                exp.append(("text", f"grade: {grade}", ""))
+            else:
+                dropped += 1
+        elif roll < 0.6:
+            add("text", _MIXED_NORM_RAW)
+            exp.append(("text", _MIXED_NORM_EXPECTED, ""))
+        elif roll < 0.65:
+            add("text", "   ")
+            dropped += 1
+        else:
+            s = _sentence(r)
+            add("text", s)
+            exp.append(("text", s, ""))
+    return spans, exp, dropped
+
+
+def html_truth_doc(i: int, seed: int = DEFAULT_SEED):
+    """An HTML document PLUS its exact expected main-content sequence.
+    The boilerplate outcomes are fixed by construction: nav links (5 li
+    blocks), the header/cookie-banner/aside/footer paragraphs are
+    boilerplate (9 dropped blocks); the h1, body paragraphs, images,
+    table cells (colspan/rowspan-expanded, row-major) and closing
+    paragraph are content — Readability/Boilerpipe-style semantics,
+    docpact region classification compress.py:1048-1189 +
+    html_extractor.py:194-332 grid expansion."""
+    doc_id = f"html-tr{i:06d}"
+    r = _rng(doc_id, seed)
+    nav_links = "".join(
+        f'<li><a href="/{_word(r)}">{_word(r).title()}</a></li>'
+        for _ in range(5)
+    )
+    para_texts = [
+        f"{_sentence(r)} {_sentence(r)}" for _ in range(r.randint(2, 5))
+    ]
+    paras = "".join(f"<p>{p}</p>" for p in para_texts)
+    n_imgs = r.randint(0, 3)
+    img_refs = [f"img://{doc_id}/{k}" for k in range(n_imgs)]
+    imgs = "".join(
+        f'<img src="{ref}" alt="fig{k}">' for k, ref in enumerate(img_refs)
+    )
+    body_vals = [
+        (r.choice(_PORTS).title(), _word(r),
+         f"{r.randint(1, 99)},{r.randint(100, 999)}")
+        for _ in range(r.randint(2, 6))
+    ]
+    body_rows = "".join(
+        f"<tr><td>{a}</td><td>{b}</td><td>{c}</td></tr>"
+        for a, b, c in body_vals
+    )
+    rs_port = r.choice(_PORTS).title()
+    r1 = (_word(r), f"{r.randint(1, 9)},{r.randint(100, 999)}")
+    r2 = (_word(r), f"{r.randint(1, 9)},{r.randint(100, 999)}")
+    table = (
+        '<table><thead><tr><th colspan="2">Shipment</th><th>Tonnage</th>'
+        f'</tr></thead><tbody><tr><td rowspan="2">{rs_port}</td>'
+        f"<td>{r1[0]}</td><td>{r1[1]}</td></tr>"
+        f"<tr><td>{r2[0]}</td><td>{r2[1]}</td></tr>"
+        f"{body_rows}</tbody></table>"
+    )
+    sidebar = "".join(f'<a href="/{_word(r)}">{_word(r)}</a> ' for _ in range(8))
+    h1 = _sentence(r, 4)[:-1]
+    closing = _sentence(r)
+    html = (
+        "<html><head><title>report</title><style>p{color:#000}</style>"
+        "</head><body>"
+        f"<nav><ul>{nav_links}</ul></nav>"
+        f"<header><p>{_word(r).title()} weekly — your {_word(r)} portal</p></header>"
+        '<div class="cookie-banner"><p>We use cookies. <a href="#">Accept</a></p></div>'
+        f"<aside><p>{sidebar}</p></aside>"
+        f"<main><h1>{h1}</h1>{paras}{imgs}{table}"
+        f"<p>{closing}</p></main>"
+        f'<footer><p>© 2026 {_word(r)} inc — <a href="/privacy">Privacy</a></p></footer>'
+        "</body></html>"
+    )
+    exp: list[tuple] = [("heading", h1, "")]
+    exp += [("text", p, "") for p in para_texts]
+    exp += [("media", "", ref) for ref in img_refs]
+    # grid expansion: colspan duplicates 'Shipment'; the rowspan port
+    # carries into the second body row at column 0
+    cells = ["Shipment", "Shipment", "Tonnage",
+             rs_port, r1[0], r1[1], rs_port, r2[0], r2[1]]
+    for a, b, c in body_vals:
+        cells += [a, b, c]
+    exp += [("cell", c, "") for c in cells]
+    exp.append(("text", closing, ""))
+    return [("html", html, "", 0)], exp, 9
+
+
+def boxes_truth_doc(i: int, seed: int = DEFAULT_SEED):
+    """A slide-deck document PLUS its exact expected sequence. Outcomes
+    are construction-decided: the title box and bullets are free text;
+    the aligned >=3-row grid is a table (first all-word row = headers,
+    pptx_extractor.py:352-430 gates all pass by construction); the
+    2-row aligned pair stays text (run < 3 rows); media pass through in
+    reading order."""
+    doc_id = f"boxes-tr{i:06d}"
+    r = _rng(doc_id, seed)
+    spans: list[tuple] = []
+    exp: list[tuple] = []
+    for slide in range(r.randint(1, 3)):
+        title = f"{_word(r).title()} {_word(r)}"
+        spans.append(("box", title, "", _pack(slide, 40, 60)))
+        exp.append(("text", title, ""))
+        if r.random() < 0.75:
+            ncols = r.randint(2, 4)
+            nrows = r.randint(3, 6)
+            xs = [100 + 150 * c for c in range(ncols)]
+            for c in range(ncols):
+                spans.append(
+                    ("box", _HEADERS[c % len(_HEADERS)], "",
+                     _pack(slide, 200, xs[c]))
+                )
+                exp.append(("heading", _HEADERS[c % len(_HEADERS)], ""))
+            for ri in range(1, nrows):
+                for c in range(ncols):
+                    val = (
+                        r.choice(_PORTS).title()
+                        if c == 0
+                        else f"{r.randint(1, 99)},{r.randint(100, 999)}"
+                    )
+                    spans.append(
+                        ("box", val, "", _pack(slide, 200 + 60 * ri, xs[c]))
+                    )
+                    exp.append(("cell", val, ""))
+        y = 700
+        for _ in range(r.randint(1, 3)):
+            s = _sentence(r, 5)
+            spans.append(("box", s, "", _pack(slide, y, 80)))
+            exp.append(("text", s, ""))
+            y += 40
+        if r.random() < 0.3:
+            for ri in range(2):
+                for c in range(2):
+                    w = _word(r)
+                    spans.append(
+                        ("box", w, "", _pack(slide, y + 50 * ri, 120 + 200 * c))
+                    )
+                    exp.append(("text", w, ""))
+            y += 120
+        if r.random() < 0.3:
+            ref = f"img://{doc_id}/s{slide}"
+            spans.append(("media", "", ref, _pack(slide, y, 400)))
+            exp.append(("media", "", ref))
+    return spans, exp, 0
+
+
 # ------------------------------------------------------------------- API
 
 

@@ -754,97 +754,98 @@ def x07_suite(spark, sf):
 
 
 # =================================================== extraction report
-def x02_extract_report_suite(spark, sf):
-    """Extraction-corpus report suite (rows-only — kernel-derived):
-    per-corpus doc/span/drop metrics (x02) + compression ratios (x06)
-    from ONE shared synthetic-corpus extraction, plus the grid-corpus
-    drop-reason histogram (x04) from the gridk extraction.
+_N_TRUTH = 16  # docs per family (fixed, sf-independent — the x09 pattern)
 
-    Schema: (fam, key, v1, v2, v3, v4, d)."""
-    from ..corpus import generate_doc
+
+def _truth_docs():
+    """[(doc_id, input spans, expected (kind,text,media_ref) seq,
+    expected dropped)] for the three generator-ground-truth families."""
+    from ..corpus import boxes_truth_doc, html_truth_doc, mixed_truth_doc
+
+    out = []
+    for fam, gen in (
+        ("mixed", mixed_truth_doc),
+        ("html", html_truth_doc),
+        ("boxes", boxes_truth_doc),
+    ):
+        for i in range(_N_TRUTH):
+            spans, exp, dropped = gen(i)
+            out.append((f"{fam}-tr{i:06d}", spans, exp, dropped))
+    return out
+
+
+def x02_extract_report_suite(spark, sf):
+    """Generator-ground-truth extraction suite: the full pipeline runs
+    over the html / boxes / mixed truth families (corpus.py
+    *_truth_doc — each document built TOGETHER with its exact expected
+    output span sequence, no kernel consulted) and emits one row per
+    output span plus per-doc metric rows. The oracle embeds the
+    expectations as SQL constants, so boilerplate stripping, grid
+    expansion, box clustering/table gating, coercion, enum validation
+    and ordering are all value-hash-pinned. The kernel-derived corpus
+    REPORT members (x02 metrics / x04 drop histogram / x06 compression
+    ratios) stay fine-grained FULL queries — they summarize kernel
+    output, so no independent truth exists for them by definition.
+
+    Schema: (fam, doc_id, kind, text, media_ref, n)."""
     from ..extract.pipeline import extract
     from ..extract.schema import INPUT_SCHEMA, span_dicts
-    from ..sources.synthetic import synthetic_corpus
-    from .base import t
 
-    docs = t(spark, sf, "documents")
-    n = docs.count() // 2
-    inp = synthetic_corpus(spark, n, skew_docs=max(1, n // 500))
-    chars_in = inp.select(
-        "doc_id",
-        F.expr("aggregate(spans, 0L, (acc, s) -> acc + length(s.text))").alias(
-            "chars_in"
-        ),
-    )
+    rows = [
+        {"doc_id": doc_id, "spans": span_dicts(spans)}
+        for doc_id, spans, _exp, _dropped in _truth_docs()
+    ]
+    inp = spark.createDataFrame(rows, INPUT_SCHEMA)
     out = extract(inp)
-    per_doc = out.select(
+    fam = F.split("doc_id", "-")[0].alias("fam")
+    span_rows = out.select(
+        fam,
         "doc_id",
-        F.split("doc_id", "-")[0].alias("corpus"),
-        F.col("metrics.spans_in").alias("spans_in"),
-        F.col("metrics.spans_out").alias("spans_out"),
-        F.col("metrics.dropped").alias("dropped"),
-        F.expr("aggregate(spans, 0L, (acc, s) -> acc + length(s.text))").alias(
-            "chars_out"
-        ),
-    ).join(chars_in, "doc_id")
-    x02 = (
-        per_doc.groupBy("corpus")
-        .agg(
-            F.count("*").alias("docs"),
-            F.sum("spans_in").alias("spans_in"),
-            F.sum("spans_out").alias("spans_out"),
-            F.sum("dropped").alias("dropped"),
-        )
-        .select(
-            F.lit("x02_corpus_metrics").alias("fam"),
-            F.col("corpus").alias("key"),
-            F.col("docs").alias("v1"),
-            F.col("spans_in").alias("v2"),
-            F.col("spans_out").alias("v3"),
-            F.col("dropped").alias("v4"),
-            F.lit(0.0).alias("d"),
-        )
+        F.explode("spans").alias("s"),
+    ).select(
+        "fam",
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").cast("long").alias("n"),
     )
-    x06 = (
-        per_doc.groupBy("corpus")
-        .agg(
-            F.sum("chars_in").alias("chars_in"),
-            F.sum("chars_out").alias("chars_out"),
-        )
-        .select(
-            F.lit("x06_compression").alias("fam"),
-            F.col("corpus").alias("key"),
-            F.col("chars_in").alias("v1"),
-            F.col("chars_out").alias("v2"),
-            F.lit(0).cast("long").alias("v3"),
-            F.lit(0).cast("long").alias("v4"),
-            F.round(
-                (1 - F.col("chars_out") / F.col("chars_in")) * 100, 2
-            ).alias("d"),
-        )
+    metric_rows = out.select(
+        fam,
+        "doc_id",
+        F.explode(
+            F.create_map(
+                F.lit("_spans_in"), F.col("metrics.spans_in").cast("long"),
+                F.lit("_dropped"), F.col("metrics.dropped").cast("long"),
+            )
+        ).alias("kind", "n"),
+    ).select(
+        "fam", "doc_id", "kind",
+        F.lit("").alias("text"), F.lit("").alias("media_ref"), "n",
     )
-    ng = docs.count() // 5
-    ids = [f"grid-{i:06d}" for i in range(max(ng, 20))]
-    ginp = spark.createDataFrame(
-        [{"doc_id": d, "spans": span_dicts(generate_doc(d))} for d in ids],
-        INPUT_SCHEMA,
+    return span_rows.unionByName(metric_rows)
+
+
+def _x02_oracle() -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = []
+    for doc_id, spans, exp, dropped in _truth_docs():
+        fam = doc_id.split("-")[0]
+        for off, (kind, text, ref) in enumerate(exp):
+            vals.append(
+                f"({q(fam)}, {q(doc_id)}, {q(kind)}, {q(text)},"
+                f" {q(ref)}, {off})"
+            )
+        vals.append(f"({q(fam)}, {q(doc_id)}, '_spans_in', '', '', {len(spans)})")
+        vals.append(f"({q(fam)}, {q(doc_id)}, '_dropped', '', '', {dropped})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(fam, doc_id, kind, text, media_ref, n)"
     )
-    gout = extract(ginp)
-    x04 = (
-        gout.select(F.explode("metrics.drop_reasons").alias("reason", "nn"))
-        .groupBy("reason")
-        .agg(F.sum("nn").alias("dropped"), F.count("*").alias("docs"))
-        .select(
-            F.lit("x04_grid_drops").alias("fam"),
-            F.col("reason").alias("key"),
-            F.col("docs").alias("v1"),
-            F.col("dropped").alias("v2"),
-            F.lit(0).cast("long").alias("v3"),
-            F.lit(0).cast("long").alias("v4"),
-            F.lit(0.0).alias("d"),
-        )
-    )
-    return x02.unionByName(x06).unionByName(x04)
 
 
 QUERIES["x02_extract_report_suite"] = x02_extract_report_suite
+ORACLE["x02_extract_report_suite"] = _x02_oracle()
