@@ -44,7 +44,7 @@ output cardinality itself. No collect, no driver loop, no per-row UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .schema_map import norm_header
 
@@ -53,15 +53,29 @@ DIMENSION_TYPES = ("string", "date")  # interpret.py DIMENSION_TYPES
 
 def typed_alias_table(spark: SparkSession, schema: dict) -> DataFrame:
     """schema: {canonical: (type, [aliases])} -> (canonical, type,
-    norm_alias). The canonical name itself is always an alias."""
-    rows = []
+    norm_alias, has_float). The canonical name itself is always an
+    alias. ``has_float`` is precomputed per normalized alias (does ANY
+    canonical of this alias carry type float?) so the int+float
+    shared-alias rule needs no window over the match rows — the schema
+    dict is driver-local, so this costs nothing."""
+    import re as _re
+
+    def _norm(s: str) -> str:
+        s = s.lower().replace('"', "")
+        s = _re.sub(r"\s+", " ", s)
+        s = _re.sub(r"\s*\(", " (", s)
+        return s.strip()
+
+    rows = set()
     for canonical, (ty, aliases) in schema.items():
         for a in {canonical, *aliases}:
-            rows.append((canonical, ty, a))
-    df = spark.createDataFrame(rows, "canonical string, type string, alias string")
-    return df.select(
-        "canonical", "type", norm_header(F.col("alias")).alias("norm_alias")
-    ).distinct()
+            rows.add((canonical, ty, _norm(a)))
+    float_norms = {n for _c, ty, n in rows if ty == "float"}
+    df = spark.createDataFrame(
+        [(c, ty, n, n in float_norms) for c, ty, n in sorted(rows)],
+        "canonical string, type string, norm_alias string, has_float boolean",
+    )
+    return df
 
 
 def classify_parts(headers: DataFrame, aliases: DataFrame) -> DataFrame:
@@ -83,11 +97,13 @@ def classify_parts(headers: DataFrame, aliases: DataFrame) -> DataFrame:
     m = parts.join(
         F.broadcast(aliases), parts["norm"] == aliases["norm_alias"], "left"
     )
-    w = Window.partitionBy("doc_id", "col_idx", "pi")
-    has_float = F.max((F.col("type") == "float").cast("int")).over(w) == 1
+    # int+float shared-alias rule via the PRECOMPUTED per-alias
+    # has_float flag (typed_alias_table) — all matches of one part
+    # share the norm, so this equals the old per-(doc,col,pi) window
+    # without its shuffle in every downstream branch lineage
     role = (
         F.when(F.col("type").isin(*DIMENSION_TYPES), "dim")
-        .when((F.col("type") == "int") & has_float, "dim")
+        .when((F.col("type") == "int") & F.col("has_float"), "dim")
         .when(F.col("type").isNotNull(), "measure")
     )
     return m.select(
@@ -374,15 +390,179 @@ def reclassify_label_columns(
     )
 
 
+def roles_kernel(
+    classified: DataFrame, inferred_shared: DataFrame | None = None,
+    reclassify: bool = False,
+) -> DataFrame:
+    """Phases 2-3 + the implicit group + (optionally) the re-classify
+    promotion as ONE per-document header-grain mapInPandas — the same
+    per-doc sequential shape as the reference's interpret loop
+    (interpret.py:1335-1618 runs per document by construction).
+
+    Semantically identical to composing :func:`column_roles` +
+    :func:`reclassify_label_columns` + the implicit-group union (the
+    randomized-layout test pins both paths to the sequential oracle),
+    but the plan is ONE narrow shuffle on doc_id over columns-per-doc
+    rows instead of six role branches that each replay a multi-stage
+    lineage per broadcast — at contract scale (tiny layout catalogs)
+    that lineage replay dominated wall time; at 10^12-doc scale the
+    single hash exchange is also the right shape because role decisions
+    are per-doc local.
+
+    Returns tagged rows (doc_id, kind, col_idx, group_key, canonical,
+    value): kind 's' = shared column, 'g' = group, 'm' = group measure
+    column, 'd' = group dimension value (group dims + constants,
+    already replicated per group, implicit group included)."""
+    import pandas as pd
+
+    per_doc = classified.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct("col_idx", "pi", "part", "canonical", "type", "role")
+        ).alias("parts")
+    )
+    if inferred_shared is not None:
+        inf = inferred_shared.groupBy("doc_id").agg(
+            F.collect_list(F.struct("col_idx", "canonical")).alias("inferred")
+        )
+        per_doc = per_doc.join(inf, "doc_id", "left")
+    else:
+        per_doc = per_doc.withColumn("inferred", F.lit(None).cast(
+            "array<struct<col_idx:int,canonical:string>>"
+        ))
+
+    def fn(batches):
+        for pdf in batches:
+            out: dict = {
+                "doc_id": [], "kind": [], "col_idx": [],
+                "group_key": [], "canonical": [], "value": [],
+            }
+
+            def emit(doc, kind, col=None, gk=None, canonical=None, value=None):
+                out["doc_id"].append(doc)
+                out["kind"].append(kind)
+                out["col_idx"].append(col)
+                out["group_key"].append(gk)
+                out["canonical"].append(canonical)
+                out["value"].append(value)
+
+            for doc, parts, inferred in zip(
+                pdf["doc_id"], pdf["parts"], pdf["inferred"]
+            ):
+                # per-column phase-2 info
+                cols: dict = {}
+                for p in parts:
+                    info = cols.setdefault(
+                        p["col_idx"],
+                        {"dims": [], "meas": [], "n_match": 0, "max_pi": 0},
+                    )
+                    info["max_pi"] = max(info["max_pi"], p["pi"])
+                    if p["canonical"] is None:
+                        continue
+                    info["n_match"] += 1
+                    if p["role"] == "dim":
+                        info["dims"].append(
+                            (p["pi"], p["canonical"], p["part"])
+                        )
+                    else:
+                        info["meas"].append((p["pi"], p["canonical"]))
+                shared: dict = {}  # col_idx -> canonical
+                for col, info in cols.items():
+                    if (
+                        info["max_pi"] == 0
+                        and info["n_match"] >= 1
+                        and not info["meas"]
+                    ):
+                        shared[col] = min(c for _pi, c, _v in info["dims"])
+                if inferred is not None and len(inferred):
+                    for x in inferred:
+                        shared[x["col_idx"]] = x["canonical"]
+                # phase 3: group vs constant dimensions (over ALL columns)
+                dim_values: dict = {}
+                for info in cols.values():
+                    for _pi, c, v in info["dims"]:
+                        dim_values.setdefault(c, []).append(v)
+                group_names = {
+                    c for c, vs in dim_values.items() if len(set(vs)) >= 2
+                }
+                const_dims: dict = {}
+                for c, vs in dim_values.items():
+                    if c not in group_names and len(set(vs)) == 1 and len(vs) >= 2:
+                        const_dims[c] = vs[0]
+                # re-classify measure-less compound label columns
+                # (interpret.py:1504-1526): sequential left-to-right
+                if reclassify:
+                    covered = set(const_dims) | set(shared.values())
+                    for col in sorted(cols):
+                        if col in shared:
+                            continue
+                        info = cols[col]
+                        if info["meas"] or not info["dims"]:
+                            continue
+                        if any(c in group_names for _pi, c, _v in info["dims"]):
+                            continue
+                        dd = sorted(info["dims"])
+                        if all(c in covered for _pi, c, _v in dd):
+                            continue
+                        *consts, last = dd
+                        shared[col] = last[1]
+                        covered.add(last[1])
+                        for _pi, c, v in consts:
+                            if c not in const_dims:
+                                const_dims[c] = v
+                                covered.add(c)
+                # group building over non-shared columns
+                groups: dict = {}  # key tuple -> {'gdims': {...}, 'meas': []}
+                for col in sorted(cols):
+                    if col in shared:
+                        continue
+                    info = cols[col]
+                    gdims = sorted(
+                        {(c, v) for _pi, c, v in info["dims"] if c in group_names}
+                    )
+                    if not gdims and not info["meas"]:
+                        continue
+                    key = tuple(gdims)
+                    g = groups.setdefault(key, {"gdims": dict(gdims), "meas": []})
+                    g["meas"].extend((col, c) for _pi, c in info["meas"])
+                # implicit single group (interpret.py:1531-1537)
+                if not groups and shared and not group_names:
+                    groups[()] = {"gdims": {}, "meas": []}
+                # emit
+                for col, c in shared.items():
+                    emit(doc, "s", col=int(col), canonical=c)
+                for key, g in groups.items():
+                    gk = "|".join(f"{c}={v}" for c, v in key)
+                    emit(doc, "g", gk=gk)
+                    for col, c in g["meas"]:
+                        emit(doc, "m", col=int(col), gk=gk, canonical=c)
+                    dvals = dict(const_dims)
+                    dvals.update(g["gdims"])
+                    for c, v in dvals.items():
+                        emit(doc, "d", gk=gk, canonical=c, value=v)
+            yield pd.DataFrame(out)
+
+    return per_doc.mapInPandas(
+        fn,
+        schema="doc_id string, kind string, col_idx int, group_key string, "
+        "canonical string, value string",
+    )
+
+
 def map_deterministic(
     cells: DataFrame, headers: DataFrame, aliases: DataFrame,
     record_cols: list[str], infer_blank: bool = False,
-    reclassify: bool = False,
+    reclassify: bool = False, role_kernel: bool = True,
 ) -> DataFrame:
     """cells(doc_id, row_id, col_idx, cell) + headers(doc_id, col_idx,
     header) -> one record per (data row x unpivot group):
     (doc_id, row_id, group_key, *record_cols) — phase-4 semantics,
     interpret.py:1583-1618. Unpopulated fields are null.
+
+    ``role_kernel`` (default) computes the header-grain role tables via
+    :func:`roles_kernel` — one narrow doc_id shuffle instead of six
+    relational branches replaying their lineage per broadcast; pass
+    False for the pure-relational path (:func:`column_roles`), which the
+    tests cross-check against the same sequential oracle.
 
     The header-grain role tables are broadcast (columns-per-doc
     cardinality; for contract-driven extraction this is a few rows per
@@ -406,6 +586,25 @@ def map_deterministic(
     the cell joins, its new constants feed every group like phase-3
     constants."""
     classified = classify_parts(headers, aliases)
+    if role_kernel:
+        inferred = (
+            infer_blank_header_shared(cells, headers, classified, aliases)
+            if infer_blank
+            else None
+        )
+        roles = roles_kernel(classified, inferred, reclassify)
+        k = F.col("kind")
+        shared = roles.filter(k == "s").select("doc_id", "col_idx", "canonical")
+        groups = roles.filter(k == "g").select("doc_id", "group_key")
+        group_measures = roles.filter(k == "m").select(
+            "doc_id", "group_key", "col_idx", "canonical"
+        )
+        group_dims = roles.filter(k == "d").select(
+            "doc_id", "group_key", "canonical", "value"
+        )
+        return _pivot_records(
+            cells, shared, groups, group_measures, group_dims, record_cols
+        )
     r = column_roles(classified)
     shared = r["shared"]
     group_dims = r["group_dims"]
@@ -450,10 +649,24 @@ def map_deterministic(
     if promoted_consts is not None:
         # promoted constants apply to every group, like phase-3 constants
         group_dims = group_dims.union(groups.join(promoted_consts, "doc_id"))
+    return _pivot_records(
+        cells, shared, groups, r["group_measures"], group_dims, record_cols
+    )
+
+
+def _pivot_records(
+    cells: DataFrame, shared: DataFrame, groups: DataFrame,
+    group_measures: DataFrame, group_dims: DataFrame,
+    record_cols: list[str],
+) -> DataFrame:
+    """Phase-4 record building from the finished role tables: ONE
+    cell-stream shuffle (the 3-key record pivot); the role tables are
+    broadcast (header grain) and the per-(doc, group) dimension values
+    are pivoted at header grain and broadcast-joined onto the records."""
     rows_u = cells.select("doc_id", "row_id").distinct()
     spine = rows_u.join(F.broadcast(groups), "doc_id")
     mvals = cells.join(
-        F.broadcast(r["group_measures"]), ["doc_id", "col_idx"]
+        F.broadcast(group_measures), ["doc_id", "col_idx"]
     ).select(
         "doc_id", "row_id", "group_key", "canonical",
         F.col("cell").alias("value"), F.lit("m").alias("src"),

@@ -274,7 +274,9 @@ def _gen_layout(seed):
 
 def test_matches_sequential_reference_semantics(spark):
     """Spark operator == sequential reference implementation over 6
-    seeded randomized layouts (2 docs each, distinct layouts)."""
+    seeded randomized layouts (2 docs each, distinct layouts) — BOTH
+    role paths (per-doc roles kernel and pure-relational) pinned to the
+    same oracle."""
     record_cols_of = lambda schema: sorted(schema)
     for seed in range(6):
         schema, headers_by_doc, cells = _gen_layout(seed)
@@ -292,16 +294,21 @@ def test_matches_sequential_reference_semantics(spark):
         cdf = spark.createDataFrame(
             cell_rows, "doc_id string, row_id int, col_idx int, cell string"
         )
-        out = map_deterministic(
-            cdf, headers, typed_alias_table(spark, schema), record_cols
-        )
-        got = {
-            (x["doc_id"], x["row_id"], x["group_key"]): tuple(
-                x[c] for c in record_cols
+        # alternate the default kernel path and the relational path
+        # across seeds (each full check is ~10s of Spark jobs); seed 0
+        # runs both so at least one layout pins path equivalence
+        for rk in ((True, False) if seed == 0 else (seed % 2 == 0,)):
+            out = map_deterministic(
+                cdf, headers, typed_alias_table(spark, schema), record_cols,
+                role_kernel=rk,
             )
-            for x in out.collect()
-        }
-        assert got == expected, f"seed {seed} diverged"
+            got = {
+                (x["doc_id"], x["row_id"], x["group_key"]): tuple(
+                    x[c] for c in record_cols
+                )
+                for x in out.collect()
+            }
+            assert got == expected, f"seed {seed} role_kernel={rk} diverged"
 
 
 def test_shared_only_doc_emits_implicit_group(spark):
