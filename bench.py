@@ -82,19 +82,21 @@ def main() -> None:
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
-    # Best-of-2 per query: the sandbox host is co-tenant-oversubscribed
-    # (12-15 % steal bursts, see BENCH/BASELINE.md) and a single cold run
-    # also pays plan compile + codegen. A production job amortizes both
-    # over hours; min-of-2 is the steady-state throughput estimate.
+    # Best-of-N INTERLEAVED rounds: the sandbox host is co-tenant-
+    # oversubscribed (12-15 % steal bursts, see BENCH/BASELINE.md) and a
+    # single cold run also pays plan compile + codegen. Consecutive
+    # repeats of one query sit inside the same burst and both inflate;
+    # interleaving whole-list rounds decorrelates the burst from the
+    # query, so min-of-rounds is the steady-state throughput estimate.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = ALL_QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+    for _ in range(rounds):
+        for name in HEADLINE:
+            fn = ALL_QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            dt = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, float("inf")), dt)
 
     total = round(sum(times.values()), 3)
     extract_sec = times.get("x01_extract_documents", 0.0)

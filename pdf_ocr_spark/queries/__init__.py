@@ -31,6 +31,7 @@ from . import (  # noqa: E402
     fonts_q,
     functions_q,
     multimodal_q,
+    retrieval_q,
     schema_map_q,
     setops_arrays,
     similarity,
@@ -43,7 +44,8 @@ from . import suites  # noqa: E402  (imports the modules above)
 
 for _mod in (tpch, windows, setops_arrays, functions_q, extract_q, dedup,
              similarity, textstats, multimodal_q, analytics_ext,
-             validation_q, schema_map_q, classify_q, fonts_q, suites):
+             validation_q, schema_map_q, classify_q, fonts_q, retrieval_q,
+             suites):
     FULL_QUERIES.update(_mod.QUERIES)
     FULL_ORACLES.update(_mod.ORACLE)
 
@@ -76,7 +78,7 @@ DRIVER_REGISTRY = [
     "q28_cell_type_suite",
     "q29_scalar_suite",
     "q30_date_roundtrip",
-    "p01_metadata_patterns",
+    "p01_metadata_suite",
     "p02_color_parse",
     "q39_number_format",
     # extraction pipeline (north_rule)

@@ -30,6 +30,7 @@ from . import (
     fonts_q,
     functions_q,
     multimodal_q,
+    retrieval_q,
     schema_map_q,
     setops_arrays,
     similarity,
@@ -510,12 +511,17 @@ FROM {_sub(validation_q, "v01_contract_validation")} _a
 UNION ALL
 SELECT 'v02_hist', violation, '', n_docs, true
 FROM {_sub(validation_q, "v02_violation_histogram")} _b
+UNION ALL
+SELECT 'v03_gate', CAST(doc_id AS VARCHAR), missing_csv, n_missing, passed
+FROM {_sub(retrieval_q, "p04_required_gate")} _c
 """,
 )
 def v01_suite(spark, sf):
     """Contract-validation suite: per-doc assert columns condensed to the
     violations CSV (v01 — the CSV encodes exactly the failed assert
-    columns) + the corpus-level violation histogram (v02)."""
+    columns) + the corpus-level violation histogram (v02) + the
+    metadata required-field gate over the composed quick_scan chain
+    (p04, docpact retrieval.py:340-366)."""
     a = validation_q.QUERIES["v01_contract_validation"](spark, sf).select(
         F.lit("v01_doc").alias("fam"),
         F.col("doc_id").cast("string").alias("key"),
@@ -530,7 +536,14 @@ def v01_suite(spark, sf):
         F.col("n_docs").alias("n"),
         F.lit(True).alias("ok"),
     )
-    return a.unionByName(b)
+    c = retrieval_q.QUERIES["p04_required_gate"](spark, sf).select(
+        F.lit("v03_gate").alias("fam"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("missing_csv").alias("info"),
+        F.col("n_missing").alias("n"),
+        F.col("passed").alias("ok"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 @q(
@@ -608,6 +621,45 @@ def h01_suite(spark, sf):
         F.lit(0).cast("long").alias("n"),
     )
     return a.unionByName(b).unionByName(c)
+
+
+# ================================================== metadata retrieval
+@q(
+    "p01_metadata_suite",
+    oracle=f"""
+SELECT 'p01' AS fam, CAST(line_id AS VARCHAR) AS key, pattern AS name,
+       captured AS value, '' AS zone, 0.0 AS conf
+FROM {_sub(functions_q, "p01_metadata_patterns")} _a
+UNION ALL
+SELECT 'p03', CAST(doc_id AS VARCHAR), field, value,
+       source_zone, CAST(confidence AS DOUBLE)
+FROM {_sub(retrieval_q, "p03_quick_scan")} _b
+""",
+)
+def p01_metadata_suite(spark, sf):
+    """Metadata retrieval suite: the RH1/RH4/RH5 pattern families over
+    the deterministic line stream (p01) + the COMPOSED per-field
+    quick_scan operator (p03: ordered zones -> custom-then-category
+    patterns -> first match -> fallback chain, docpact
+    retrieval.py:229-334 + 393-430). Schema: (fam, key, name, value,
+    zone, conf)."""
+    a = functions_q.QUERIES["p01_metadata_patterns"](spark, sf).select(
+        F.lit("p01").alias("fam"),
+        F.col("line_id").cast("string").alias("key"),
+        F.col("pattern").alias("name"),
+        F.col("captured").alias("value"),
+        F.lit("").alias("zone"),
+        F.lit(0.0).alias("conf"),
+    )
+    b = retrieval_q.QUERIES["p03_quick_scan"](spark, sf).select(
+        F.lit("p03").alias("fam"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("field").alias("name"),
+        F.col("value"),
+        F.col("source_zone").alias("zone"),
+        F.col("confidence").cast("double").alias("conf"),
+    )
+    return a.unionByName(b)
 
 
 # ============================================================= unpivot
