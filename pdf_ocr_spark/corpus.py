@@ -652,6 +652,48 @@ def grid_header_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list
     return m_spans, f_spans
 
 
+def grid_format_pair(pair_id: int, seed: int = DEFAULT_SEED) -> tuple[list, list]:
+    """A grid doc whose date column holds Excel SERIALS under a
+    date-type number format (XH4 hint "fmt:yyyy-mm-dd" on the cell's
+    media_ref, docpact xlsx_extractor.py:348-374) and its EXPLICITLY
+    TYPED TWIN carrying the ISO date strings directly. The currency and
+    percentage columns carry fmt hints on the hinted side too — those
+    are display-only in openpyxl, so both sides must extract to the
+    SAME span sequence: the hint converts date serials to date VALUES
+    and nothing else. The 'gridformat' family of the twin-suite
+    oracle."""
+    import datetime as _dt
+
+    r = _rng(f"pairfmt-{pair_id}", seed)
+    nrows = r.randint(3, 6)
+    headers = ["Port", "Date", "Price", "Share"]
+
+    def pack(row, col):
+        return row * 1_000 + col
+
+    h_spans: list[tuple] = []  # hinted side
+    t_spans: list[tuple] = []  # explicitly-typed twin
+    for c, h in enumerate(headers):
+        h_spans.append(("grid_cell", h, "", pack(0, c)))
+        t_spans.append(("grid_cell", h, "", pack(0, c)))
+    excel_epoch = _dt.date(1899, 12, 30).toordinal()
+    for ri in range(1, nrows + 1):
+        port = r.choice(_PORTS).title()
+        serial = 44000 + r.randint(0, 2000)
+        iso = _dt.date.fromordinal(excel_epoch + serial).isoformat()
+        price = f"{r.randint(1, 99)},{r.randint(100, 999)}"
+        share = f"0.{r.randint(10, 99)}"
+        h_spans.append(("grid_cell", port, "", pack(ri, 0)))
+        h_spans.append(("grid_cell", str(serial), "fmt:yyyy-mm-dd", pack(ri, 1)))
+        h_spans.append(("grid_cell", price, "fmt:$#,##0.00", pack(ri, 2)))
+        h_spans.append(("grid_cell", share, "fmt:0.0%", pack(ri, 3)))
+        t_spans.append(("grid_cell", port, "", pack(ri, 0)))
+        t_spans.append(("grid_cell", iso, "", pack(ri, 1)))
+        t_spans.append(("grid_cell", price, "", pack(ri, 2)))
+        t_spans.append(("grid_cell", share, "", pack(ri, 3)))
+    return h_spans, t_spans
+
+
 # ----------------------------------------------------------------- styled
 
 # Style flags ride the otherwise-unused media_ref of text spans

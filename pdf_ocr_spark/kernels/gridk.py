@@ -29,8 +29,14 @@ grid-shaped extractors — the XLSX family (SURVEY.md §2.1–2.2):
       ................................. xlsx_extractor.py:983-1034
   - trailing footnote-row strip (XH7) . xlsx_extractor.py:924-981
 
+  - number-format type hints (XH4): "fmt:<number-format>" on a
+    grid_cell's media_ref -> date/currency/percentage hint; date-hinted
+    whole-day serials render as ISO dates (openpyxl value semantics)
+      ................................. xlsx_extractor.py:348-374
+
 Input spans (corpus ``grid-``):
   kind='grid_cell'        text=value        offset=sheet*1_000_000+row*1_000+col
+                          media_ref optional "fmt:<number-format>" (XH4)
   kind='grid_merge'       text='r0,c0,r1,c1' (inclusive range, top-left holds value)
   kind='grid_hidden_row'  text=row index
   kind='grid_hidden_col'  text=col index
@@ -68,6 +74,55 @@ _MIN_BLANK_COLS = 2
 _MIN_TABLE = (2, 2)
 
 _HEADER_SCAN = 10  # xlsx_extractor.py:385 max_scan
+
+# XH4 (xlsx_extractor.py:348-374): number-format string -> type hint.
+# The format string rides the otherwise-unused media_ref of grid_cell
+# spans as "fmt:<number-format>" (the span-model analogue of openpyxl's
+# cell.number_format — same channel pattern as the pdfish style token).
+_DATE_FMT_INDICATORS = ("yyyy", "yy", "mm", "dd", "mmm", "mmmm")
+_CURRENCY_FMT_SYMBOLS = "$€£¥"
+_EXCEL_EPOCH_ORDINAL = 693594  # date(1899, 12, 30).toordinal()
+_SERIAL_RE = re.compile(r"^[0-9]+(\.0+)?$")
+
+
+def format_hint(fmt: str | None) -> str | None:
+    """XH4 type hint from a number-format string: 'date' when a date
+    indicator appears (guarded by a y/d presence so time-only formats
+    like 'hh:mm' stay None — the reference's exclusion), 'currency' on
+    a currency symbol, 'percentage' on '%', else None."""
+    if not fmt or fmt == "General":
+        return None
+    low = fmt.lower()
+    if any(ind in low for ind in _DATE_FMT_INDICATORS):
+        if "y" in low or "d" in low:
+            return "date"
+    if any(sym in fmt for sym in _CURRENCY_FMT_SYMBOLS):
+        return "currency"
+    if "%" in fmt:
+        return "percentage"
+    return None
+
+
+def _render_hinted(text: str, fmt: str | None) -> str:
+    """Value rendering for hinted cells. A whole-day Excel serial under
+    a DATE-hinted format renders as its ISO date — the span-model twin
+    of openpyxl converting date-formatted serials to datetime VALUES
+    before the reference's grid is built (the reference then str()s the
+    datetime; we render ISO, a documented deviation at the same value
+    grain). Currency/percentage hints are display-only in openpyxl, so
+    they never alter the value — they survive as XH4 metadata hints
+    only (reference stores them in StructuredTable.metadata
+    format_hints, xlsx_extractor.py:1186-1196, with no span effect)."""
+    if fmt is None:
+        return text
+    if format_hint(fmt) == "date" and _SERIAL_RE.match(text.strip()):
+        import datetime
+
+        serial = int(float(text.strip()))
+        return datetime.date.fromordinal(
+            _EXCEL_EPOCH_ORDINAL + serial
+        ).isoformat()
+    return text
 
 
 def decode_grid_offset(off: int) -> tuple[int, int, int]:
@@ -524,7 +579,8 @@ def extract_grid_doc(spans: list[tuple]) -> tuple[list, dict]:
         s, r, c = decode_grid_offset(off)
         sh = sheet(s)
         if kind == "grid_cell":
-            sh["cells"][(r, c)] = text or ""
+            fmt = ref[4:] if ref and ref.startswith("fmt:") else None
+            sh["cells"][(r, c)] = _render_hinted(text or "", fmt)
         elif kind == "media":
             sh["media"].append((r, c, ref or ""))
         elif kind == "grid_merge":

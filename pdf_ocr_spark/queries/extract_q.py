@@ -417,6 +417,23 @@ QUERIES["x14_reheader_extract"] = x14_reheader_equivalence
 ORACLE["x14_reheader_extract"] = _PAIR_ORACLE
 
 
+def x15_grid_format_equivalence(spark, sf):
+    """XH4 number-format hints (docpact xlsx_extractor.py:348-374): a
+    grid doc whose date column holds Excel serials under a date-type
+    format hint must extract to the SAME span sequence as its twin
+    carrying the ISO dates directly — and the currency/percentage
+    hints on its other columns must change nothing (display-only in
+    openpyxl, metadata-only in the reference). Oracle pins equal=true
+    per pair."""
+    from ..corpus import grid_format_pair
+
+    return _pair_equality(spark, grid_format_pair, "n", corpus="grid")
+
+
+QUERIES["x15_grid_format_extract"] = x15_grid_format_equivalence
+ORACLE["x15_grid_format_extract"] = _PAIR_ORACLE
+
+
 # ---------------------------------------------------------------- x09
 _N_STYLED = 30
 

@@ -761,7 +761,7 @@ def c01_suite(spark, sf):
     oracle="""
 SELECT f.family, g.pair_id, true AS equal
 FROM (VALUES ('transposed'), ('multirow'), ('width'), ('gridheader'),
-             ('stacked'), ('flowheader'), ('reheader'))
+             ('stacked'), ('flowheader'), ('reheader'), ('gridformat'))
      f(family),
      (SELECT unnest(generate_series(0, 23)) AS pair_id) g
 """,
@@ -792,6 +792,7 @@ def x07_suite(spark, sf):
         ("stacked", "x12_stacked_header_extract"),
         ("flowheader", "x13_flow_header_extract"),
         ("reheader", "x14_reheader_extract"),
+        ("gridformat", "x15_grid_format_extract"),
     )
     parts = [
         extract_q.QUERIES[name](spark, sf).select(

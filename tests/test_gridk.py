@@ -326,3 +326,42 @@ def test_xh6_headerless_sparse_edge_column():
     assert "x" not in texts
     assert texts == ["Port", "Tonnage", "Albany", "10", "Sydney", "20",
                      "Hobart", "30"]
+
+
+def test_xh4_format_hint_rules():
+    """XH4 (xlsx_extractor.py:348-374): date indicators -> 'date'
+    (time-only formats excluded), currency symbols -> 'currency',
+    '%' -> 'percentage', General/empty -> None; date outranks
+    currency outranks percentage when a format mixes them."""
+    from pdf_ocr_spark.kernels.gridk import format_hint
+
+    assert format_hint("yyyy-mm-dd") == "date"
+    assert format_hint("DD/MM/YYYY") == "date"
+    assert format_hint("mmm yy") == "date"
+    assert format_hint("hh:mm") is None          # time-only: no y/d
+    assert format_hint("$#,##0.00") == "currency"
+    assert format_hint("€ 0.00") == "currency"
+    assert format_hint("0.0%") == "percentage"
+    assert format_hint("General") is None
+    assert format_hint("") is None
+    assert format_hint(None) is None
+    assert format_hint("yyyy $0.00") == "date"   # date wins
+
+
+def test_xh4_date_serial_renders_iso_and_money_hints_are_value_neutral():
+    """A whole-day Excel serial under a date hint renders as its ISO
+    date (openpyxl value semantics); currency/percentage hints never
+    change the value; an unhinted serial stays a number."""
+    spans, _m = extract_grid_doc(
+        [
+            g(0, 0, "Port"), g(0, 1, "Date"), g(0, 2, "Price"),
+            g(1, 0, "Albany"), g(1, 1, "45000", ref="fmt:yyyy-mm-dd"),
+            g(1, 2, "1,234", ref="fmt:$#,##0.00"),
+            g(2, 0, "Hobart"), g(2, 1, "45001"), g(2, 2, "0.5", ref="fmt:0.0%"),
+        ]
+    )
+    texts = [t for _k, t in kinds_texts(spans)]
+    # 45000 days past 1899-12-30 = 2023-03-15
+    assert texts == ["Port", "Date", "Price",
+                     "Albany", "2023-03-15", "1,234",
+                     "Hobart", "45001", "0.5"]
