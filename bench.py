@@ -51,6 +51,7 @@ HEADLINE = [
     "q39_number_format",
     "p01_metadata_patterns",
     "x01_extract_documents",
+    "x16_contract_e2e",
 ]
 
 
@@ -100,6 +101,8 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     extract_sec = times.get("x01_extract_documents", 0.0)
+    contract_sec = times.get("x16_contract_e2e", 0.0)
+    n_contract_docs = n_docs // 2 + max(1, (n_docs // 2) // 500)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -115,6 +118,11 @@ def main() -> None:
                 "cpus": CPUS,
                 "extract_docs_per_sec": round(n_docs / extract_sec, 2)
                 if extract_sec
+                else None,
+                "contract_docs_per_sec": round(
+                    n_contract_docs / contract_sec, 2
+                )
+                if contract_sec
                 else None,
             }
         )

@@ -193,11 +193,25 @@ def run_contract_pipeline(
     input_df: DataFrame,
     out_dir: str | None = None,
     salt_partitions: int | None = None,
+    persist_grid: bool = True,
 ) -> dict[str, DataFrame]:
     """Run extract -> map -> validate; optionally write the three output
     tables. Returns {"records", "metrics", "report"} DataFrames."""
+    from pyspark import StorageLevel
+
     extracted = extract(input_df, salt_partitions=salt_partitions)
     hdrs, grid = _block_grid(extracted)
+    # The block grid feeds MANY downstream consumers (cell grid x3 in
+    # the record pivot, roles-kernel broadcast slices, records +
+    # mapped outputs): without materialization every branch replays
+    # the extraction kernels. Persist the FLAT grids, not `extracted`
+    # — narrow primitive rows serialize ~an order of magnitude cheaper
+    # than the nested span arrays (at production scale the staged
+    # extraction output is a parquet table; this is its in-memory
+    # analogue).
+    if persist_grid:
+        hdrs = hdrs.persist(StorageLevel.MEMORY_AND_DISK)
+        grid = grid.persist(StorageLevel.MEMORY_AND_DISK)
     cells = _mapped_cells(spark, hdrs, grid, contract["schema"])
     records = _validated_records(cells, contract.get("rules", {}))
 

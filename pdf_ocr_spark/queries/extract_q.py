@@ -543,3 +543,45 @@ def x06_compression_ratio(spark, sf):
 
 
 QUERIES["x06_compression_ratio"] = x06_compression_ratio
+
+
+# ---------------------------------------------------------------- x16
+_X16_CONTRACT = {
+    "schema": {
+        "port": ["port"],
+        "vessel": ["vessel"],
+        "tonnage": ["tonnage", "tonnage (mt)"],
+        "eta": ["eta"],
+        "cargo": ["cargo"],
+        "grade": ["grade"],
+    },
+    "types": {
+        "port": "string", "vessel": "string", "tonnage": "float",
+        "eta": "date", "cargo": "string", "grade": "string",
+    },
+    "rules": {
+        "tonnage": {"pattern": r"[\d,]+"},
+        "port": {"not_null": True},
+    },
+}
+
+
+def x16_contract_e2e(spark, sf):
+    """End-to-end TYPED-contract pipeline over the full synthetic
+    corpus (the reference user's switch path, plans/contract_pipeline):
+    extract -> block grid -> deterministic dimension/measure mapping
+    (blank-header inference + re-classify on) -> contract-rule
+    validation, returning the wide mapped records. Benched as
+    contract_docs_per_sec in bench.py; rows-only (kernel-derived) —
+    the stage semantics are individually driver-green (x01/x02 suites,
+    u01/u02, v01)."""
+    from ..plans.contract_pipeline import run_contract_pipeline
+    from ..sources.synthetic import synthetic_corpus
+
+    n = t(spark, sf, "documents").count() // 2
+    inp = synthetic_corpus(spark, n, skew_docs=max(1, n // 500))
+    out = run_contract_pipeline(spark, _X16_CONTRACT, inp)
+    return out["mapped"]
+
+
+QUERIES["x16_contract_e2e"] = x16_contract_e2e
