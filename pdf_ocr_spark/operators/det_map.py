@@ -593,6 +593,17 @@ def map_deterministic(
             else None
         )
         roles = roles_kernel(classified, inferred, reclassify)
+        # Materialize the header-grain roles ONCE and truncate lineage
+        # (localCheckpoint, not .persist): every downstream slice rides
+        # a broadcast, and each broadcast job would otherwise replay
+        # the classify+kernel lineage — and even a filled cache drags
+        # the full upstream plan through analysis/canonicalization per
+        # reference (measured as driver-side gaps with zero jobs
+        # running when the headers derive from an extraction
+        # pipeline). Header grain keeps this KB-sized per layout
+        # catalog; blocks are freed by the ContextCleaner when the
+        # consuming DataFrames are dropped.
+        roles = roles.localCheckpoint(eager=True)
         k = F.col("kind")
         shared = roles.filter(k == "s").select("doc_id", "col_idx", "canonical")
         groups = roles.filter(k == "g").select("doc_id", "group_key")

@@ -42,15 +42,14 @@ from ..operators.schema_map import alias_table, map_headers
 from ..operators.validation import validate, violation_histogram
 
 
-def _block_grid(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Ordered spans -> per-table-block grid coordinates.
-
-    Column association is positional, reconstructed from reading order:
-    consecutive heading spans form a header block of k columns; the
-    cells that follow cycle through those k columns row-major
-    (cell_seq mod k, row_id = cell_seq div k).  All window functions —
-    no Python.  Returns (hdrs(doc_id, block, col_idx, header),
-    cells(doc_id, block, span_idx, row_id, col_idx, text))."""
+def _blocked_spans(extracted: DataFrame) -> DataFrame:
+    """Ordered spans -> flat primitive rows tagged with their table
+    block: (doc_id, span_idx, kind, text, block).  ONE explode + ONE
+    running-sum window over reading order — this is the relation worth
+    materializing, because every downstream consumer (headers, cell
+    grid x3 in the record pivot, roles-kernel slices) derives from it
+    with filters and per-block windows only; persisting it means the
+    extraction kernels run exactly once."""
     spans = extracted.select(
         "doc_id", F.posexplode("spans").alias("span_idx", "s")
     ).select(
@@ -64,13 +63,23 @@ def _block_grid(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
     is_hdr = (F.col("kind") == "heading").cast("int")
     prev_hdr = F.coalesce(F.lag(is_hdr).over(order), F.lit(0))
     # a block starts at each heading run; cells attach to the latest block
-    spans = spans.withColumn(
+    return spans.withColumn(
         "block",
         F.sum(
             F.when((is_hdr == 1) & (prev_hdr == 0), 1).otherwise(0)
         ).over(order.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
 
+
+def _grid_from_blocked(spans: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Blocked flat spans -> per-table-block grid coordinates.
+
+    Column association is positional, reconstructed from reading order:
+    consecutive heading spans form a header block of k columns; the
+    cells that follow cycle through those k columns row-major
+    (cell_seq mod k, row_id = cell_seq div k).  All window functions —
+    no Python.  Returns (hdrs(doc_id, block, col_idx, header),
+    cells(doc_id, block, span_idx, row_id, col_idx, text))."""
     blk = W.partitionBy("doc_id", "block")
     hdrs = (
         spans.filter(F.col("kind") == "heading")
@@ -98,6 +107,11 @@ def _block_grid(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("doc_id", "block", "span_idx", "row_id", "col_idx", "text")
     )
     return hdrs, cells
+
+
+def _block_grid(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Ordered spans -> (hdrs, cells); see _blocked_spans/_grid_from_blocked."""
+    return _grid_from_blocked(_blocked_spans(extracted))
 
 
 def _mapped_cells(
@@ -197,24 +211,44 @@ def run_contract_pipeline(
 ) -> dict[str, DataFrame]:
     """Run extract -> map -> validate; optionally write the three output
     tables. Returns {"records", "metrics", "report"} DataFrames."""
-    from pyspark import StorageLevel
-
     extracted = extract(input_df, salt_partitions=salt_partitions)
-    hdrs, grid = _block_grid(extracted)
-    # The block grid feeds MANY downstream consumers (cell grid x3 in
-    # the record pivot, roles-kernel broadcast slices, records +
-    # mapped outputs): without materialization every branch replays
-    # the extraction kernels. Persist the FLAT grids, not `extracted`
-    # — narrow primitive rows serialize ~an order of magnitude cheaper
-    # than the nested span arrays (at production scale the staged
+    blocked = _blocked_spans(extracted)
+    # The blocked flat-span relation feeds MANY downstream consumers
+    # (header block, cell grid x3 in the record pivot, roles-kernel
+    # broadcast slices, records + mapped outputs): without
+    # materialization every branch replays the extraction kernels.
+    # Materialize the ONE flat primitive-row relation they all derive
+    # from — narrow rows serialize ~an order of magnitude cheaper than
+    # the nested span arrays, and a single materialization point means
+    # extraction runs exactly once (at production scale the staged
     # extraction output is a parquet table; this is its in-memory
-    # analogue).
+    # analogue). Blocks are freed by the ContextCleaner once the
+    # returned DataFrames are dropped.
     if persist_grid:
-        hdrs = hdrs.persist(StorageLevel.MEMORY_AND_DISK)
-        grid = grid.persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint (not .persist): materializes AND truncates
+        # lineage. The extraction plan below this point is large, and
+        # every downstream reference to a plain .persist would drag it
+        # through analysis/cache-canonicalization again — measured as
+        # multi-second driver-side gaps with zero jobs running. After
+        # the checkpoint the logical plan is a block scan.
+        blocked = blocked.localCheckpoint(eager=True)
+    hdrs, grid = _grid_from_blocked(blocked)
+    if persist_grid:
+        # hdrs/grid are also each consumed by several branches (cells
+        # x3 in validation, x4 in the record pivot; headers by the
+        # alias mapping and every roles broadcast). They materialize
+        # from the checkpointed blocked relation — extraction still
+        # runs exactly once — and checkpointing them keeps the
+        # per-block window shuffles from replaying per consumer.
+        hdrs = hdrs.localCheckpoint(eager=True)
+        grid = grid.localCheckpoint(eager=True)
     cells = _mapped_cells(spark, hdrs, grid, contract["schema"])
     records = _validated_records(cells, contract.get("rules", {}))
 
+    # Doc-grain metrics ride the nested relation (they are dropped by
+    # the explode), so materializing `metrics` pays one extra kernel
+    # pass — acceptable: the save path at production scale stages
+    # `extracted` as a parquet table anyway.
     metrics = extracted.select("doc_id", "metrics.*")
     report = violation_histogram(
         records.select(
