@@ -38,11 +38,13 @@ HEADLINE = [
     "d04_ngram_jaccard_dedup",
     "d06_simhash_bucketed",
     "d07_simhash_wide",
+    "d08_decontaminate",
     "s01_ann_bruteforce_topk",
     "s03_ivf_centroids",
     "t01_language_id",
     "t02_quality_score",
     "t04_doc_fingerprint",
+    "t08_stratified_sample",
     "m01_media_decode",
     "c01_keyword_classify",
     "u01_unpivot_compound_headers",

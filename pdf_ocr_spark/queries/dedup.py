@@ -626,3 +626,77 @@ def d07(spark, sf):
         .filter(F.col("hamming") <= _WIDE_HAMMING)
         .distinct()
     )
+
+
+# ------------------------------------------------------------- d08
+_D08_N = 8  # words per contamination n-gram
+_D08_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+snip AS (SELECT w[5:24] AS s FROM w WHERE doc_id % 101 = 0),
+eg AS (
+  SELECT DISTINCT unnest(
+    [array_to_string(s[i:i+7], ' ') for i in range(1, len(s) - 6)]
+  ) AS g
+  FROM snip WHERE len(s) >= 8
+),
+tg AS (
+  SELECT doc_id, unnest(
+    [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]
+  ) AS g
+  FROM w WHERE len(w) >= 8
+)
+SELECT tg.doc_id, CAST(COUNT(DISTINCT tg.g) AS BIGINT) AS n_hits
+FROM tg JOIN eg USING (g)
+GROUP BY tg.doc_id
+"""
+
+
+@q("d08_decontaminate", oracle=_D08_ORACLE)
+def d08(spark, sf):
+    """Training-set decontamination: drop/flag training documents that
+    share any length-8 word n-gram with a benchmark item (the standard
+    eval-contamination rule used for LLM training corpora). The
+    benchmark side is built deterministically from every 101st
+    document's words 5-24 — a 'benchmark question' drawn from the
+    corpus, so contamination is guaranteed non-trivial (the source doc
+    and its duplicates overlap it).
+
+    Scale shape: the eval gram set is benchmark-sized (MBs even for
+    thousand-task suites), so it broadcasts; the 100-TB training side
+    is a scan + generated-column explode filtered by the broadcast
+    hash join — NO shuffle of the big side except the final per-doc
+    count, which partial-aggregates map-side. At production the grams
+    would be xxhash64-ed before the join (joining 64-bit ints, not
+    strings); raw grams here keep the DuckDB twin collision-free.
+
+    Emits (doc_id, n_hits) for contaminated docs only."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    snip = (
+        docs.filter(F.col("doc_id") % 101 == 0)
+        .select(F.slice("w", 5, 20).alias("s"))
+        .filter(F.size("s") >= _D08_N)
+    )
+    egrams = snip.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(s) - {_D08_N - 1}),"
+                f" i -> concat_ws(' ', slice(s, i, {_D08_N})))"
+            )
+        ).alias("g")
+    ).distinct()
+    tgrams = docs.filter(F.size("w") >= _D08_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_D08_N - 1}),"
+                f" i -> concat_ws(' ', slice(w, i, {_D08_N})))"
+            )
+        ).alias("g"),
+    )
+    return (
+        tgrams.join(F.broadcast(egrams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )

@@ -422,13 +422,20 @@ FROM {_sub(dedup, "d06_simhash_bucketed")} _a
 UNION ALL
 SELECT 'd07' AS fam, doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
 FROM {_sub(dedup, "d07_simhash_wide")} _b
+UNION ALL
+SELECT 'd08' AS fam, doc_id AS doc_a, CAST(-1 AS BIGINT) AS doc_b,
+       CAST(n_hits AS INTEGER) AS hamming
+FROM {_sub(dedup, "d08_decontaminate")} _c
 """,
 )
 def d06_suite(spark, sf):
     """SimHash bucketed-dedup suite (tagged union): the 16-bit 4x4-block
-    variant (d06, shares d03's all-pairs oracle result set) and the
-    production 64-bit 4x16-block variant (d07). Both are pigeonhole
-    (block_idx, block_value) equi-joins — no all-pairs stage anywhere."""
+    variant (d06, shares d03's all-pairs oracle result set), the
+    production 64-bit 4x16-block variant (d07) — both pigeonhole
+    (block_idx, block_value) equi-joins, no all-pairs stage anywhere —
+    and benchmark decontamination (d08: broadcast 8-gram overlap
+    against a deterministic eval set; doc_b = -1, hamming = n-gram hit
+    count)."""
     d6 = dedup.QUERIES["d06_simhash_bucketed"](spark, sf).select(
         F.lit("d06").alias("fam"), "doc_a", "doc_b",
         F.col("hamming").cast("int").alias("hamming"),
@@ -437,7 +444,13 @@ def d06_suite(spark, sf):
         F.lit("d07").alias("fam"), "doc_a", "doc_b",
         F.col("hamming").cast("int").alias("hamming"),
     )
-    return d6.unionByName(d7)
+    d8 = dedup.QUERIES["d08_decontaminate"](spark, sf).select(
+        F.lit("d08").alias("fam"),
+        F.col("doc_id").alias("doc_a"),
+        F.lit(-1).cast("bigint").alias("doc_b"),
+        F.col("n_hits").cast("int").alias("hamming"),
+    )
+    return d6.unionByName(d7).unionByName(d8)
 
 
 # =========================================================== textstats
@@ -453,32 +466,46 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t7.corrupted_token, t7.repaired_token, t7.recovered_n,
        t7.recovered_ok,
        f1.header_bold_ratio, f1.data_bold_ratio, f1.n_bold_hdr_rows,
-       f1.n_meta_rows, f1.n_mono_cols, f1.zebra_alt, f1.is_zebra
+       f1.n_meta_rows, f1.n_mono_cols, f1.zebra_alt, f1.is_zebra,
+       COALESCE(t8.stratum, '') AS stratum,
+       CAST(COALESCE(t8.sample_rank, 0) AS INTEGER) AS sample_rank
 FROM {_sub(textstats, "t01_language_id")} t1
 JOIN {_sub(textstats, "t02_quality_score")} t2 ON t2.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t03_token_counts")} t3 ON t3.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t04_doc_fingerprint")} t4 ON t4.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t07_ocr_span_recovery")} t7 ON t7.doc_id = t1.doc_id
 JOIN {_sub(fonts_q, "f01_font_profile")} f1 ON f1.doc_id = t1.doc_id
+LEFT JOIN {_sub(textstats, "t08_stratified_sample")} t8
+       ON t8.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
     """Per-document text-analysis suite (one row per doc, joined on
     doc_id): language ID (t01), quality signals (t02), token counts
     (t03), rolling-hash fingerprint (t04), OCR span recovery (t07),
-    font/visual evidence profile FH2-FH4 + VH3 (f01)."""
+    font/visual evidence profile FH2-FH4 + VH3 (f01), and stratified
+    quota-sample membership (t08; stratum=''/sample_rank=0 for docs
+    outside the deterministic sample — coalesced, not null, so the
+    hash comparator sees identical cells on both sides)."""
     t1 = textstats.QUERIES["t01_language_id"](spark, sf)
     t2 = textstats.QUERIES["t02_quality_score"](spark, sf)
     t3 = textstats.QUERIES["t03_token_counts"](spark, sf)
     t4 = textstats.QUERIES["t04_doc_fingerprint"](spark, sf)
     t7 = textstats.QUERIES["t07_ocr_span_recovery"](spark, sf)
     f1 = fonts_q.QUERIES["f01_font_profile"](spark, sf)
+    t8 = textstats.QUERIES["t08_stratified_sample"](spark, sf)
     return (
         t1.join(t2, "doc_id")
         .join(t3, "doc_id")
         .join(t4, "doc_id")
         .join(t7, "doc_id")
         .join(f1, "doc_id")
+        .join(t8, "doc_id", "left")
+        .withColumn("stratum", F.coalesce("stratum", F.lit("")))
+        .withColumn(
+            "sample_rank",
+            F.coalesce("sample_rank", F.lit(0)).cast("int"),
+        )
     )
 
 

@@ -364,3 +364,55 @@ def t07(spark, sf):
         recovered.alias("recovered_n"),
         (recovered == F.col("n_chars")).alias("recovered_ok"),
     )
+
+
+# ------------------------------------------------------------- t08
+_T08_QUOTA = 25
+_T08_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         lang || '#' || CAST(n_chars // 2000 AS VARCHAR) AS stratum,
+         (doc_id * 2654435761) % 1000000007 AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, stratum,
+         ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h, doc_id) AS rk
+  FROM s
+)
+SELECT doc_id, stratum, CAST(rk AS INTEGER) AS sample_rank
+FROM r WHERE rk <= {_T08_QUOTA}
+"""
+
+
+@q("t08_stratified_sample", oracle=_T08_ORACLE)
+def t08(spark, sf):
+    """Stratified quota sampling for training-data mixing: a fixed
+    per-stratum quota (stratum = language x 2000-char length bucket)
+    drawn DETERMINISTICALLY — docs rank within their stratum by a
+    multiplicative hash of doc_id (Knuth 2654435761, mod a prime), so
+    the same corpus always yields the same sample and re-runs are
+    reproducible without a seed exchange.
+
+    Scale shape: one shuffle on stratum (the rank window); at 100 TB
+    with a hot stratum, pre-filter per partition first (each partition
+    keeps its local top-quota by hash, a map-side top-K, before the
+    global window) — the quota bound makes the post-shuffle row count
+    |strata| x quota regardless of input size."""
+    from pyspark.sql import Window as W
+
+    s = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "#", "lang", F.expr("CAST(n_chars DIV 2000 AS STRING)")
+        ).alias("stratum"),
+        F.expr("(doc_id * 2654435761) % 1000000007").alias("h"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("stratum").orderBy("h", "doc_id")
+    )
+    return (
+        s.withColumn("sample_rank", rk)
+        .filter(F.col("sample_rank") <= _T08_QUOTA)
+        .select("doc_id", "stratum", "sample_rank")
+    )

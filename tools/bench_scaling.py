@@ -261,6 +261,28 @@ def write_baseline(summary: dict) -> None:
     render_baseline(history)
 
 
+# Index of the first study measuring the CURRENT pipeline (study "s",
+# the first with the doc-grain streaming mega branch as the default —
+# the only pipeline change since is the u02-unrelated n_spans ingest
+# column). Studies before it are kept for history only.
+CURRENT_PIPELINE_START = 18
+
+
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def _window_row(name: str, window: list[dict]) -> str:
+    return (
+        f"| {name} | {len(window)} "
+        f"| {max(h['raw'] for h in window):.3f} "
+        f"| {_median([h['raw'] for h in window]):.3f} "
+        f"| {_median([h['normalized'] for h in window]):.3f} |"
+    )
+
+
 def render_baseline(history: list[dict]) -> None:
     best = max(history, key=lambda h: h["raw"])
     best_norm = max(history, key=lambda h: h["normalized"])
@@ -269,6 +291,18 @@ def render_baseline(history: list[dict]) -> None:
         f"| {h['study']}{' (headline tables above)' if h is best else ''} "
         f"| {h['raw']:.3f} | {h['ceiling']:.3f} | {h['normalized']:.3f} |"
         for h in history
+    )
+    cur = history[CURRENT_PIPELINE_START:]
+    first_cur = cur[0]["study"].split()[-1]
+    last = history[-1]["study"].split()[-1]
+    median_rows = "\n".join(
+        [
+            _window_row(f"current pipeline ({first_cur}…{last})", cur),
+            _window_row(f"trailing 10 (…{last})", history[-10:]),
+            _window_row(
+                f"all studies (incl. pre-fix pipeline)", history
+            ),
+        ]
     )
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers (this engine)
@@ -294,6 +328,26 @@ min-of-runs within a study):
  "sandbox, including embarrassingly-parallel multiprocessing with "
  "zero Spark involvement"}; the ceiling section below gives the
 cluster-predictive reading either way).
+
+### Best AND median (so the headline can't be read as cherry-picked)
+
+The headline is a max over repetitions of an identical job on a noisy
+shared host; the medians below carry the noise floor alongside it. The
+relevant window is the current-pipeline era — everything since the
+doc-grain streaming mega branch became the default (the only pipeline
+change inside the window is the u02-unrelated n_spans ingest column;
+earlier studies measured an older pipeline and are kept for history
+only):
+
+| window | n | best raw | median raw | median normalized |
+|---|---|---|---|---|
+{median_rows}
+
+Reading: under the co-tenant noise the *median* same-pipeline raw run
+sits near the bar with best {eff:.3f} and several studies ≥ ~0.80; the
+normalized (host-ceiling-relative) median is higher still. Policy from
+round 3 on: a new study is recorded ONLY when the extraction pipeline
+changes — repeated same-pipeline weather sampling stops.
 
 ### Host calibration ceiling
 
@@ -413,8 +467,10 @@ the honest quantity) and the fastest run is scored.
 ## Headline bench
 
 `python bench.py` (sf0.1, local[32]) prints per-query seconds; the
-extraction flagship also reports docs/sec (`extract_docs_per_sec`).
-Per-query timing is min-of-2 (steady state, same reasoning as above).
+extraction flagship also reports docs/sec (`extract_docs_per_sec`) and
+the typed-contract e2e path docs/sec (`contract_docs_per_sec`).
+Per-query timing is best-of-N interleaved rounds (default
+`SPARK_GRAFT_BENCH_ROUNDS=3` — steady state, same reasoning as above).
 """)
 
 
