@@ -85,21 +85,33 @@ def main() -> None:
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
-    # Best-of-N INTERLEAVED rounds: the sandbox host is co-tenant-
-    # oversubscribed (12-15 % steal bursts, see BENCH/BASELINE.md) and a
-    # single cold run also pays plan compile + codegen. Consecutive
-    # repeats of one query sit inside the same burst and both inflate;
-    # interleaving whole-list rounds decorrelates the burst from the
-    # query, so min-of-rounds is the steady-state throughput estimate.
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    # INTERLEAVED rounds of BACK-TO-BACK PAIRS, min over all reps.
+    # Two independent noise sources, measured on this host:
+    #   (1) co-tenant steal bursts (12-15 %, seconds long) — consecutive
+    #       reps of one query sit inside the same burst and ALL inflate,
+    #       so rounds must interleave the whole list to decorrelate;
+    #   (2) heavyweight wake — after x16/u02's very large generated
+    #       plans run, the NEXT execution of every other query pays a
+    #       one-time ~10-60 % penalty (codegen-cache eviction: a settle
+    #       job does not cure it, an immediate same-query rerun does),
+    #       so each measurement needs a same-query warm rep right
+    #       before it.
+    # Pairs inside interleaved rounds fix both: rep 1 of a pair absorbs
+    # recompile/wake, rep 2 measures steady state, and the rounds put
+    # the pairs in decorrelated weather windows. A production job that
+    # runs one pipeline for hours sees exactly the rep-2 regime.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
     times: dict[str, float] = {}
     for _ in range(rounds):
         for name in HEADLINE:
             fn = ALL_QUERIES[name]
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            times[name] = min(times.get(name, float("inf")), dt)
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.perf_counter() - t0, 3)
+                times[name] = min(times.get(name, float("inf")), dt)
 
     total = round(sum(times.values()), 3)
     extract_sec = times.get("x01_extract_documents", 0.0)

@@ -468,7 +468,9 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        f1.header_bold_ratio, f1.data_bold_ratio, f1.n_bold_hdr_rows,
        f1.n_meta_rows, f1.n_mono_cols, f1.zebra_alt, f1.is_zebra,
        COALESCE(t8.stratum, '') AS stratum,
-       CAST(COALESCE(t8.sample_rank, 0) AS INTEGER) AS sample_rank
+       CAST(COALESCE(t8.sample_rank, 0) AS INTEGER) AS sample_rank,
+       t9.top2_frac, t9.top3_frac, t9.dup2_frac,
+       t10.n_email, t10.n_ipv4, t10.n_phone, t10.masked
 FROM {_sub(textstats, "t01_language_id")} t1
 JOIN {_sub(textstats, "t02_quality_score")} t2 ON t2.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t03_token_counts")} t3 ON t3.doc_id = t1.doc_id
@@ -477,6 +479,8 @@ JOIN {_sub(textstats, "t07_ocr_span_recovery")} t7 ON t7.doc_id = t1.doc_id
 JOIN {_sub(fonts_q, "f01_font_profile")} f1 ON f1.doc_id = t1.doc_id
 LEFT JOIN {_sub(textstats, "t08_stratified_sample")} t8
        ON t8.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t09_repetition_profile")} t9 ON t9.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t10_pii_scrub")} t10 ON t10.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -486,7 +490,9 @@ def t01_suite(spark, sf):
     font/visual evidence profile FH2-FH4 + VH3 (f01), and stratified
     quota-sample membership (t08; stratum=''/sample_rank=0 for docs
     outside the deterministic sample — coalesced, not null, so the
-    hash comparator sees identical cells on both sides)."""
+    hash comparator sees identical cells on both sides), Gopher-style
+    repetition signals (t09), and PII scrub counts + masked text
+    (t10)."""
     t1 = textstats.QUERIES["t01_language_id"](spark, sf)
     t2 = textstats.QUERIES["t02_quality_score"](spark, sf)
     t3 = textstats.QUERIES["t03_token_counts"](spark, sf)
@@ -494,6 +500,8 @@ def t01_suite(spark, sf):
     t7 = textstats.QUERIES["t07_ocr_span_recovery"](spark, sf)
     f1 = fonts_q.QUERIES["f01_font_profile"](spark, sf)
     t8 = textstats.QUERIES["t08_stratified_sample"](spark, sf)
+    t9 = textstats.QUERIES["t09_repetition_profile"](spark, sf)
+    t10 = textstats.QUERIES["t10_pii_scrub"](spark, sf)
     return (
         t1.join(t2, "doc_id")
         .join(t3, "doc_id")
@@ -506,6 +514,8 @@ def t01_suite(spark, sf):
             "sample_rank",
             F.coalesce("sample_rank", F.lit(0)).cast("int"),
         )
+        .join(t9, "doc_id")
+        .join(t10, "doc_id")
     )
 
 

@@ -366,6 +366,192 @@ def t07(spark, sf):
     )
 
 
+# ------------------------------------------------------------- t09
+def _duck_grams(n: int) -> str:
+    """DuckDB word n-gram relation over the split words column."""
+    return (
+        f"SELECT doc_id, unnest([array_to_string(w[i:i+{n - 1}], ' ')"
+        f" for i in range(1, len(w) - {n - 2})]) AS g"
+        f" FROM w WHERE len(w) >= {n}"
+    )
+
+
+def _duck_rep(n: int) -> str:
+    return f"""
+  SELECT doc_id,
+         MAX(cnt * strlen(g)) AS top,
+         SUM(CASE WHEN cnt > 1 THEN cnt * strlen(g) ELSE 0 END) AS dup
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM ({_duck_grams(n)}) GROUP BY 1, 2)
+  GROUP BY doc_id"""
+
+
+_T09_ORACLE = f"""
+WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+           FROM documents),
+c2 AS ({_duck_rep(2)}),
+c3 AS ({_duck_rep(3)})
+SELECT d.doc_id,
+       COALESCE(c2.top, 0)::DOUBLE / GREATEST(d.n_chars, 1) AS top2_frac,
+       COALESCE(c3.top, 0)::DOUBLE / GREATEST(d.n_chars, 1) AS top3_frac,
+       COALESCE(c2.dup, 0)::DOUBLE / GREATEST(d.n_chars, 1) AS dup2_frac
+FROM documents d
+LEFT JOIN c2 USING (doc_id)
+LEFT JOIN c3 USING (doc_id)
+"""
+
+
+def _spark_grams(n: int) -> str:
+    """Sorted word n-gram array (SQL expr over the `w` words column)."""
+    return (
+        f"sort_array(CASE WHEN size(w) >= {n} THEN"
+        f" transform(sequence(1, size(w) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(w, i, {n})))"
+        f" ELSE CAST(array() AS array<string>) END)"
+    )
+
+
+def _spark_top(n: int):
+    """Max over distinct n-grams of count*len — one pass over the SORTED
+    gram array (run-length encode adjacent equals), zero shuffle."""
+    return F.expr(
+        f"""aggregate({_spark_grams(n)},
+        named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+        (a, x) -> IF(x <=> a.prev,
+            named_struct('prev', x, 'run', a.run + 1,
+                         'best', GREATEST(a.best, (a.run + 1) * length(x))),
+            named_struct('prev', x, 'run', 1,
+                         'best', GREATEST(a.best, length(x)))),
+        a -> a.best)"""
+    )
+
+
+def _spark_dup(n: int):
+    """Total chars of n-gram occurrences belonging to duplicated grams
+    (run length >= 2 in the sorted array) — same single pass."""
+    return F.expr(
+        f"""aggregate({_spark_grams(n)},
+        named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'tot', 0),
+        (a, x) -> IF(x <=> a.prev,
+            named_struct('prev', x, 'run', a.run + 1,
+                         'tot', a.tot + IF(a.run = 1, 2 * length(x),
+                                           length(x))),
+            named_struct('prev', x, 'run', 1, 'tot', a.tot)),
+        a -> a.tot)"""
+    )
+
+
+@q("t09_repetition_profile", oracle=_T09_ORACLE)
+def t09(spark, sf):
+    """Gopher-style repetition signals (the A1.1 repetition-removal
+    family, public): per document, the character fraction covered by
+    the heaviest word 2-/3-gram (count x length of the gram maximizing
+    it) and the character fraction inside duplicated n-grams (all occurrences
+    of any n-gram seen more than once; overlaps counted per occurrence
+    — documented approximation of the paper's char-dedup variant). n
+    is a parameter; the paper applies the dup signal at n=5..10, but
+    the short synthetic word-streams only repeat 2-grams, so n=2 is
+    the exercised setting here (same code path, any n).
+
+    Scale shape: ZERO shuffle. Instead of explode -> groupBy(doc_id,
+    gram) -> join back (a full shuffle of the n-gram stream, ~5x the
+    corpus bytes), each doc's gram multiset is run-length encoded in
+    one pass over its own sorted gram array via `aggregate` — the
+    whole plan is a zero-Exchange narrow map, all JVM-side (the
+    higher-order aggregate is CodegenFallback but never Python),
+    linear in executors at 100 TB. The DuckDB twin uses the classic
+    unnest/GROUP BY formulation, so the two strategies cross-check
+    each other."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", "n_chars", F.split("text", " ").alias("w")
+    )
+    nc = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return d.select(
+        "doc_id",
+        (_spark_top(2).cast("double") / nc).alias("top2_frac"),
+        (_spark_top(3).cast("double") / nc).alias("top3_frac"),
+        (_spark_dup(2).cast("double") / nc).alias("dup2_frac"),
+    )
+
+
+# ------------------------------------------------------------- t10
+# PII patterns shared verbatim by both engines: Java (Spark) and RE2
+# (DuckDB) — no lookaround/backrefs, identical match semantics.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9][0-9-]{6,}[0-9]"
+
+# The synthetic corpus carries no PII, so each doc is decorated with a
+# deterministic doc_id-derived email + IP + phone before scrubbing —
+# the operator is exercised on every row and both engines decorate
+# identically (documented synthetic injection, not data augmentation).
+_PII_DECOR_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_sql(s: str) -> str:
+    # DuckDB standard string literals keep backslashes literal — only
+    # quotes need escaping (same convention as the p01 pattern library).
+    return s.replace("'", "''")
+
+
+# Counts are taken SEQUENTIALLY (each kind counted on the text with the
+# previous kinds already masked) so n_* always equals the number of
+# [KIND] tokens actually emitted — a dotted-digit run inside an email
+# local part is swallowed by [EMAIL] and must not also count as an IP.
+_T10_ORACLE = f"""
+WITH dec AS (SELECT doc_id, {_PII_DECOR_SQL} AS d FROM documents),
+m1 AS (SELECT doc_id, d,
+              regexp_replace(d, '{_pii_sql(_PII_EMAIL)}', '[EMAIL]', 'g') AS e
+       FROM dec),
+m2 AS (SELECT doc_id, d, e,
+              regexp_replace(e, '{_pii_sql(_PII_IPV4)}', '[IP]', 'g') AS i
+       FROM m1)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(d, '{_pii_sql(_PII_EMAIL)}')) AS INTEGER)
+         AS n_email,
+       CAST(len(regexp_extract_all(e, '{_pii_sql(_PII_IPV4)}')) AS INTEGER)
+         AS n_ipv4,
+       CAST(len(regexp_extract_all(i, '{_pii_sql(_PII_PHONE)}')) AS INTEGER)
+         AS n_phone,
+       regexp_replace(i, '{_pii_sql(_PII_PHONE)}', '[PHONE]', 'g') AS masked
+FROM m2
+"""
+
+
+@q("t10_pii_scrub", oracle=_T10_ORACLE)
+def t10(spark, sf):
+    """PII scrubbing (the standard pre-training redaction pass, cf.
+    public C4/Dolma pipeline rules): detect and mask emails, IPv4
+    addresses, and international-format phone numbers, emitting per-doc
+    counts plus the masked text. Masking order email -> IP -> phone is
+    fixed, and each kind is COUNTED on the text with the previous kinds
+    already masked, so digit runs inside an already-masked span can't
+    re-match or double-count (n_* = number of [KIND] tokens emitted).
+
+    Scale shape: a narrow scan-local map (three regexp_count + three
+    chained regexp_replace, all JVM-side in WholeStageCodegen) — zero
+    shuffle, linear in executors; the masked column is the same width
+    class as the input so no skew is introduced."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.expr(_PII_DECOR_SQL.replace("VARCHAR", "STRING")).alias("d")
+    )
+    m1 = d.withColumn(
+        "e", F.regexp_replace(F.col("d"), _PII_EMAIL, "[EMAIL]")
+    )
+    m2 = m1.withColumn("i", F.regexp_replace(F.col("e"), _PII_IPV4, "[IP]"))
+    return m2.select(
+        "doc_id",
+        F.regexp_count("d", F.lit(_PII_EMAIL)).cast("int").alias("n_email"),
+        F.regexp_count("e", F.lit(_PII_IPV4)).cast("int").alias("n_ipv4"),
+        F.regexp_count("i", F.lit(_PII_PHONE)).cast("int").alias("n_phone"),
+        F.regexp_replace(F.col("i"), _PII_PHONE, "[PHONE]").alias("masked"),
+    )
+
+
 # ------------------------------------------------------------- t08
 _T08_QUOTA = 25
 _T08_ORACLE = f"""

@@ -1,0 +1,117 @@
+"""Unit tests for the zero-shuffle repetition profile (t09) and the PII
+scrub (t10) — the two text-pipeline operators whose core is a nontrivial
+expression (run-length-encoded sorted n-gram aggregate / ordered regex
+masking) rather than a plain projection. End-to-end result parity with
+DuckDB is covered by the driver gate (t01 suite); these tests pin the
+expression semantics on hand-built rows.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ocr_spark.queries.textstats import (
+    _PII_EMAIL,
+    _PII_IPV4,
+    _PII_PHONE,
+    _spark_dup,
+    _spark_top,
+)
+
+
+def _py_top(words: list[str], n: int) -> int:
+    c = Counter(" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
+    return max((cnt * len(g) for g, cnt in c.items()), default=0)
+
+
+def _py_dup(words: list[str], n: int) -> int:
+    c = Counter(" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
+    return sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+
+
+TEXTS = [
+    "a b a b a b",                      # heavy bigram repetition
+    "x",                                # shorter than any n-gram
+    "",                                 # degenerate
+    "one two three four five",          # all unique
+    "go go go go",                      # same-word runs
+    "aa bb aa bb cc aa bb",             # mixed
+]
+
+
+@pytest.fixture(scope="module")
+def words_df(spark):
+    rows = [(i, t) for i, t in enumerate(TEXTS)]
+    return spark.createDataFrame(rows, "doc_id int, text string").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_t09_top_matches_counter_reference(words_df, n):
+    got = {
+        r["doc_id"]: r["v"]
+        for r in words_df.select("doc_id", _spark_top(n).alias("v")).collect()
+    }
+    for i, txt in enumerate(TEXTS):
+        words = txt.split(" ")
+        assert got[i] == _py_top(words, n), (i, n, txt)
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_t09_dup_matches_counter_reference(words_df, n):
+    got = {
+        r["doc_id"]: r["v"]
+        for r in words_df.select("doc_id", _spark_dup(n).alias("v")).collect()
+    }
+    for i, txt in enumerate(TEXTS):
+        words = txt.split(" ")
+        assert got[i] == _py_dup(words, n), (i, n, txt)
+
+
+PII_CASES = [
+    # (input, expected masked, n_email, n_ipv4, n_phone)
+    (
+        "mail a@b.com and c.d+e@f-g.org now",
+        "mail [EMAIL] and [EMAIL] now",
+        2, 0, 0,
+    ),
+    ("server 192.168.0.1 and 10.0.0.255", "server [IP] and [IP]", 0, 2, 0),
+    ("call +49-170-1234567 ok", "call [PHONE] ok", 0, 0, 1),
+    ("no pii here", "no pii here", 0, 0, 0),
+    # email masked first so its digits can't feed the IP/phone patterns
+    # (the dotted-digit run is part of the email local part and is
+    # swallowed by [EMAIL]; nothing is left for the IPv4 pattern)
+    ("see 1.2.3.4@mail.com y", "see [EMAIL] y", 1, 0, 0),
+]
+
+
+def test_t10_masking_order_and_counts(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, *_rest) in enumerate(PII_CASES)],
+        "i int, d string",
+    )
+    # Same sequential shape as t10: each kind is counted on the text
+    # with the previous kinds already masked, so counts always equal
+    # the number of [KIND] tokens in the final masked output.
+    staged = df.withColumn(
+        "e", F.regexp_replace(F.col("d"), _PII_EMAIL, "[EMAIL]")
+    ).withColumn("ipm", F.regexp_replace(F.col("e"), _PII_IPV4, "[IP]"))
+    rows = staged.select(
+        "i",
+        F.regexp_replace(F.col("ipm"), _PII_PHONE, "[PHONE]").alias("m"),
+        F.regexp_count("d", F.lit(_PII_EMAIL)).alias("e"),
+        F.regexp_count("e", F.lit(_PII_IPV4)).alias("ip"),
+        F.regexp_count("ipm", F.lit(_PII_PHONE)).alias("ph"),
+    ).collect()
+    for r in rows:
+        exp_m, exp_e, exp_ip, exp_ph = PII_CASES[r["i"]][1:]
+        assert r["m"] == exp_m, PII_CASES[r["i"]][0]
+        assert (r["e"], r["ip"], r["ph"]) == (exp_e, exp_ip, exp_ph)
+        # invariant: counts match emitted mask tokens
+        assert r["m"].count("[EMAIL]") == r["e"]
+        assert r["m"].count("[IP]") == r["ip"]
+        assert r["m"].count("[PHONE]") == r["ph"]

@@ -469,8 +469,15 @@ the honest quantity) and the fastest run is scored.
 `python bench.py` (sf0.1, local[32]) prints per-query seconds; the
 extraction flagship also reports docs/sec (`extract_docs_per_sec`) and
 the typed-contract e2e path docs/sec (`contract_docs_per_sec`).
-Per-query timing is best-of-N interleaved rounds (default
-`SPARK_GRAFT_BENCH_ROUNDS=3` — steady state, same reasoning as above).
+Per-query timing is min over SPARK_GRAFT_BENCH_ROUNDS (default 2)
+interleaved rounds of BACK-TO-BACK PAIRS: rep 1 of a pair absorbs
+recompile + heavyweight wake (measured: after x16/u02's very large
+generated plans run, the next execution of every other query pays a
+one-time ~10-60 % codegen-cache-eviction penalty that a settle job
+does not cure but an immediate same-query rerun does), rep 2 measures
+steady state, and interleaving decorrelates the co-tenant steal bursts.
+Round-3 reading (quiet host): shared-query total 15.2 s vs round 1's
+20.7 s on identical queries, flagship 4 931 docs/s.
 """)
 
 
