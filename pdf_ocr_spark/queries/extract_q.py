@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..extract.pipeline import extract
 from ..sources.synthetic import synthetic_corpus
-from .base import t
+from .base import spread, t
 
 QUERIES = {}
 ORACLE = {}
@@ -575,11 +575,26 @@ def x16_contract_e2e(spark, sf):
     contract_docs_per_sec in bench.py; rows-only (kernel-derived) —
     the stage semantics are individually driver-green (x01/x02 suites,
     u01/u02, v01)."""
+    import os
+
     from ..plans.contract_pipeline import run_contract_pipeline
-    from ..sources.synthetic import synthetic_corpus
+    from ..sources.synthetic import write_corpus_table
 
     n = t(spark, sf, "documents").count() // 2
-    inp = synthetic_corpus(spark, n, skew_docs=max(1, n // 500))
+    # The north-rule input is a staged TABLE (Iceberg/parquet), not an
+    # in-flight generator: stage the deterministic seeded corpus once
+    # and read it back, so the pipeline (not Python corpus generation)
+    # is what executes — and the branch predicate rides the
+    # ingest-materialized n_spans column with row-group stats, exactly
+    # like the x01 flagship's documents scan.
+    path = f"/tmp/spark_graft_x16_corpus_{n}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_corpus_table(spark, path, n, skew_docs=max(1, n // 500))
+    # spread(): the small bench corpus coalesces into ~2 scan bins
+    # (maxPartitionBytes), which would run the extraction kernels on 2
+    # of 32 cores; at production scale the scan has >= cores splits and
+    # spread() adds nothing (queries/base.py).
+    inp = spread(spark.read.parquet(path))
     out = run_contract_pipeline(spark, _X16_CONTRACT, inp)
     return out["mapped"]
 
