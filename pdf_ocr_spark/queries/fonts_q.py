@@ -205,3 +205,220 @@ def f01_font_profile(spark, sf):
 
 QUERIES["f01_font_profile"] = f01_font_profile
 ORACLE["f01_font_profile"] = _F01_ORACLE
+
+
+# ------------------------------------------------------------------ f02
+# FH5 text-color semantics (compress.py:740-777: red/orange = exception,
+# header color = most frequent color in the header zone) + the VH6
+# cross-validation verdict (compress.py:386-419: a row carrying the
+# header color whose cells nevertheless type as DATA is an "exception
+# highlight", not an extra header row).
+#
+# Color grid derived like f01's style grid: every cell gets a
+# deterministic rgb() string — header rows one uniform per-doc color,
+# every 7th doc's FIRST DATA ROW painted with that same header color
+# (the VH6 injection), body cells position-dependent. Cell text types
+# header rows as words and data rows as digits, so the reference's
+# type-pattern arbiter is computable. Exception rule applied exactly as
+# the reference states it on 0-1 floats: r>0.6 AND g<0.5 AND b<0.3.
+
+_F02_COLOR_SQL = (
+    "CASE WHEN r < {H} OR (r = {H} AND doc_id % 7 = 0)"
+    " THEN 'rgb(' || CAST(doc_id % 120 AS VARCHAR) || ', 30, 40)'"
+    " ELSE 'rgb(' || CAST((k * 37) % 256 AS VARCHAR) || ', '"
+    "      || CAST((k * 59) % 256 AS VARCHAR) || ', '"
+    "      || CAST((k * 83) % 256 AS VARCHAR) || ')' END"
+)
+
+_F02_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, r, c, cstr,
+         regexp_extract(cstr, 'rgb\\((\\d+), (\\d+), (\\d+)\\)', 1)::INT AS cr,
+         regexp_extract(cstr, 'rgb\\((\\d+), (\\d+), (\\d+)\\)', 2)::INT AS cg,
+         regexp_extract(cstr, 'rgb\\((\\d+), (\\d+), (\\d+)\\)', 3)::INT AS cb,
+         CASE WHEN r < {HEADER_ROWS} THEN 'h' || CAST(c AS VARCHAR)
+              ELSE CAST(pos AS VARCHAR) END AS txt
+  FROM (
+    SELECT doc_id, pos, pos // 4 AS r, pos % 4 AS c,
+           doc_id * 131 + pos AS k,
+           {_F02_COLOR_SQL.format(H=HEADER_ROWS).replace('{{', '{').replace('}}', '}').replace('r <', '(pos // 4) <').replace('(r =', '((pos // 4) =')} AS cstr
+    FROM (
+      SELECT doc_id, g.pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           LATERAL unnest(generate_series(0, len(ws) - 1)) AS g(pos)
+    )
+  )
+),
+rowg AS (
+  SELECT doc_id, r,
+         min(cstr) AS row_color,
+         (min(cstr) = max(cstr)) AS uniform,
+         CAST(count(*) FILTER (regexp_matches(txt, '^[0-9]+$')) AS DOUBLE)
+           / count(*) AS numeric_frac
+  FROM base GROUP BY 1, 2
+),
+hdr AS (
+  SELECT doc_id, min(row_color) AS header_color
+  FROM rowg WHERE r < {HEADER_ROWS} GROUP BY 1
+),
+vis AS (
+  SELECT r.doc_id,
+         CAST(count(*) FILTER (r.uniform AND r.row_color = h.header_color)
+              AS BIGINT) AS visual_hdr_rows,
+         CAST(count(*) FILTER (r.numeric_frac < 0.5) AS BIGINT)
+           AS text_hdr_rows
+  FROM rowg r JOIN hdr h ON h.doc_id = r.doc_id
+  GROUP BY 1
+),
+disputed AS (
+  SELECT v.doc_id, v.visual_hdr_rows, v.text_hdr_rows, g.numeric_frac
+  FROM vis v
+  LEFT JOIN rowg g ON g.doc_id = v.doc_id AND g.r = v.text_hdr_rows
+),
+exc AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT cstr) FILTER (
+           cr / 255.0 > 0.6 AND cg / 255.0 < 0.5 AND cb / 255.0 < 0.3
+           AND NOT (cr = 255 AND cg = 255 AND cb = 255)
+         ) AS BIGINT) AS n_exception_colors,
+         CAST(count(*) FILTER (
+           cr / 255.0 > 0.6 AND cg / 255.0 < 0.5 AND cb / 255.0 < 0.3
+           AND NOT (cr = 255 AND cg = 255 AND cb = 255)
+         ) AS BIGINT) AS n_exception_cells
+  FROM base GROUP BY 1
+)
+SELECT h.doc_id, h.header_color,
+       d.visual_hdr_rows, d.text_hdr_rows,
+       CASE
+         WHEN d.visual_hdr_rows = d.text_hdr_rows THEN 'match'
+         WHEN d.visual_hdr_rows > d.text_hdr_rows
+              AND d.numeric_frac >= 0.5 THEN 'vh6_exception'
+         ELSE 'contradiction'
+       END AS vh6_verdict,
+       e.n_exception_colors, e.n_exception_cells
+FROM hdr h
+JOIN disputed d ON d.doc_id = h.doc_id
+JOIN exc e ON e.doc_id = h.doc_id
+"""
+
+
+def f02_color_semantics(spark, sf):
+    """FH5 color semantics + VH6 exception-highlight cross-validation
+    (reference rules cited in the block comment above). Per doc:
+    header text color (mode of the header zone — computed as min over
+    the uniform header rows), distinct/total exception-colored cells
+    (red/orange: r>0.6, g<0.5, b<0.3 on 0-1 floats), visual vs
+    text-typed header row counts, and the VH6 verdict ('match' /
+    'vh6_exception' / 'contradiction').
+
+    Plan shape: posexplode -> cell colors parsed by the Catalyst-only
+    functions.parse_css_color -> one row-grain partial agg + one
+    doc-grain cell agg -> doc-grain join. Two narrow shuffles, no UDFs,
+    same scale envelope as f01."""
+    from .. import functions as FN
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    grid = docs.select(
+        "doc_id", F.posexplode("words").alias("pos", "w")
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr("pos div 4").alias("r"),
+        (F.col("pos") % 4).alias("c"),
+        F.expr("doc_id * 131 + pos").alias("k"),
+    )
+    h = HEADER_ROWS
+    cstr = F.expr(
+        f"CASE WHEN r < {h} OR (r = {h} AND doc_id % 7 = 0)"
+        " THEN concat('rgb(', CAST(doc_id % 120 AS STRING), ', 30, 40)')"
+        " ELSE concat('rgb(', CAST((k * 37) % 256 AS STRING), ', ',"
+        " CAST((k * 59) % 256 AS STRING), ', ',"
+        " CAST((k * 83) % 256 AS STRING), ')') END"
+    )
+    txt = F.when(
+        F.col("r") < h, F.concat(F.lit("h"), F.col("c").cast("string"))
+    ).otherwise(F.col("pos").cast("string"))
+    base = grid.select(
+        "doc_id",
+        "r",
+        cstr.alias("cstr"),
+        FN.parse_css_color(cstr).alias("col"),
+        txt.alias("txt"),
+    )
+    rowg = base.groupBy("doc_id", "r").agg(
+        F.min("cstr").alias("row_color"),
+        (F.min("cstr") == F.max("cstr")).alias("uniform"),
+        (
+            F.count_if(F.col("txt").rlike("^[0-9]+$")).cast("double")
+            / F.count("*")
+        ).alias("numeric_frac"),
+    )
+    hdr = (
+        rowg.filter(F.col("r") < h)
+        .groupBy("doc_id")
+        .agg(F.min("row_color").alias("header_color"))
+    )
+    vis = (
+        rowg.join(hdr, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count_if(
+                F.col("uniform") & (F.col("row_color") == F.col("header_color"))
+            ).alias("visual_hdr_rows"),
+            F.count_if(F.col("numeric_frac") < 0.5).alias("text_hdr_rows"),
+        )
+    )
+    rg = rowg.select("doc_id", "r", "numeric_frac").alias("rg")
+    v = vis.alias("v")
+    disputed = v.join(
+        rg,
+        (F.col("v.doc_id") == F.col("rg.doc_id"))
+        & (F.col("rg.r") == F.col("v.text_hdr_rows")),
+        "left",
+    ).select(
+        F.col("v.doc_id").alias("doc_id"),
+        "visual_hdr_rows",
+        "text_hdr_rows",
+        "numeric_frac",
+    )
+    is_exc = (
+        (F.col("col.r") / 255.0 > 0.6)
+        & (F.col("col.g") / 255.0 < 0.5)
+        & (F.col("col.b") / 255.0 < 0.3)
+    )
+    exc = base.groupBy("doc_id").agg(
+        F.count_distinct(F.when(is_exc, F.col("cstr"))).alias(
+            "n_exception_colors"
+        ),
+        F.count_if(is_exc).alias("n_exception_cells"),
+    )
+    verdict = (
+        F.when(
+            F.col("visual_hdr_rows") == F.col("text_hdr_rows"), "match"
+        )
+        .when(
+            (F.col("visual_hdr_rows") > F.col("text_hdr_rows"))
+            & (F.col("numeric_frac") >= 0.5),
+            "vh6_exception",
+        )
+        .otherwise("contradiction")
+    )
+    return (
+        hdr.join(disputed, "doc_id")
+        .join(exc, "doc_id")
+        .select(
+            "doc_id",
+            "header_color",
+            "visual_hdr_rows",
+            "text_hdr_rows",
+            verdict.alias("vh6_verdict"),
+            "n_exception_colors",
+            "n_exception_cells",
+        )
+    )
+
+
+QUERIES["f02_color_semantics"] = f02_color_semantics
+ORACLE["f02_color_semantics"] = _F02_ORACLE

@@ -470,7 +470,9 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        COALESCE(t8.stratum, '') AS stratum,
        CAST(COALESCE(t8.sample_rank, 0) AS INTEGER) AS sample_rank,
        t9.top2_frac, t9.top3_frac, t9.dup2_frac,
-       t10.n_email, t10.n_ipv4, t10.n_phone, t10.masked
+       t10.n_email, t10.n_ipv4, t10.n_phone, t10.masked,
+       f2.header_color, f2.visual_hdr_rows, f2.text_hdr_rows,
+       f2.vh6_verdict, f2.n_exception_colors, f2.n_exception_cells
 FROM {_sub(textstats, "t01_language_id")} t1
 JOIN {_sub(textstats, "t02_quality_score")} t2 ON t2.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t03_token_counts")} t3 ON t3.doc_id = t1.doc_id
@@ -481,6 +483,7 @@ LEFT JOIN {_sub(textstats, "t08_stratified_sample")} t8
        ON t8.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t09_repetition_profile")} t9 ON t9.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t10_pii_scrub")} t10 ON t10.doc_id = t1.doc_id
+JOIN {_sub(fonts_q, "f02_color_semantics")} f2 ON f2.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -491,8 +494,9 @@ def t01_suite(spark, sf):
     quota-sample membership (t08; stratum=''/sample_rank=0 for docs
     outside the deterministic sample — coalesced, not null, so the
     hash comparator sees identical cells on both sides), Gopher-style
-    repetition signals (t09), and PII scrub counts + masked text
-    (t10)."""
+    repetition signals (t09), PII scrub counts + masked text (t10),
+    and FH5/VH6 color semantics (f02: header color, exception-color
+    counts, visual-vs-text header verdict)."""
     t1 = textstats.QUERIES["t01_language_id"](spark, sf)
     t2 = textstats.QUERIES["t02_quality_score"](spark, sf)
     t3 = textstats.QUERIES["t03_token_counts"](spark, sf)
@@ -502,6 +506,7 @@ def t01_suite(spark, sf):
     t8 = textstats.QUERIES["t08_stratified_sample"](spark, sf)
     t9 = textstats.QUERIES["t09_repetition_profile"](spark, sf)
     t10 = textstats.QUERIES["t10_pii_scrub"](spark, sf)
+    f2 = fonts_q.QUERIES["f02_color_semantics"](spark, sf)
     return (
         t1.join(t2, "doc_id")
         .join(t3, "doc_id")
@@ -516,6 +521,7 @@ def t01_suite(spark, sf):
         )
         .join(t9, "doc_id")
         .join(t10, "doc_id")
+        .join(f2, "doc_id")
     )
 
 
