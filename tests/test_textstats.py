@@ -115,3 +115,36 @@ def test_t10_masking_order_and_counts(spark):
         assert r["m"].count("[EMAIL]") == r["e"]
         assert r["m"].count("[IP]") == r["ip"]
         assert r["m"].count("[PHONE]") == r["ph"]
+
+
+# ---------------------------------------------------------- property
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcx", min_size=1, max_size=3), min_size=0, max_size=40
+)
+
+
+@settings(
+    max_examples=25, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(wordlists=st.lists(_words, min_size=1, max_size=8))
+def test_t09_rle_property(spark, wordlists):
+    """The sorted-array run-length encode equals the Counter reference
+    for arbitrary word lists (tiny alphabet forces heavy collisions —
+    the regime where the RLE accumulator's run bookkeeping matters)."""
+    df = spark.createDataFrame(
+        [(i, ws) for i, ws in enumerate(wordlists)],
+        "doc_id int, w array<string>",
+    )
+    for n in (2, 3):
+        rows = df.select(
+            "doc_id",
+            _spark_top(n).alias("top"),
+            _spark_dup(n).alias("dup"),
+        ).collect()
+        for r in rows:
+            ws = wordlists[r["doc_id"]]
+            assert r["top"] == _py_top(ws, n), (ws, n)
+            assert r["dup"] == _py_dup(ws, n), (ws, n)
