@@ -101,12 +101,21 @@ def _extract_batch_arrow(batches):
         return arr.to_numpy(zero_copy_only=False).tolist()
 
     for rb in batches:
-        doc_ids = _tolist(rb.column(0))
+        doc_ids = _tolist(pa.compute.fill_null(rb.column(0), ""))
         la = rb.column(1)
         if isinstance(la, pa.ChunkedArray):
             la = la.combine_chunks()
-        lengths = _tolist(pa.compute.list_value_length(la))
+        # NULL list (dirty table) -> 0-length doc, not a crash
+        lengths = _tolist(
+            pa.compute.fill_null(pa.compute.list_value_length(la), 0)
+        )
         flat = la.flatten()
+        # Dirty-input detection is O(1) per batch (Arrow validity-bitmap
+        # null counts) — the common clean batch pays NOTHING extra. On a
+        # dirty batch, spans with NULL kind/offset are dropped per doc
+        # under the 'invalid_span' reason and NULL text/media_ref are
+        # coerced to '' (the kernels' empty-span handling then applies).
+        dirty = any(flat.field(i).null_count for i in range(4))
         tuples = list(
             zip(
                 _tolist(flat.field(0)),
@@ -125,14 +134,29 @@ def _extract_batch_arrow(batches):
         for doc_id, n in zip(doc_ids, lengths):
             doc_spans = tuples[pos : pos + n]
             pos += n
+            n_invalid = 0
+            if dirty:
+                cleaned = []
+                for k, t, mr, o in doc_spans:
+                    if k is None or o is None:
+                        n_invalid += 1
+                    else:
+                        cleaned.append((k, t or "", mr or "", o))
+                doc_spans = cleaned
             kernel = _KERNELS.get(corpus_of(doc_id))
             if kernel is None:
-                m = new_metrics(n)
-                m["dropped"] = n
-                m["drop_reasons"] = {"unknown_corpus": n} if n else {}
+                m = new_metrics(len(doc_spans))
+                m["dropped"] = len(doc_spans)
+                m["drop_reasons"] = (
+                    {"unknown_corpus": len(doc_spans)} if doc_spans else {}
+                )
                 spans_out = []
             else:
                 spans_out, m = kernel(doc_spans)
+            if n_invalid:
+                m["spans_in"] += n_invalid
+                m["dropped"] += n_invalid
+                m["drop_reasons"]["invalid_span"] = n_invalid
             for k, t, mr, o in spans_out:
                 out_k.append(k)
                 out_t.append(t)
@@ -396,15 +420,25 @@ def extract(
     (doc_id, page) + sorted run grouping → page kernels → fused wide
     agg (bounds agg memory for pathological page sizes).
     """
+    # Null tolerance (production tables are nullable — parquet/Iceberg
+    # scans don't enforce the INPUT_SCHEMA's non-null contract): a NULL
+    # _n must not make a row fall out of BOTH branch filters (NULL
+    # comparisons are neither true nor false), so coalesce to 0 — a
+    # null-spans doc then takes the small branch, where the Arrow
+    # kernel emits it with zero spans instead of crashing the job.
     if "n_spans" in df.columns:
         # ingest-materialized span count (sources/synthetic.py writes
         # it): the branch predicate is now a plain column, so the
         # parquet scan applies row-group min/max skipping per branch —
         # the 10^12-doc shape (the computed-size fallback below can
         # never push down)
-        df = df.withColumn("_n", F.col("n_spans")).drop("n_spans")
+        df = df.withColumn(
+            "_n", F.coalesce(F.col("n_spans"), F.lit(0))
+        ).drop("n_spans")
     else:
-        df = df.withColumn("_n", F.size("spans"))
+        df = df.withColumn(
+            "_n", F.coalesce(F.size("spans"), F.lit(0))
+        )
     if salt_partitions:
         # Salted repartition BEFORE the small/big branch split: both
         # branches then read the SAME shuffle stage output instead of
@@ -445,14 +479,7 @@ def extract(
         # (each doc's pages run serially inside its partition), which
         # is the right trade when doc count >> cores; the page-grain
         # paths remain for single-colossal-doc layouts.
-        flat = big.select("doc_id", F.explode("spans").alias("s")).select(
-            "doc_id",
-            (F.col("s.offset") / F.lit(1_000_000)).cast("long").alias("page"),
-            F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"),
-            F.col("s.offset").alias("offset"),
-        )
+        flat = _flat_spans(big)
         if salt_partitions:
             flat = flat.repartition(salt_partitions, "doc_id")
         else:
@@ -464,14 +491,7 @@ def extract(
         # flat-row shuffle + in-partition sort + streaming run grouping:
         # the ONE exchange of the mega branch carries primitive rows, and
         # page groups come off the sorted stream with no hash aggregation
-        flat = big.select("doc_id", F.explode("spans").alias("s")).select(
-            "doc_id",
-            (F.col("s.offset") / F.lit(1_000_000)).cast("long").alias("page"),
-            F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"),
-            F.col("s.offset").alias("offset"),
-        )
+        flat = _flat_spans(big)
         if salt_partitions:
             flat = flat.repartition(salt_partitions, "doc_id", "page")
         else:
@@ -482,10 +502,9 @@ def extract(
         )
     else:
         pages = (
-            big.select("doc_id", F.explode("spans").alias("s"))
-            .withColumn(
-                "page", (F.col("s.offset") / F.lit(1_000_000)).cast("long")
-            )
+            _flat_spans(big)
+            .select("doc_id", "page", F.struct(
+                "kind", "text", "media_ref", "offset").alias("s"))
             .groupBy("doc_id", "page")
             .agg(F.sort_array(F.collect_list("s")).alias("spans"))
         )
@@ -495,6 +514,30 @@ def extract(
     big_out = _reassemble_columnar(big_pages)
 
     return small_out.unionByName(big_out)
+
+
+def _flat_spans(big: DataFrame) -> DataFrame:
+    """Mega-branch explode to primitive rows with null tolerance: spans
+    whose kind or offset is NULL are filtered out pre-kernel (columnar
+    predicate on already-exploded primitives — effectively free), NULL
+    text/media_ref coerce to ''. Mirrors the small branch's
+    'invalid_span' policy except the per-doc invalid COUNT is not
+    carried (it would need an extra aggregation on the hot path); mega
+    corpora with null span fields are out-of-contract inputs and the
+    output span sequence stays correct either way.
+    """
+    return (
+        big.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind").isNotNull() & F.col("s.offset").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("s.offset") / F.lit(1_000_000)).cast("long").alias("page"),
+            F.col("s.kind").alias("kind"),
+            F.coalesce(F.col("s.text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+    )
 
 
 def _reassemble_columnar(big_pages: DataFrame) -> DataFrame:

@@ -134,3 +134,52 @@ def test_x01_oracle_precondition_holds_on_testdata():
             assert not re.search(r"[0-9:,.()%$]|  ", text), p
         checked += 1
     assert checked >= 2
+
+
+@pytest.mark.spark
+def test_dirty_nullable_table_tolerance(spark, tmp_path):
+    """Production tables are nullable (parquet/Iceberg scans don't
+    enforce INPUT_SCHEMA's non-null contract): NULL spans arrays, NULL
+    span structs' fields, and NULL doc_ids must be dropped/coerced with
+    metrics — never crash the job or silently lose the row."""
+    from pyspark.sql import functions as F
+
+    clean = synthetic_corpus(spark, 6)
+    rows = [
+        {"doc_id": "null-spans", "spans": None},
+        {"doc_id": "empty-spans", "spans": []},
+        {
+            "doc_id": "pdfish-990001",
+            "spans": [
+                {"kind": None, "text": "x", "media_ref": None, "offset": 0},
+                {"kind": "text", "text": None, "media_ref": None,
+                 "offset": None},
+            ],
+        },
+        {"doc_id": None,
+         "spans": [{"kind": "text", "text": "a", "media_ref": "",
+                    "offset": 0}]},
+    ]
+    nullable = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    dirty = spark.createDataFrame(rows, nullable)
+    path = str(tmp_path / "dirty")
+    clean.select("doc_id", "spans").unionByName(dirty).write.parquet(path)
+    out = {r["doc_id"]: r for r in extract(spark.read.parquet(path)).collect()}
+
+    # every input row survives to the output (null doc_id -> '')
+    assert len(out) == 6 + 4
+    assert out["null-spans"]["metrics"]["spans_in"] == 0
+    assert out["empty-spans"]["metrics"]["spans_in"] == 0
+    m = out["pdfish-990001"]["metrics"]
+    # both spans invalid: one null kind, one null offset
+    assert m["spans_in"] == 2 and m["dropped"] == 2
+    assert dict(m["drop_reasons"]) == {"invalid_span": 2}
+    assert dict(out[""]["metrics"]["drop_reasons"]) == {"unknown_corpus": 1}
+    # the clean docs still match their golden oracle exactly
+    clean_ids = [r["doc_id"] for r in clean.select("doc_id").collect()]
+    _assert_golden(
+        [r for r in out.values() if r["doc_id"] in clean_ids], clean_ids
+    )
