@@ -1,4 +1,4 @@
-"""HTML main-content extraction kernel (pure Python, stdlib html.parser).
+"""HTML main-content extraction kernel (pure Python, regex tokenizer).
 
 Readability/Boilerpipe-style boilerplate stripping (public algorithms:
 Kohlschütter et al., "Boilerplate Detection using Shallow Text Features",
@@ -6,6 +6,18 @@ WSDM 2010), re-expressing the reference's main-content segmentation intent
 (docpact region classification compress.py:1048-1189) and its HTML table
 grid semantics with colspan/rowspan expansion
 (docpact html_extractor.py:194-332).
+
+Tokenization is a quote-aware regex scan (``_FastTokenizer``) rather than
+stdlib ``html.parser`` — the stdlib parser dominated the kernel profile
+(~24% of total extraction CPU) because it regex-parses every attribute of
+every tag; here attributes are parsed lazily, only for tags that carry
+them. Event semantics match ``HTMLParser(convert_charrefs=True)``: data
+coalesced between tags with charrefs decoded, tag/attr names lowercased,
+attr values unescaped, self-closing tags delivered as start+end,
+script/style content consumed raw until the matching close tag,
+comments/doctype/PIs ignored. The block-model handlers are a mixin shared
+with the differential pytest that drives them through the real stdlib
+parser and asserts byte-identical block streams.
 
 Block model: the parser flattens the DOM into content blocks
 (p/h1..h6/li/div-text/table/img). Per text block we track total text
@@ -22,7 +34,8 @@ ordered by document position, offsets 0..n-1.
 
 from __future__ import annotations
 
-from html.parser import HTMLParser
+import re
+from html import unescape
 
 from .common import (
     KIND_CELL,
@@ -42,9 +55,13 @@ _BLOCK_TAGS = {"p", "li", "div", "td", "th", "caption"} | _HEADING_TAGS
 _VOID_TAGS = {"img", "br", "hr", "meta", "link", "input"}
 
 
-class _Parser(HTMLParser):
+class _BlockHandlers:
+    """The block model, parser-agnostic: receives start/end/data events
+    with lowercased tag names and attrs as a dict (values unescaped).
+    Driven by ``_FastTokenizer`` in production and by stdlib
+    ``HTMLParser`` in the differential test."""
+
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.blocks: list[dict] = []  # {type, text, link_len, bp_ctx, tag, ...}
         self._stack: list[str] = []
         self._bp_depth = 0  # depth inside nav/header/footer/aside or bp class
@@ -59,10 +76,9 @@ class _Parser(HTMLParser):
         return self._bp_depth > 0
 
     def handle_starttag(self, tag, attrs):
-        attrs = dict(attrs)
-        cls = (attrs.get("class") or "").lower()
-        is_bp_container = tag in _SECTION_TAGS or any(
-            w in cls for w in _BP_CLASS_WORDS
+        cls = attrs.get("class") or ""
+        is_bp_container = tag in _SECTION_TAGS or (
+            cls and any(w in cls.lower() for w in _BP_CLASS_WORDS)
         )
         if tag not in _VOID_TAGS:
             self._stack.append(tag)
@@ -157,6 +173,105 @@ class _Parser(HTMLParser):
                 }
             )
         self._cur = None
+
+
+# Tokenizer. Quote-aware scan; attrs parsed only when '=' present, and
+# only the four attributes the handlers read matter (class/src/colspan/
+# rowspan) — equivalence with HTMLParser's attr lists is pinned by the
+# differential test in tests/test_kernels.py.
+_TAG_NAME_RE = re.compile(r"<(/?)([a-zA-Z][^\t\n\r\f />]*)")
+_TAG_REST_RE = re.compile(r"""(?:"[^"]*"|'[^']*'|[^>"'])*>""")
+_ATTR_RE = re.compile(r"""([^\s=/>]+)(?:\s*=\s*("[^"]*"|'[^']*'|[^\s>]*))?""")
+_RAWTEXT_CLOSE = {
+    t: re.compile(r"</\s*%s[^>]*>" % t, re.I) for t in ("script", "style")
+}
+_EMPTY_ATTRS: dict = {}  # shared; handlers only .get(), never mutate
+
+
+def _parse_attrs(s: str) -> dict:
+    out: dict = {}
+    for m in _ATTR_RE.finditer(s):
+        v = m.group(2)
+        if v is not None:
+            if v[:1] in ('"', "'"):
+                v = v[1:-1]
+            if "&" in v:
+                v = unescape(v)
+        out[m.group(1).lower()] = v
+    return out
+
+
+class _Parser(_BlockHandlers):
+    """Regex tokenizer delivering ``HTMLParser(convert_charrefs=True)``-
+    equivalent events: data coalesced between tags/comments (charrefs
+    decoded), lowercased names, self-closing = start+end, script/style
+    consumed raw to the matching close tag (no charref decode, no end
+    event at EOF), comments/doctype/PIs skipped, stray ``<`` kept as
+    data. Unterminated tags at EOF drop the tail (inputs are whole
+    documents, not streamed chunks)."""
+
+    def feed(self, html: str) -> None:
+        pos, n = 0, len(html)
+        find = html.find
+        parts: list[str] = []
+
+        def flush() -> None:
+            if parts:
+                text = "".join(parts)
+                parts.clear()
+                if "&" in text:
+                    text = unescape(text)
+                self.handle_data(text)
+
+        while pos < n:
+            lt = find("<", pos)
+            if lt < 0:
+                parts.append(html[pos:])
+                break
+            if lt > pos:
+                parts.append(html[pos:lt])
+            m = _TAG_NAME_RE.match(html, lt)
+            if m is None:
+                nxt = html[lt + 1 : lt + 2]
+                if nxt in ("!", "?"):
+                    flush()  # comments split data runs, as in stdlib
+                    if html.startswith("<!--", lt):
+                        end = find("-->", lt + 4)
+                        pos = n if end < 0 else end + 3
+                    else:
+                        end = find(">", lt + 1)
+                        pos = n if end < 0 else end + 1
+                else:
+                    parts.append("<")
+                    pos = lt + 1
+                continue
+            flush()
+            tag = m.group(2).lower()
+            rest = _TAG_REST_RE.match(html, m.end())
+            if rest is None:
+                break
+            pos = rest.end()
+            if m.group(1):
+                self.handle_endtag(tag)
+                continue
+            attrs_str = html[m.end() : pos - 1]
+            selfclosing = attrs_str.rstrip().endswith("/")
+            if selfclosing:
+                attrs_str = attrs_str.rstrip()[:-1]
+            attrs = _parse_attrs(attrs_str) if "=" in attrs_str else _EMPTY_ATTRS
+            self.handle_starttag(tag, attrs)
+            if selfclosing:
+                self.handle_endtag(tag)
+            elif tag in _RAWTEXT_CLOSE:
+                cm = _RAWTEXT_CLOSE[tag].search(html, pos)
+                if cm is None:
+                    self.handle_data(html[pos:])
+                    pos = n
+                else:
+                    self.handle_data(html[pos : cm.start()])
+                    pos = cm.end()
+                    self.handle_endtag(tag)
+        flush()
 
 
 def expand_grid(rows: list[list[dict]]) -> list[list[str]]:

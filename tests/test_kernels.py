@@ -362,6 +362,58 @@ def test_html_boilerplate_strip():
     assert m["drop_reasons"]["boilerplate"] >= 3  # nav li*2 collapse + cookie + footer
 
 
+def test_html_tokenizer_matches_stdlib():
+    """Differential: the regex tokenizer must deliver the exact same
+    block stream as stdlib HTMLParser(convert_charrefs=True) driving the
+    same handlers — over the whole generated html corpus family plus
+    hand-picked tokenizer edge cases."""
+    from html.parser import HTMLParser
+
+    from pdf_ocr_spark.corpus import generate_doc
+    from pdf_ocr_spark.kernels.htmlk import _BlockHandlers, _Parser
+
+    class Stdlib(_BlockHandlers, HTMLParser):
+        def __init__(self):
+            _BlockHandlers.__init__(self)
+            HTMLParser.__init__(self, convert_charrefs=True)
+
+        def handle_starttag(self, tag, attrs):
+            _BlockHandlers.handle_starttag(self, tag, dict(attrs))
+
+    cases = [
+        generate_doc(f"html-{i:06d}")[0][1] for i in range(200)
+    ] + [
+        # comments split data runs; entities decode; CRLF whitespace
+        "<main><p>a &amp; b<!-- note -->c &#65;&lt;tag&gt;</p>\r\n<p>d</p></main>",
+        # script raw content containing tags and & (no decode, no blocks)
+        "<main><script>if (a<b && c>d) { x='<p>no</p>'; }</script><p>kept text here, long enough to stay.</p></main>",
+        "<main><style>p>a{color:#fff}</style><p>styled body paragraph with enough plain text.</p></main>",
+        # unterminated script at EOF: tail dropped, no crash
+        "<main><p>before script tail is fine and long.</p><script>var x = '<p>",
+        # self-closing, void, valueless + single-quoted + unquoted attrs
+        "<main><p>one long enough real paragraph of content here.</p><br/><img src='img://a/1' alt=fig><input disabled></main>",
+        # uppercase names, colspan/rowspan quoting variants
+        "<MAIN><TABLE><TR><TH COLSPAN=2>H</TH><TH>T</TH></TR><TR><TD ROWSPAN='2'>x</TD><TD>y</TD><TD>z</TD></TR><TR><TD>p</TD><TD>q</TD></TR></TABLE></MAIN>",
+        # stray '<' as data; doctype; processing instruction
+        "<!DOCTYPE html><?xml foo?><main><p>3 < 5 is true and this sentence is long.</p></main>",
+        # boilerplate class via entity-bearing attr value
+        '<main><div class="ad-&quot;zone&quot;"><p>drop me</p></div><p>surviving content paragraph, nice and long.</p></main>',
+        # nested anchors / link density bookkeeping across chunks
+        "<main><p><a href='/a'>one</a> mid <a href='/b'>two</a> tail words enough to keep density low for this block.</p></main>",
+        # table cell with entity and a comment inside
+        "<main><table><tr><td>a&nbsp;b<!--x-->c</td><td>&euro;9</td></tr></table></main>",
+    ]
+    for html in cases:
+        fast = _Parser()
+        fast.feed(html)
+        fast._flush_cur()
+        ref = Stdlib()
+        ref.feed(html)
+        ref.close()
+        ref._flush_cur()
+        assert fast.blocks == ref.blocks, html[:120]
+
+
 def test_html_link_density():
     html = (
         "<html><body><main>"
