@@ -216,15 +216,19 @@ def _unify_xs(rows: list[list], tol: int = COL_ANCHOR_TOL) -> list[int]:
     xs = sorted(s[1] for r in rows for s in r if s[2] != "media")
     if not xs:
         return []
-    cols: list[list[int]] = [[xs[0]]]
+    # running sum == sum(cluster) accumulated left-to-right: identical
+    # float mean, O(1) per element instead of O(cluster)
+    out: list[int] = []
+    cur_sum, cur_n = float(xs[0]), 1
     for x in xs[1:]:
-        cur = cols[-1]
-        mean = sum(cur) / len(cur)
-        if x - mean <= tol:
-            cur.append(x)
+        if x - cur_sum / cur_n <= tol:
+            cur_sum += x
+            cur_n += 1
         else:
-            cols.append([x])
-    return [int(sum(c) / len(c)) for c in cols]
+            out.append(int(cur_sum / cur_n))
+            cur_sum, cur_n = float(x), 1
+    out.append(int(cur_sum / cur_n))
+    return out
 
 
 def _col_of(x: int, cols: list[int], tol: int = COL_ANCHOR_TOL) -> int:
@@ -366,12 +370,21 @@ def _merge_multirow(
 def _shares_anchors(
     xs_a: list[int], xs_b: list[int], tol: int = COL_ANCHOR_TOL
 ) -> bool:
-    shared = 0
-    for xa in xs_a:
-        if any(abs(xa - xb) <= tol for xb in xs_b):
-            shared += 1
+    # both lists ascending (rows are x-sorted by _cluster_rows /
+    # _split_merged_spans): two-pointer sweep with early success exit
     need = max(MIN_SHARED_ANCHORS, int(0.6 * min(len(xs_a), len(xs_b))))
-    return shared >= need
+    shared = 0
+    j = 0
+    nb = len(xs_b)
+    for xa in xs_a:
+        lo = xa - tol
+        while j < nb and xs_b[j] < lo:
+            j += 1
+        if j < nb and xs_b[j] <= xa + tol:
+            shared += 1
+            if shared >= need:
+                return True
+    return False
 
 
 # ----------------- style / visual evidence channel (FH2, FH3, VH3)
@@ -684,18 +697,6 @@ def _detect_grid_rows(
     }
 
 
-def _is_flowing_text(row: list, med_len: float) -> bool:
-    """Flowing-text rejection (compress.py:1316-1325 semantics): a
-    multi-span row whose AVERAGE span length exceeds 2x the block's
-    median span length is prose, not table data — it terminates a run
-    and never joins one. Relative threshold, adapts per document."""
-    texts = [s for s in row if s[2] != "media"]
-    if len(texts) < 2 or med_len <= 0:
-        return False
-    avg = sum(len((s[3] or "").strip()) for s in texts) / len(texts)
-    return avg > 2.0 * med_len
-
-
 def _detect_table_runs(
     rows: list[list], tol: int = COL_ANCHOR_TOL
 ) -> tuple[list[bool], list[list[int]]]:
@@ -706,29 +707,34 @@ def _detect_table_runs(
     (compress.py:1316-1325). ``tol`` is the column-anchor x tolerance —
     15pt for PDF layouts, 10pt for slides (pptx_extractor.py:309).
     Returns (per-row in-table flags, list of runs as row-index lists)."""
-    span_lens = [
-        len((s[3] or "").strip())
+    # per-row stripped non-media span lengths, computed once: shared by
+    # the median and every flowing-text test (rows are re-tested across
+    # the i/j loops below)
+    row_lens = [
+        [len((s[3] or "").strip()) for s in r if s[2] != "media"]
         for r in rows
-        for s in r
-        if s[2] != "media" and (s[3] or "").strip()
     ]
+    span_lens = [ln for tl in row_lens for ln in tl if ln]
     med_len = median(span_lens) if span_lens else 0.0
+    flowing = [
+        len(tl) >= 2 and med_len > 0 and sum(tl) / len(tl) > 2.0 * med_len
+        for tl in row_lens
+    ]
+    row_xs = [[s[1] for s in r] for r in rows]
     in_table = [False] * len(rows)
     runs: list[list[int]] = []
     i = 0
     while i < len(rows):
-        if len(rows[i]) < 2 or _is_flowing_text(rows[i], med_len):
+        if len(rows[i]) < 2 or flowing[i]:
             i += 1
             continue
         run = [i]
         j = i + 1
         while j < len(rows):
-            if _is_flowing_text(rows[j], med_len):
+            if flowing[j]:
                 break
             if len(rows[j]) >= 2:
-                xs_prev = [s[1] for s in rows[run[-1]]]
-                xs_cur = [s[1] for s in rows[j]]
-                if _shares_anchors(xs_prev, xs_cur, tol):
+                if _shares_anchors(row_xs[run[-1]], row_xs[j], tol):
                     run.append(j)
                     j += 1
                     continue
@@ -898,6 +904,9 @@ def extract_page(
         kv = _detect_kv_runs(block, in_table)
         zebra_rows = _detect_zebra_rows(block, in_table, kv)
         grid_rows = _detect_grid_rows(block, in_table, kv, grid)
+        # per-row non-media span counts, shared by the multi-row and
+        # header-signature passes below (each run consumed them twice)
+        nonmedia = [sum(1 for s in row if s[2] != "media") for row in block]
         # per-run SPECIAL handling, checked in the reference's order
         # (compress.py:2351 transposed first, then 2386-2400 multi-row):
         # a matched run pre-builds its whole emission at the run's first
@@ -911,9 +920,7 @@ def extract_page(
                     special_emit[run[0]] = det
                     special_rows.update(run)
                     continue
-            counts = [
-                sum(1 for s in block[k] if s[2] != "media") for k in run
-            ]
+            counts = [nonmedia[k] for k in run]
             mp = _detect_multirow_period(counts)
             if mp is not None:
                 hdr, period = mp
@@ -946,9 +953,7 @@ def extract_page(
         for run in runs:
             if run[0] in special_emit:
                 continue
-            counts = [
-                sum(1 for s in block[k] if s[2] != "media") for k in run
-            ]
+            counts = [nonmedia[k] for k in run]
             hc = _estimate_header_count(counts)
             # FH2 bold / VH2 header-fill evidence can extend (never
             # shrink) the structural estimate: with a uniform span-count
