@@ -472,7 +472,10 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t9.top2_frac, t9.top3_frac, t9.dup2_frac,
        t10.n_email, t10.n_ipv4, t10.n_phone, t10.masked,
        f2.header_color, f2.visual_hdr_rows, f2.text_hdr_rows,
-       f2.vh6_verdict, f2.n_exception_colors, f2.n_exception_cells
+       f2.vh6_verdict, f2.n_exception_colors, f2.n_exception_cells,
+       t11.n_words, t11.mean_word_len, t11.alpha_frac, t11.sym_ratio,
+       t11.stop_hits, t11.bullet_frac, t11.ellipsis_frac,
+       t11.has_lorem, t11.has_brace, t11.gopher_keep, t11.c4_keep
 FROM {_sub(textstats, "t01_language_id")} t1
 JOIN {_sub(textstats, "t02_quality_score")} t2 ON t2.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t03_token_counts")} t3 ON t3.doc_id = t1.doc_id
@@ -484,6 +487,7 @@ LEFT JOIN {_sub(textstats, "t08_stratified_sample")} t8
 JOIN {_sub(textstats, "t09_repetition_profile")} t9 ON t9.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t10_pii_scrub")} t10 ON t10.doc_id = t1.doc_id
 JOIN {_sub(fonts_q, "f02_color_semantics")} f2 ON f2.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t11_gopher_rules")} t11 ON t11.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -495,8 +499,10 @@ def t01_suite(spark, sf):
     outside the deterministic sample — coalesced, not null, so the
     hash comparator sees identical cells on both sides), Gopher-style
     repetition signals (t09), PII scrub counts + masked text (t10),
-    and FH5/VH6 color semantics (f02: header color, exception-color
-    counts, visual-vs-text header verdict)."""
+    FH5/VH6 color semantics (f02: header color, exception-color
+    counts, visual-vs-text header verdict), and the full Gopher + C4
+    quality-rule set (t11: word/line-shape rules, stopword presence,
+    lorem-ipsum/brace content filters, keep verdicts)."""
     t1 = textstats.QUERIES["t01_language_id"](spark, sf)
     t2 = textstats.QUERIES["t02_quality_score"](spark, sf)
     t3 = textstats.QUERIES["t03_token_counts"](spark, sf)
@@ -507,6 +513,7 @@ def t01_suite(spark, sf):
     t9 = textstats.QUERIES["t09_repetition_profile"](spark, sf)
     t10 = textstats.QUERIES["t10_pii_scrub"](spark, sf)
     f2 = fonts_q.QUERIES["f02_color_semantics"](spark, sf)
+    t11 = textstats.QUERIES["t11_gopher_rules"](spark, sf)
     return (
         t1.join(t2, "doc_id")
         .join(t3, "doc_id")
@@ -522,6 +529,7 @@ def t01_suite(spark, sf):
         .join(t9, "doc_id")
         .join(t10, "doc_id")
         .join(f2, "doc_id")
+        .join(t11, "doc_id")
     )
 
 

@@ -602,3 +602,188 @@ def t08(spark, sf):
         .filter(F.col("sample_rank") <= _T08_QUOTA)
         .select("doc_id", "stratum", "sample_rank")
     )
+
+
+# ------------------------------------------------------------- t11
+# The full Gopher rule set (Rae et al. 2021, Table A1 — public) plus
+# the two classic C4 content filters (Raffel et al. 2020): lorem-ipsum
+# and curly-brace (code) detection.  The synthetic corpus is clean
+# prose, so — exactly like t10's PII decoration — each rule's firing
+# population is injected DETERMINISTICALLY from doc_id, with the SAME
+# decoration expression inlined into the Spark plan and the DuckDB
+# twin:
+#   doc_id % 7  == 0  ->  four all-digit words      (alpha-word rule)
+#   doc_id % 9  == 0  ->  every line suffixed ' ...' (ellipsis rules)
+#   doc_id % 11 == 0  ->  '{' '}' words             (C4 brace filter)
+#   doc_id % 13 == 0  ->  'lorem ipsum dolor'       (C4 lorem filter)
+#   doc_id % 6  == 0  ->  every line bullet-prefixed '- '
+# Lines are 12-word chunks (documents.text carries no newlines).
+_T11_STOPS = "'the','be','to','of','and','that','have','with'"
+
+
+def _t11_spark(d):
+    """Decorated words/lines/final-text columns (Spark side)."""
+    d = d.withColumn("wbase", F.split("text", " "))
+    d = d.withColumn(
+        "w",
+        F.expr(
+            "concat(wbase,"
+            " CASE WHEN doc_id % 7 = 0"
+            "   THEN array('12345','67890','11111','22222')"
+            "   ELSE array() END,"
+            " CASE WHEN doc_id % 11 = 0 THEN array('{','}')"
+            "   ELSE array() END,"
+            " CASE WHEN doc_id % 13 = 0"
+            "   THEN array('lorem','ipsum','dolor') ELSE array() END)"
+        ),
+    )
+    d = d.withColumn(
+        "nl", F.expr("CAST(ceil(size(w) / 12.0) AS INT)")
+    ).withColumn(
+        "lines",
+        F.expr(
+            "transform(sequence(1, nl), i -> concat("
+            " CASE WHEN doc_id % 6 = 0 THEN '- ' ELSE '' END,"
+            " array_join(slice(w, (i - 1) * 12 + 1, 12), ' '),"
+            " CASE WHEN doc_id % 9 = 0 THEN ' ...' ELSE '' END))"
+        ),
+    )
+    return d.withColumn("final", F.expr("array_join(lines, '\n')")) \
+            .withColumn("words", F.split("final", r"\s+"))
+
+
+_T11_ORACLE = f"""
+WITH dec AS (
+  SELECT doc_id,
+         string_split(text, ' ')
+           || (CASE WHEN doc_id % 7 = 0
+                THEN ['12345','67890','11111','22222']
+                ELSE [] END)
+           || (CASE WHEN doc_id % 11 = 0 THEN ['{{','}}'] ELSE [] END)
+           || (CASE WHEN doc_id % 13 = 0
+                THEN ['lorem','ipsum','dolor'] ELSE [] END) AS w
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, w,
+         CAST(ceil(len(w) / 12.0) AS INTEGER) AS nl
+  FROM dec
+),
+lines AS (
+  SELECT doc_id, w, nl,
+         list_transform(generate_series(1, nl), i ->
+           (CASE WHEN doc_id % 6 = 0 THEN '- ' ELSE '' END)
+           || array_to_string(list_slice(w, (i - 1) * 12 + 1, i * 12), ' ')
+           || (CASE WHEN doc_id % 9 = 0 THEN ' ...' ELSE '' END)) AS ls
+  FROM ln
+),
+fin AS (
+  SELECT doc_id, nl, ls,
+         array_to_string(ls, chr(10)) AS final,
+         string_split_regex(array_to_string(ls, chr(10)), '\\s+') AS words
+  FROM lines
+)
+SELECT doc_id,
+       CAST(len(words) AS INTEGER) AS n_words,
+       list_sum(list_transform(words, x -> length(x)))::DOUBLE
+         / greatest(len(words), 1) AS mean_word_len,
+       len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+         / greatest(len(words), 1) AS alpha_frac,
+       len(list_filter(words, x -> x = '...' OR x = '#'))::DOUBLE
+         / greatest(len(words), 1) AS sym_ratio,
+       CAST(len(list_filter([{_T11_STOPS}],
+             s -> list_contains(words, s))) AS INTEGER) AS stop_hits,
+       len(list_filter(ls, l -> l LIKE '- %'))::DOUBLE
+         / greatest(nl, 1) AS bullet_frac,
+       len(list_filter(ls, l -> l LIKE '%...'))::DOUBLE
+         / greatest(nl, 1) AS ellipsis_frac,
+       CAST(final LIKE '%lorem ipsum%' AS INTEGER) AS has_lorem,
+       CAST(contains(final, '{{') AS INTEGER) AS has_brace,
+       CAST((len(words) BETWEEN 50 AND 100000)
+        AND (list_sum(list_transform(words, x -> length(x)))::DOUBLE
+               / greatest(len(words), 1) BETWEEN 3 AND 10)
+        AND (len(list_filter(words, x -> x = '...' OR x = '#'))::DOUBLE
+               / greatest(len(words), 1) <= 0.1)
+        AND (len(list_filter(ls, l -> l LIKE '- %'))::DOUBLE
+               / greatest(nl, 1) < 0.9)
+        AND (len(list_filter(ls, l -> l LIKE '%...'))::DOUBLE
+               / greatest(nl, 1) < 0.3)
+        AND (len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+               / greatest(len(words), 1) >= 0.8)
+        AND (len(list_filter([{_T11_STOPS}],
+               s -> list_contains(words, s))) >= 2) AS INTEGER)
+         AS gopher_keep,
+       CAST(NOT (final LIKE '%lorem ipsum%')
+        AND NOT contains(final, '{{') AS INTEGER) AS c4_keep
+FROM fin
+"""
+
+
+@q("t11_gopher_rules", oracle=_T11_ORACLE)
+def t11(spark, sf):
+    """Gopher + C4 document-quality rules, the full public set: word
+    count in [50, 100000], mean word length in [3, 10], symbol-to-word
+    ratio ('...' / '#') <= 0.1, bullet-line fraction < 0.9,
+    ellipsis-line-end fraction < 0.3, alphabetic-word fraction >= 0.8,
+    >= 2 of the 8 Gopher stopwords present; C4's lorem-ipsum and
+    curly-brace content filters.  Rule populations are injected
+    deterministically from doc_id (see module comment) so every rule
+    has both firing and passing documents in any corpus slice.
+
+    Scale shape: one narrow scan-local projection — higher-order array
+    functions over the split word list, zero shuffle, zero Python; the
+    decorated text is never materialized wider than the row it came
+    from.  At 100 TB this runs at scan speed and composes with t02's
+    keep flag as a single filter pass."""
+    d = _t11_spark(t(spark, sf, "documents").select("doc_id", "text"))
+    words, ls = F.col("words"), F.col("lines")
+    nw = F.greatest(F.size(words), F.lit(1))
+    nl = F.greatest(F.col("nl"), F.lit(1))
+    mean_len = (
+        F.expr("aggregate(words, 0, (a, x) -> a + length(x))").cast("double")
+        / nw
+    )
+    alpha = (
+        F.expr("size(filter(words, x -> x rlike '[a-z]'))").cast("double")
+        / nw
+    )
+    sym = (
+        F.expr("size(filter(words, x -> x = '...' OR x = '#'))")
+        .cast("double") / nw
+    )
+    stops = F.expr(
+        f"size(filter(array({_T11_STOPS}),"
+        " s -> array_contains(words, s)))"
+    )
+    bullet = (
+        F.expr("size(filter(lines, l -> l LIKE '- %'))").cast("double") / nl
+    )
+    ellip = (
+        F.expr("size(filter(lines, l -> l LIKE '%...'))").cast("double")
+        / nl
+    )
+    lorem = F.col("final").contains("lorem ipsum")
+    brace = F.col("final").contains("{")
+    gopher = (
+        F.size(words).between(50, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (sym <= 0.1)
+        & (bullet < 0.9)
+        & (ellip < 0.3)
+        & (alpha >= 0.8)
+        & (stops >= 2)
+    )
+    return d.select(
+        "doc_id",
+        F.size(words).cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha.alias("alpha_frac"),
+        sym.alias("sym_ratio"),
+        stops.cast("int").alias("stop_hits"),
+        bullet.alias("bullet_frac"),
+        ellip.alias("ellipsis_frac"),
+        lorem.cast("int").alias("has_lorem"),
+        brace.cast("int").alias("has_brace"),
+        gopher.cast("int").alias("gopher_keep"),
+        (~lorem & ~brace).cast("int").alias("c4_keep"),
+    )

@@ -148,3 +148,102 @@ def test_t09_rle_property(spark, wordlists):
             ws = wordlists[r["doc_id"]]
             assert r["top"] == _py_top(ws, n), (ws, n)
             assert r["dup"] == _py_dup(ws, n), (ws, n)
+
+
+def _py_t11(doc_id: int, text: str) -> dict:
+    """Pure-Python reference for the Gopher/C4 rule pass (t11)."""
+    import math
+    import re
+
+    w = text.split(" ")
+    if doc_id % 7 == 0:
+        w = w + ["12345", "67890", "11111", "22222"]
+    if doc_id % 11 == 0:
+        w = w + ["{", "}"]
+    if doc_id % 13 == 0:
+        w = w + ["lorem", "ipsum", "dolor"]
+    nl = math.ceil(len(w) / 12.0)
+    lines = []
+    for i in range(nl):
+        line = " ".join(w[i * 12 : (i + 1) * 12])
+        if doc_id % 6 == 0:
+            line = "- " + line
+        if doc_id % 9 == 0:
+            line = line + " ..."
+        lines.append(line)
+    final = "\n".join(lines)
+    words = re.split(r"\s+", final)
+    nw = max(len(words), 1)
+    mean_len = sum(len(x) for x in words) / nw
+    alpha = sum(1 for x in words if re.search("[a-z]", x)) / nw
+    sym = sum(1 for x in words if x in ("...", "#")) / nw
+    stops = sum(
+        1
+        for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+        if s in words
+    )
+    bullet = sum(1 for l in lines if l.startswith("- ")) / max(nl, 1)
+    ellip = sum(1 for l in lines if l.endswith("...")) / max(nl, 1)
+    gopher = (
+        50 <= len(words) <= 100000
+        and 3.0 <= mean_len <= 10.0
+        and sym <= 0.1
+        and bullet < 0.9
+        and ellip < 0.3
+        and alpha >= 0.8
+        and stops >= 2
+    )
+    return {
+        "n_words": len(words),
+        "mean_word_len": mean_len,
+        "alpha_frac": alpha,
+        "sym_ratio": sym,
+        "stop_hits": stops,
+        "bullet_frac": bullet,
+        "ellipsis_frac": ellip,
+        "has_lorem": int("lorem ipsum" in final),
+        "has_brace": int("{" in final),
+        "gopher_keep": int(gopher),
+        "c4_keep": int("lorem ipsum" not in final and "{" not in final),
+    }
+
+
+def test_t11_gopher_rules_reference(spark, tmp_path):
+    # doc_id 0 trips EVERY decoration; the others cover single rules,
+    # the word-count floor, and the all-pass case.
+    rows = [
+        (0, "the data row " * 20),           # all mods fire
+        (6, "the of words here " * 18),      # bullets only
+        (9, "the of row value " * 18),       # ellipsis lines only
+        (7, "the of " + "tok " * 60),        # digit words only
+        (5, "the of " + "word " * 60),       # clean, all rules pass
+        (3, "the of tiny"),                  # under the word-count floor
+    ]
+    import pandas as pd
+
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame(
+        {"doc_id": [r[0] for r in rows],
+         "text": [r[1].strip() for r in rows]}
+    ).to_parquet(p)
+    from pdf_ocr_spark.queries.textstats import QUERIES
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["t11_gopher_rules"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {r[0] for r in rows}
+    for doc_id, text in rows:
+        exp = _py_t11(doc_id, text.strip())
+        g = got[doc_id]
+        for k, v in exp.items():
+            if isinstance(v, float):
+                assert abs(g[k] - v) < 1e-9, (doc_id, k, g[k], v)
+            else:
+                assert g[k] == v, (doc_id, k, g[k], v)
+    # the clean doc must keep, the decorated ones must trip their rule
+    assert got[5]["gopher_keep"] == 1 and got[5]["c4_keep"] == 1
+    assert got[0]["c4_keep"] == 0 and got[0]["gopher_keep"] == 0
+    assert got[6]["bullet_frac"] == 1.0 and got[6]["gopher_keep"] == 0
+    assert got[9]["ellipsis_frac"] == 1.0 and got[9]["gopher_keep"] == 0
+    assert got[3]["gopher_keep"] == 0  # word-count floor
