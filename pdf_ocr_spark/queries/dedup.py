@@ -700,3 +700,122 @@ def d08(spark, sf):
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("n_hits"))
     )
+
+
+# ------------------------------------------------------------- d09
+# Line-level boilerplate dedup (the RefinedWeb / CCNet rule, public):
+# a "line" repeated across many documents is navigation/boilerplate
+# ("subscribe to our newsletter", cookie banners) and is stripped from
+# every document that carries it, preserving the order of the lines
+# that remain.  documents.text carries no newlines, so — like t10/t11 —
+# lines are synthesized deterministically: 10-word chunks, plus a
+# shared boilerplate line injected at the FRONT of every doc_id % 3
+# == 0 doc and a second one at the BACK of every doc_id % 5 == 0 doc.
+_D09_DF = 20           # doc-frequency threshold: line is boilerplate
+_D09_BP1 = "subscribe to our newsletter for updates"
+_D09_BP2 = "copyright footer all rights reserved"
+
+
+def _d09_lines_spark(d):
+    """(doc_id, lines array<string>) with deterministic decoration."""
+    d = d.withColumn("w", F.split("text", " ")).withColumn(
+        "nl", F.expr("CAST(ceil(size(w) / 10.0) AS INT)")
+    )
+    return d.withColumn(
+        "lines",
+        F.expr(
+            "concat("
+            f" CASE WHEN doc_id % 3 = 0 THEN array('{_D09_BP1}')"
+            "   ELSE array() END,"
+            " transform(sequence(1, nl),"
+            "   i -> array_join(slice(w, (i - 1) * 10 + 1, 10), ' ')),"
+            f" CASE WHEN doc_id % 5 = 0 THEN array('{_D09_BP2}')"
+            "   ELSE array() END)"
+        ),
+    ).select("doc_id", "lines")
+
+
+_D09_LINES_SQL = f"""
+dec AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INTEGER) AS nl
+  FROM documents
+),
+docline AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN ['{_D09_BP1}'] ELSE [] END)
+         || list_transform(generate_series(1, nl),
+              i -> array_to_string(list_slice(w, (i-1)*10 + 1, i*10), ' '))
+         || (CASE WHEN doc_id % 5 = 0 THEN ['{_D09_BP2}'] ELSE [] END)
+           AS lines
+  FROM dec
+)
+"""
+
+_D09_ORACLE = f"""
+WITH {_D09_LINES_SQL},
+df AS (
+  SELECT line, count(DISTINCT doc_id) AS n_docs
+  FROM docline, unnest(lines) AS u(line)
+  GROUP BY line HAVING count(DISTINCT doc_id) >= {_D09_DF}
+),
+bl AS (SELECT coalesce(list(line), []) AS bl FROM df)
+SELECT doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(len(list_filter(lines, x -> list_contains(bl, x)))
+            AS INTEGER) AS n_boiler,
+       array_to_string(
+         list_filter(lines, x -> NOT list_contains(bl, x)),
+         chr(10)) AS clean_text
+FROM docline, bl
+"""
+
+
+@q("d09_line_dedup", oracle=_D09_ORACLE)
+def d09(spark, sf):
+    """Line-level boilerplate removal (RefinedWeb/CCNet): strip every
+    line whose document frequency >= {df} while preserving the order of
+    the surviving lines, emitting per-doc line counts plus the cleaned
+    text.
+
+    Scale shape — the two-phase heavy-hitter pattern: phase 1 computes
+    line -> doc-frequency with map-side partial aggregation (per-doc
+    DISTINCT lines first, so a line repeated inside one doc counts
+    once) and keeps only lines over the threshold — by construction a
+    TINY relation (true boilerplate is a few thousand distinct lines
+    even at 100 TB; at production the line would be xxhash64-ed and the
+    threshold estimated by a count-min sketch to bound phase-1 state).
+    Phase 2 folds that blocklist to ONE array row, broadcasts it, and
+    filters each document's line array JVM-side (higher-order filter) —
+    the big side is never shuffled and never exploded twice.  Order
+    preservation is free: lines never leave their document row."""
+    lines = _d09_lines_spark(
+        t(spark, sf, "documents").select("doc_id", "text")
+    )
+    df = (
+        lines.select(
+            "doc_id", F.explode(F.array_distinct("lines")).alias("line")
+        )
+        .groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= _D09_DF)
+    )
+    bl = df.agg(
+        F.coalesce(
+            F.collect_list("line"), F.expr("array()")
+        ).alias("bl")
+    )
+    return (
+        lines.crossJoin(F.broadcast(bl))
+        .select(
+            "doc_id",
+            F.size("lines").cast("int").alias("n_lines"),
+            F.expr(
+                "size(filter(lines, x -> array_contains(bl, x)))"
+            ).cast("int").alias("n_boiler"),
+            F.expr(
+                "array_join(filter(lines,"
+                " x -> NOT array_contains(bl, x)), '\n')"
+            ).alias("clean_text"),
+        )
+    )

@@ -417,15 +417,21 @@ def s01_suite(spark, sf):
 @q(
     "d06_simhash_suite",
     oracle=f"""
-SELECT 'd06' AS fam, doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+SELECT 'd06' AS fam, doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming,
+       '' AS txt
 FROM {_sub(dedup, "d06_simhash_bucketed")} _a
 UNION ALL
-SELECT 'd07' AS fam, doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+SELECT 'd07' AS fam, doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming,
+       '' AS txt
 FROM {_sub(dedup, "d07_simhash_wide")} _b
 UNION ALL
 SELECT 'd08' AS fam, doc_id AS doc_a, CAST(-1 AS BIGINT) AS doc_b,
-       CAST(n_hits AS INTEGER) AS hamming
+       CAST(n_hits AS INTEGER) AS hamming, '' AS txt
 FROM {_sub(dedup, "d08_decontaminate")} _c
+UNION ALL
+SELECT 'd09' AS fam, doc_id AS doc_a, CAST(n_lines AS BIGINT) AS doc_b,
+       CAST(n_boiler AS INTEGER) AS hamming, clean_text AS txt
+FROM {_sub(dedup, "d09_line_dedup")} _d
 """,
 )
 def d06_suite(spark, sf):
@@ -433,24 +439,35 @@ def d06_suite(spark, sf):
     variant (d06, shares d03's all-pairs oracle result set), the
     production 64-bit 4x16-block variant (d07) — both pigeonhole
     (block_idx, block_value) equi-joins, no all-pairs stage anywhere —
-    and benchmark decontamination (d08: broadcast 8-gram overlap
-    against a deterministic eval set; doc_b = -1, hamming = n-gram hit
-    count)."""
+    benchmark decontamination (d08: broadcast 8-gram overlap against a
+    deterministic eval set; doc_b = -1, hamming = n-gram hit count),
+    and line-level boilerplate dedup (d09: doc_b = line count, hamming
+    = boilerplate lines stripped, txt = cleaned text)."""
     d6 = dedup.QUERIES["d06_simhash_bucketed"](spark, sf).select(
         F.lit("d06").alias("fam"), "doc_a", "doc_b",
         F.col("hamming").cast("int").alias("hamming"),
+        F.lit("").alias("txt"),
     )
     d7 = dedup.QUERIES["d07_simhash_wide"](spark, sf).select(
         F.lit("d07").alias("fam"), "doc_a", "doc_b",
         F.col("hamming").cast("int").alias("hamming"),
+        F.lit("").alias("txt"),
     )
     d8 = dedup.QUERIES["d08_decontaminate"](spark, sf).select(
         F.lit("d08").alias("fam"),
         F.col("doc_id").alias("doc_a"),
         F.lit(-1).cast("bigint").alias("doc_b"),
         F.col("n_hits").cast("int").alias("hamming"),
+        F.lit("").alias("txt"),
     )
-    return d6.unionByName(d7).unionByName(d8)
+    d9 = dedup.QUERIES["d09_line_dedup"](spark, sf).select(
+        F.lit("d09").alias("fam"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_lines").cast("bigint").alias("doc_b"),
+        F.col("n_boiler").cast("int").alias("hamming"),
+        F.col("clean_text").alias("txt"),
+    )
+    return d6.unionByName(d7).unionByName(d8).unionByName(d9)
 
 
 # =========================================================== textstats

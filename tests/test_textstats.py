@@ -247,3 +247,41 @@ def test_t11_gopher_rules_reference(spark, tmp_path):
     assert got[6]["bullet_frac"] == 1.0 and got[6]["gopher_keep"] == 0
     assert got[9]["ellipsis_frac"] == 1.0 and got[9]["gopher_keep"] == 0
     assert got[3]["gopher_keep"] == 0  # word-count floor
+
+
+def test_d09_line_dedup_strips_hot_lines_in_order(spark, tmp_path):
+    """Boilerplate = lines with doc-frequency >= threshold; surviving
+    lines keep document order; within-doc repeats count once toward
+    the doc frequency."""
+    import pandas as pd
+
+    import pdf_ocr_spark.queries.dedup as dd
+
+    # 30 docs of 20 words => two 10-word lines each; doc_id % 3 == 0
+    # (10 docs) gets BP1 injected, % 5 == 0 (6 docs) gets BP2.  With
+    # the real threshold (20) nothing would fire at n=30, so monkeypatch
+    # the module constant down for the fixture.
+    old = dd._D09_DF
+    dd._D09_DF = 6
+    try:
+        uniq = lambda i: " ".join(f"w{i}x{j}" for j in range(20))
+        pd.DataFrame(
+            {"doc_id": list(range(30)), "text": [uniq(i) for i in range(30)]}
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        rows = {
+            r["doc_id"]: r
+            for r in dd.QUERIES["d09_line_dedup"](spark, str(tmp_path))
+            .collect()
+        }
+    finally:
+        dd._D09_DF = old
+    for i in range(30):
+        r = rows[i]
+        n_inj = (i % 3 == 0) + (i % 5 == 0)
+        assert r["n_lines"] == 2 + n_inj, (i, r)
+        # both injected boilerplate lines exceed df=6 (10 and 6 docs)
+        assert r["n_boiler"] == n_inj, (i, r)
+        # the two unique body lines survive, in order
+        ws = uniq(i).split(" ")
+        expect = " ".join(ws[:10]) + "\n" + " ".join(ws[10:])
+        assert r["clean_text"] == expect, (i, r)
