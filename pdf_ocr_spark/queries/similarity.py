@@ -327,3 +327,119 @@ def s05(spark, sf):
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
     )
+
+
+# ---------------------------------------------------------------- s06
+# SemDeDup (Abbas et al. 2023, public): assign every embedding to its
+# nearest centroid, then mark near-duplicates ONLY within each cluster
+# — the cluster is the candidate block, so the quadratic stage is
+# bounded by cluster size instead of corpus size.  The synthetic
+# embeddings carry no real near-dups (max within-cluster cosine 0.49),
+# so — the t10/t11 decoration pattern — every vec_id % 10 == 0 vector
+# gets a deterministic perturbed twin (id + 1000000, each element
+# + 0.01) injected identically into the Spark plan and the DuckDB
+# twin; with threshold 0.95 exactly the twin pairs qualify.
+_S06_THETA = 0.95
+_S06_TWIN_OFF = 1_000_000
+
+_S06_ORACLE = f"""
+WITH {_SQL_CENTROIDS},
+aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_S06_TWIN_OFF},
+         list_transform(embedding::DOUBLE[], x -> x + 0.01)
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+scored AS (
+  SELECT a.vec_id, a.v, c.label,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(c.cv, a.v) DESC, c.label
+         ) AS rk
+  FROM aug a, cvec c
+),
+assign AS (SELECT vec_id, v, label AS cluster FROM scored WHERE rk = 1),
+pairs AS (
+  SELECT x.cluster, x.vec_id AS a, y.vec_id AS b,
+         list_cosine_similarity(x.v, y.v) AS cos
+  FROM assign x JOIN assign y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+)
+SELECT b AS vec_id, cluster, min(a) AS dup_of,
+       arg_min(cos, a) AS cosine
+FROM pairs WHERE cos >= {_S06_THETA}
+GROUP BY b, cluster
+"""
+
+
+@q("s06_semdedup", oracle=_S06_ORACLE)
+def s06(spark, sf):
+    """SemDeDup: semantic dedup with the cluster as the candidate
+    block.  Stage 1 assigns every vector to its nearest label-centroid
+    (cosine, ties to the lower label).  Stage 2 self-joins WITHIN each
+    cluster only and marks vector b a duplicate of the lowest-id
+    vector a with cosine >= 0.95.
+
+    Scale shape: the centroid table is k rows (k ~ sqrt(N) at
+    production) -> broadcast; assignment is a scan-local argmax (one
+    window at vec_id grain, or a map-side max_by — no big shuffle).
+    The quadratic stage shuffles once on cluster and is bounded by
+    max cluster size squared, the explicit SemDeDup contract; skewed
+    clusters are capped upstream by splitting on a secondary LSH bit
+    (same pigeonhole trick as d06).  Near-dup twins are injected
+    deterministically (module comment) so the expected output is
+    non-trivial at any SF."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf, "embeddings")
+    base = e.select("vec_id", _vd().alias("v"))
+    aug = base.unionByName(
+        e.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + _S06_TWIN_OFF).alias("vec_id"),
+            F.expr(
+                "transform(embedding, x -> cast(x as double) + 0.01D)"
+            ).alias("v"),
+        )
+    )
+    cent = (
+        e.select("label", F.posexplode(_vd()).alias("pos0", "val"))
+        .groupBy("label", F.col("pos0").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,9)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    cvec = cent.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"
+        ).alias("cv")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("label"))
+    )
+    assign = (
+        aug.crossJoin(F.broadcast(cvec))
+        .select("vec_id", "v", "label", _cos("cv", "v").alias("cs"))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", F.col("label").alias("cluster"))
+    )
+    a = assign.select(
+        "cluster", F.col("vec_id").alias("a"), F.col("v").alias("va")
+    )
+    b = assign.select(
+        "cluster", F.col("vec_id").alias("b"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .select("cluster", "a", "b", _cos("va", "vb").alias("cos"))
+        .filter(F.col("cos") >= _S06_THETA)
+    )
+    return pairs.groupBy(F.col("b").alias("vec_id"), "cluster").agg(
+        F.min("a").alias("dup_of"),
+        F.min_by("cos", "a").alias("cosine"),
+    )

@@ -369,12 +369,17 @@ FROM {_sub(similarity, "s04_ivf_probe_topk")} _d
 UNION ALL
 SELECT 'knn_join', vec_id, qid, rk, cosine
 FROM {_sub(similarity, "s05_knn_join")} _e
+UNION ALL
+SELECT 'semdedup', vec_id, CAST(cluster AS BIGINT), dup_of, cosine
+FROM {_sub(similarity, "s06_semdedup")} _f
 """,
 )
 def s01_suite(spark, sf):
     """ANN suite: brute-force baseline (s01), LSH bucket probe (s02),
-    IVF centroid build (s03) + probe (s04), batched KNN join (s05) —
-    tagged union on (fam, id, aux1, aux2, score)."""
+    IVF centroid build (s03) + probe (s04), batched KNN join (s05),
+    and cluster-blocked semantic dedup (s06, SemDeDup: aux1 = cluster,
+    aux2 = the survivor the vector duplicates) — tagged union on
+    (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
         F.col("vec_id").alias("id"),
@@ -410,7 +415,17 @@ def s01_suite(spark, sf):
         F.col("rk").cast("long").alias("aux2"),
         F.col("cosine").alias("score"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    f = similarity.QUERIES["s06_semdedup"](spark, sf).select(
+        F.lit("semdedup").alias("fam"),
+        F.col("vec_id").alias("id"),
+        F.col("cluster").cast("long").alias("aux1"),
+        F.col("dup_of").cast("long").alias("aux2"),
+        F.col("cosine").alias("score"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .unionByName(e).unionByName(f)
+    )
 
 
 # =============================================================== dedup
