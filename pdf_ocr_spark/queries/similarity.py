@@ -382,16 +382,14 @@ def s06(spark, sf):
     vector a with cosine >= 0.95.
 
     Scale shape: the centroid table is k rows (k ~ sqrt(N) at
-    production) -> broadcast; assignment is a scan-local argmax (one
-    window at vec_id grain, or a map-side max_by — no big shuffle).
-    The quadratic stage shuffles once on cluster and is bounded by
-    max cluster size squared, the explicit SemDeDup contract; skewed
-    clusters are capped upstream by splitting on a secondary LSH bit
-    (same pigeonhole trick as d06).  Near-dup twins are injected
-    deterministically (module comment) so the expected output is
-    non-trivial at any SF."""
-    from pyspark.sql import Window as W
-
+    production) -> folded into ONE broadcast array row; assignment is
+    a scan-local higher-order argmax over that array — zero shuffle of
+    the vector table.  The quadratic stage shuffles once on cluster
+    and is bounded by max cluster size squared, the explicit SemDeDup
+    contract; skewed clusters are capped upstream by splitting on a
+    secondary LSH bit (same pigeonhole trick as d06).  Near-dup twins
+    are injected deterministically (module comment) so the expected
+    output is non-trivial at any SF."""
     e = t(spark, sf, "embeddings")
     base = e.select("vec_id", _vd().alias("v"))
     aug = base.unionByName(
@@ -417,15 +415,36 @@ def s06(spark, sf):
             "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"
         ).alias("cv")
     )
-    rk = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("label"))
+    # Assignment is SCAN-LOCAL: the k centroids fold into ONE broadcast
+    # array row (label-ascending, norms precomputed) and the argmax runs
+    # as a higher-order aggregate per vector — no vec_id-grain shuffle.
+    # Strictly-greater replacement over the label-sorted array = the
+    # oracle's ORDER BY cos DESC, label ASC tie-break.
+    cone = cvec.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct("
+            " 'label', label, 'cv', cv,"
+            " 'ncv', sqrt(aggregate(cv, 0D, (a, x) -> a + x * x)))))"
+        ).alias("carr")
+    )
+    argmax = (
+        "aggregate(carr,"
+        " named_struct('best', -2.0D, 'lab', -1),"
+        " (acc, c) -> if("
+        "   aggregate(zip_with(c.cv, v, (x, y) -> x * y), 0D,"
+        "             (a, x) -> a + x) / (c.ncv * nv) > acc.best,"
+        "   named_struct("
+        "     'best', aggregate(zip_with(c.cv, v, (x, y) -> x * y), 0D,"
+        "                       (a, x) -> a + x) / (c.ncv * nv),"
+        "     'lab', c.label),"
+        "   acc)).lab"
     )
     assign = (
-        aug.crossJoin(F.broadcast(cvec))
-        .select("vec_id", "v", "label", _cos("cv", "v").alias("cs"))
-        .withColumn("rk", rk)
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", F.col("label").alias("cluster"))
+        aug.withColumn(
+            "nv", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))")
+        )
+        .crossJoin(F.broadcast(cone))
+        .select("vec_id", "v", F.expr(argmax).alias("cluster"))
     )
     a = assign.select(
         "cluster", F.col("vec_id").alias("a"), F.col("v").alias("va")
