@@ -103,3 +103,50 @@ def feature_batches(
                 "n_bytes": [len(b) for b in blobs],
             }
         )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, new_width int, new_height int,"
+    " media_out binary, n_bytes int"
+)
+
+
+def resize_plan(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving fit-within-box target dims, pure integer math
+    (floor), identical in Spark SQL / DuckDB / Python: no-op when the
+    long side already fits, else long side -> max_side and the short
+    side scales by the same integer-floored ratio."""
+    long = max(w, h)
+    if long <= max_side:
+        return w, h
+    return (w * max_side) // long, (h * max_side) // long
+
+
+def resize_batches(max_side: int = 256):
+    """mapInPandas kernel factory: (doc_id, media_blob) -> RESIZE_SCHEMA.
+
+    The geometric plan (target dims) is real; the pixel resample is the
+    same stubbed codec step as decode_image_real — on a production
+    cluster the body is PIL `img.resize((nw, nh))`, here the payload
+    passes through unchanged so the pipeline stays end-to-end
+    deterministic and the blob column keeps its real width class.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [bytes(b) for b in pdf["media_blob"]]
+            meta = [fake_decode(b) for b in blobs]
+            dims = [resize_plan(w, h, max_side) for w, h, _f in meta]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "new_width": [d[0] for d in dims],
+                    "new_height": [d[1] for d in dims],
+                    "media_out": blobs,
+                    "n_bytes": [len(b) for b in blobs],
+                }
+            )
+
+    return kernel

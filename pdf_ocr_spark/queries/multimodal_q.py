@@ -111,3 +111,48 @@ def m03(spark, sf):
             F.sequence(F.lit(0), dur * _FPS - 1, F.lit(_STRIDE))
         ).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------- m04
+_MAX_SIDE = 256
+
+
+@q(
+    "m04_media_resize",
+    oracle=f"""
+WITH meta AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(text), 1, 4))::INT % 1920 + 16) AS w,
+         (('0x' || substr(md5(text), 5, 4))::INT % 1080 + 16) AS h
+  FROM documents
+)
+SELECT doc_id, w AS width, h AS height,
+       CASE WHEN greatest(w, h) <= {_MAX_SIDE} THEN w
+            ELSE (w * {_MAX_SIDE}) // greatest(w, h) END AS new_width,
+       CASE WHEN greatest(w, h) <= {_MAX_SIDE} THEN h
+            ELSE (h * {_MAX_SIDE}) // greatest(w, h) END AS new_height,
+       16 AS n_bytes
+FROM meta
+""",
+)
+def m04(spark, sf):
+    """Media resize via mapInPandas: decode metadata, compute the
+    aspect-preserving fit-within-{max}px target dims (pure integer
+    math), and re-emit the blob (pixel resample is the stubbed codec
+    step, operators/multimodal.py resize_batches).  The registered
+    query projects the metadata; the binary output column is exercised
+    by the unit tests (bytes round-trip the Arrow boundary).
+
+    Scale shape: identical envelope to m01 — column-pruned
+    (doc_id, blob) scan, bounded Arrow batches, one output row per
+    input row, no shuffle."""
+    from ..operators.multimodal import RESIZE_SCHEMA, resize_batches
+
+    return (
+        _media(spark, sf)
+        .mapInPandas(resize_batches(_MAX_SIDE), RESIZE_SCHEMA)
+        .select(
+            "doc_id", "width", "height", "new_width", "new_height",
+            "n_bytes",
+        )
+    )

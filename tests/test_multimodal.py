@@ -63,3 +63,45 @@ def test_registry_is_consistent():
     # every new training-data operator family is registered
     for prefix in ("d0", "s0", "t0", "m0"):
         assert any(k.startswith(prefix) for k in ALL_QUERIES), prefix
+
+
+def test_resize_plan_integer_math_and_noop():
+    from pdf_ocr_spark.operators.multimodal import resize_plan
+
+    assert resize_plan(100, 50, 256) == (100, 50)        # already fits
+    assert resize_plan(256, 256, 256) == (256, 256)      # boundary no-op
+    assert resize_plan(512, 256, 256) == (256, 128)      # exact halving
+    assert resize_plan(1920, 1080, 256) == (256, 144)    # floor, long side w
+    assert resize_plan(300, 1000, 256) == (76, 256)      # long side h
+    # long side always lands exactly on max_side when shrinking
+    for w, h in [(257, 17), (1000, 999), (123, 4567)]:
+        nw, nh = resize_plan(w, h, 256)
+        assert max(nw, nh) == 256 and nw <= w and nh <= h
+
+
+def test_resize_batches_blob_roundtrip_and_schema():
+    from pdf_ocr_spark.operators.multimodal import (
+        fake_decode,
+        resize_batches,
+        resize_plan,
+    )
+
+    blobs = [_blob("a"), _blob("bb"), _blob("ccc")]
+    out = pd.concat(
+        resize_batches(256)(
+            iter(
+                [pd.DataFrame({"doc_id": [1, 2, 3], "media_blob": blobs})]
+            )
+        )
+    )
+    assert list(out.columns) == [
+        "doc_id", "width", "height", "new_width", "new_height",
+        "media_out", "n_bytes",
+    ]
+    for i, b in enumerate(blobs):
+        w, h, _ = fake_decode(b)
+        nw, nh = resize_plan(w, h, 256)
+        row = out.iloc[i]
+        assert (row["width"], row["height"]) == (w, h)
+        assert (row["new_width"], row["new_height"]) == (nw, nh)
+        assert bytes(row["media_out"]) == b  # stub passthrough, intact
