@@ -507,7 +507,9 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        f2.vh6_verdict, f2.n_exception_colors, f2.n_exception_cells,
        t11.n_words, t11.mean_word_len, t11.alpha_frac, t11.sym_ratio,
        t11.stop_hits, t11.bullet_frac, t11.ellipsis_frac,
-       t11.has_lorem, t11.has_brace, t11.gopher_keep, t11.c4_keep
+       t11.has_lorem, t11.has_brace, t11.gopher_keep, t11.c4_keep,
+       t12.n_urls, t12.domains, t12.n_blocked, t12.url_keep,
+       t13.n_tok, t13.first_bin, t13.last_bin, t13.offset_in_bin
 FROM {_sub(textstats, "t01_language_id")} t1
 JOIN {_sub(textstats, "t02_quality_score")} t2 ON t2.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t03_token_counts")} t3 ON t3.doc_id = t1.doc_id
@@ -520,6 +522,8 @@ JOIN {_sub(textstats, "t09_repetition_profile")} t9 ON t9.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t10_pii_scrub")} t10 ON t10.doc_id = t1.doc_id
 JOIN {_sub(fonts_q, "f02_color_semantics")} f2 ON f2.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t11_gopher_rules")} t11 ON t11.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t12_url_filter")} t12 ON t12.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t13_sequence_packing")} t13 ON t13.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -532,9 +536,11 @@ def t01_suite(spark, sf):
     hash comparator sees identical cells on both sides), Gopher-style
     repetition signals (t09), PII scrub counts + masked text (t10),
     FH5/VH6 color semantics (f02: header color, exception-color
-    counts, visual-vs-text header verdict), and the full Gopher + C4
+    counts, visual-vs-text header verdict), the full Gopher + C4
     quality-rule set (t11: word/line-shape rules, stopword presence,
-    lorem-ipsum/brace content filters, keep verdicts)."""
+    lorem-ipsum/brace content filters, keep verdicts), URL/domain
+    blocklist filtering (t12), and per-shard sequence packing into
+    fixed token bins (t13)."""
     t1 = textstats.QUERIES["t01_language_id"](spark, sf)
     t2 = textstats.QUERIES["t02_quality_score"](spark, sf)
     t3 = textstats.QUERIES["t03_token_counts"](spark, sf)
@@ -546,6 +552,8 @@ def t01_suite(spark, sf):
     t10 = textstats.QUERIES["t10_pii_scrub"](spark, sf)
     f2 = fonts_q.QUERIES["f02_color_semantics"](spark, sf)
     t11 = textstats.QUERIES["t11_gopher_rules"](spark, sf)
+    t12 = textstats.QUERIES["t12_url_filter"](spark, sf)
+    t13 = textstats.QUERIES["t13_sequence_packing"](spark, sf).drop("lang")
     return (
         t1.join(t2, "doc_id")
         .join(t3, "doc_id")
@@ -562,6 +570,8 @@ def t01_suite(spark, sf):
         .join(t10, "doc_id")
         .join(f2, "doc_id")
         .join(t11, "doc_id")
+        .join(t12, "doc_id")
+        .join(t13, "doc_id")
     )
 
 

@@ -787,3 +787,161 @@ def t11(spark, sf):
         gopher.cast("int").alias("gopher_keep"),
         (~lorem & ~brace).cast("int").alias("c4_keep"),
     )
+
+
+# ------------------------------------------------------------- t12
+# URL / domain filtering (the C4 / RefinedWeb source-level rule,
+# public): extract URLs, parse the registrable domain, and flag docs
+# whose domain sits on a blocklist.  documents.text carries no URLs,
+# so they are injected deterministically from doc_id (the t10/t11
+# decoration pattern): every doc gets a source URL whose domain cycles
+# through a 7-entry pool by doc_id % 7, two of which are blocklisted;
+# doc_id % 4 == 0 docs carry a second inline URL.
+_T12_DOMAINS = (
+    "news.example.com", "blog.example.org", "spam.example.net",
+    "docs.example.io", "ads.example.biz", "wiki.example.edu",
+    "data.example.gov",
+)
+_T12_BLOCK = ("spam.example.net", "ads.example.biz")
+_T12_URL_RE = r"https?://[a-z0-9.\-]+/[a-z0-9/\-]*"
+
+
+def _t12_decor_spark():
+    arr = ", ".join(f"'{d}'" for d in _T12_DOMAINS)
+    return (
+        "concat(text, ' source https://',"
+        f" element_at(array({arr}), CAST(doc_id % 7 AS INT) + 1),"
+        " '/page/', CAST(doc_id AS STRING),"
+        " CASE WHEN doc_id % 4 = 0 THEN"
+        "   concat(' see https://', element_at(array(" + arr + "),"
+        "     CAST((doc_id + 3) % 7 AS INT) + 1), '/ref')"
+        "  ELSE '' END)"
+    )
+
+
+def _t12_decor_sql():
+    arr = ", ".join(f"'{d}'" for d in _T12_DOMAINS)
+    return (
+        "text || ' source https://' ||"
+        f" ([{arr}])[CAST(doc_id % 7 AS INTEGER) + 1] ||"
+        " '/page/' || CAST(doc_id AS VARCHAR) ||"
+        " (CASE WHEN doc_id % 4 = 0 THEN"
+        f"   ' see https://' || ([{arr}])[CAST((doc_id + 3) % 7 AS INTEGER) + 1] || '/ref'"
+        "  ELSE '' END)"
+    )
+
+
+_T12_ORACLE = f"""
+WITH dec AS (SELECT doc_id, {_t12_decor_sql()} AS d FROM documents),
+u AS (
+  SELECT doc_id, d, regexp_extract_all(d, '{_T12_URL_RE}') AS urls
+  FROM dec
+)
+SELECT doc_id,
+       CAST(len(urls) AS INTEGER) AS n_urls,
+       list_transform(urls,
+         x -> regexp_extract(x, 'https?://([a-z0-9.\\-]+)', 1)) AS domains,
+       CAST(len(list_filter(urls,
+         x -> list_contains({list(_T12_BLOCK)},
+                regexp_extract(x, 'https?://([a-z0-9.\\-]+)', 1))))
+         AS INTEGER) AS n_blocked,
+       CAST(len(list_filter(urls,
+         x -> list_contains({list(_T12_BLOCK)},
+                regexp_extract(x, 'https?://([a-z0-9.\\-]+)', 1)))) = 0
+         AS INTEGER) AS url_keep
+FROM u
+"""
+
+
+@q("t12_url_filter", oracle=_T12_ORACLE)
+def t12(spark, sf):
+    """URL extraction + domain blocklist filtering (C4/RefinedWeb
+    source rules): pull every URL, parse the host, count blocklisted
+    hits, and emit the keep verdict.  URLs are injected
+    deterministically from doc_id (module comment) with two of seven
+    domains blocklisted, so both verdicts occur in any corpus slice.
+
+    Scale shape: scan-local regexp_extract_all + higher-order filter
+    against a literal blocklist — zero shuffle.  At production the
+    blocklist is millions of domains: the same plan swaps the literal
+    array for a broadcast hash join on the parsed host (d09's
+    blocklist shape); the extraction stays scan-local either way."""
+    blk = ", ".join(f"'{d}'" for d in _T12_BLOCK)
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.expr(_t12_decor_spark()).alias("d")
+    )
+    host = "x -> regexp_extract(x, 'https?://([a-z0-9.\\\\-]+)', 1)"
+    u = d.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(d, '{_T12_URL_RE}', 0)").alias("urls"),
+    )
+    blocked = F.expr(
+        f"size(filter(urls, x -> array_contains(array({blk}),"
+        " regexp_extract(x, 'https?://([a-z0-9.\\\\-]+)', 1))))"
+    )
+    return u.select(
+        "doc_id",
+        F.size("urls").cast("int").alias("n_urls"),
+        F.expr(f"transform(urls, {host})").alias("domains"),
+        blocked.cast("int").alias("n_blocked"),
+        (blocked == 0).cast("int").alias("url_keep"),
+    )
+
+
+# ------------------------------------------------------------- t13
+_T13_BIN = 2048
+
+
+@q(
+    "t13_sequence_packing",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM tok
+)
+SELECT doc_id, lang, CAST(n_tok AS INTEGER) AS n_tok,
+       CAST((c - n_tok) // {_T13_BIN} AS INTEGER) AS first_bin,
+       CAST((c - 1) // {_T13_BIN} AS INTEGER) AS last_bin,
+       CAST((c - n_tok) % {_T13_BIN} AS INTEGER) AS offset_in_bin
+FROM cum
+""",
+)
+def t13(spark, sf):
+    """Sequence packing for LLM training (the standard concat-then-
+    chunk batch builder, public): documents concatenate in doc_id
+    order within their language shard and the token stream is chunked
+    into fixed {bin}-token bins; each doc reports the bin interval it
+    lands in and its offset in the first bin — enough for a writer to
+    emit the packed examples without re-scanning.
+
+    Scale shape: ONE shuffle (the per-shard cumulative-sum window);
+    the shard key (language here; shard id in production) bounds every
+    window partition, so packing parallelizes across shards and no
+    global order exists anywhere — bin ids are (shard, bin) pairs.
+    Pure integer window math, bit-stable under any partitioning."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = F.sum("n_tok").over(w)
+    return d.select(
+        "doc_id", "lang",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        ((c - F.col("n_tok")) / _T13_BIN).cast("int").alias("first_bin"),
+        ((c - 1) / _T13_BIN).cast("int").alias("last_bin"),
+        ((c - F.col("n_tok")) % _T13_BIN).cast("int").alias("offset_in_bin"),
+    )

@@ -285,3 +285,65 @@ def test_d09_line_dedup_strips_hot_lines_in_order(spark, tmp_path):
         ws = uniq(i).split(" ")
         expect = " ".join(ws[:10]) + "\n" + " ".join(ws[10:])
         assert r["clean_text"] == expect, (i, r)
+
+
+def test_t12_url_filter_blocklist_and_domains(spark, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": list(range(14)), "text": ["words here"] * 14}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    from pdf_ocr_spark.queries.textstats import (
+        _T12_BLOCK,
+        _T12_DOMAINS,
+        QUERIES,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["t12_url_filter"](spark, str(tmp_path)).collect()
+    }
+    for i in range(14):
+        r = got[i]
+        exp_domains = [_T12_DOMAINS[i % 7]]
+        if i % 4 == 0:
+            exp_domains.append(_T12_DOMAINS[(i + 3) % 7])
+        assert list(r["domains"]) == exp_domains, (i, r)
+        assert r["n_urls"] == len(exp_domains)
+        exp_blocked = sum(1 for d in exp_domains if d in _T12_BLOCK)
+        assert r["n_blocked"] == exp_blocked
+        assert r["url_keep"] == int(exp_blocked == 0)
+    # both verdicts occur
+    assert {r["url_keep"] for r in got.values()} == {0, 1}
+
+
+def test_t13_packing_tiles_the_shard_stream(spark, tmp_path):
+    import pandas as pd
+
+    rows = []
+    for lang, n, base in (("en", 9, 0), ("de", 7, 100)):
+        for j in range(n):
+            # varying doc sizes, some bigger than one bin
+            words = " ".join("w" for _ in range(37 + 731 * j))
+            rows.append((base + j, lang, words))
+    pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "lang": [r[1] for r in rows],
+         "text": [r[2] for r in rows]}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    from pdf_ocr_spark.queries.textstats import _T13_BIN, QUERIES
+
+    out = QUERIES["t13_sequence_packing"](spark, str(tmp_path)).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["first_bin"] == cum // _T13_BIN, r
+            assert r["offset_in_bin"] == cum % _T13_BIN, r
+            cum += r["n_tok"]
+            assert r["last_bin"] == (cum - 1) // _T13_BIN, r
+            assert r["first_bin"] <= r["last_bin"]
+    # multi-bin docs exist in the fixture (731*8 > 2048)
+    assert any(r["last_bin"] > r["first_bin"] for r in out)
