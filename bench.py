@@ -39,12 +39,16 @@ HEADLINE = [
     "d06_simhash_bucketed",
     "d07_simhash_wide",
     "d08_decontaminate",
+    "d09_line_dedup",
     "s01_ann_bruteforce_topk",
     "s03_ivf_centroids",
+    "s06_semdedup",
     "t01_language_id",
     "t02_quality_score",
     "t04_doc_fingerprint",
     "t08_stratified_sample",
+    "t11_gopher_rules",
+    "t13_sequence_packing",
     "m01_media_decode",
     "c01_keyword_classify",
     "u01_unpivot_compound_headers",
