@@ -120,7 +120,10 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     extract_sec = times.get("x01_extract_documents", 0.0)
     contract_sec = times.get("x16_contract_e2e", 0.0)
-    n_contract_docs = n_docs // 2 + max(1, (n_docs // 2) // 500)
+    from pdf_ocr_spark.queries.extract_q import x16_corpus_spec
+
+    _, _n16, _skew16 = x16_corpus_spec(n_docs)
+    n_contract_docs = _n16 + _skew16
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:

@@ -186,6 +186,9 @@ _RAWTEXT_CLOSE = {
     t: re.compile(r"</\s*%s[^>]*>" % t, re.I) for t in ("script", "style")
 }
 _EMPTY_ATTRS: dict = {}  # shared; handlers only .get(), never mutate
+# Trailing '/' that stdlib HTMLParser absorbs into an unquoted attr
+# value (attrfind_tolerant's value alt `(?![\'"])[^>\s]*` eats it).
+_UNQUOTED_SLASH_RE = re.compile(r"""=\s*(?!["'])[^\s>]*/$""")
 
 
 def _parse_attrs(s: str) -> dict:
@@ -255,9 +258,16 @@ class _Parser(_BlockHandlers):
                 self.handle_endtag(tag)
                 continue
             attrs_str = html[m.end() : pos - 1]
-            selfclosing = attrs_str.rstrip().endswith("/")
+            stripped = attrs_str.rstrip()
+            # stdlib's unquoted-value pattern [^>\s]* swallows a
+            # trailing '/' into the attribute value (src=a/> means
+            # value 'a/', NOT self-closing); only a '/' preceded by
+            # whitespace, a quoted value, or a bare name self-closes.
+            selfclosing = stripped.endswith("/") and not _UNQUOTED_SLASH_RE.search(
+                stripped
+            )
             if selfclosing:
-                attrs_str = attrs_str.rstrip()[:-1]
+                attrs_str = stripped[:-1]
             attrs = _parse_attrs(attrs_str) if "=" in attrs_str else _EMPTY_ATTRS
             self.handle_starttag(tag, attrs)
             if selfclosing:

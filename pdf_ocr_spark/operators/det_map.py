@@ -46,7 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .schema_map import norm_header
+from .schema_map import norm_header, norm_header_py
 
 DIMENSION_TYPES = ("string", "date")  # interpret.py DIMENSION_TYPES
 
@@ -58,13 +58,7 @@ def typed_alias_table(spark: SparkSession, schema: dict) -> DataFrame:
     canonical of this alias carry type float?) so the int+float
     shared-alias rule needs no window over the match rows — the schema
     dict is driver-local, so this costs nothing."""
-    import re as _re
-
-    def _norm(s: str) -> str:
-        s = s.lower().replace('"', "")
-        s = _re.sub(r"\s+", " ", s)
-        s = _re.sub(r"\s*\(", " (", s)
-        return s.strip()
+    _norm = norm_header_py  # single shared normalization definition
 
     rows = set()
     for canonical, (ty, aliases) in schema.items():

@@ -39,6 +39,18 @@ NORM_SQL = (
 )
 
 
+def norm_header_py(s: str) -> str:
+    """Driver-side (plain Python) twin of :func:`norm_header` for
+    normalizing contract aliases before they ship in a broadcast table.
+    The three spellings — Spark expr, DuckDB SQL, Python — live side by
+    side HERE so an edit to one is an edit to all; equivalence is
+    pinned by tests/test_schema_map.py."""
+    s = s.lower().replace('"', "")
+    s = re.sub(r"\s+", " ", s)
+    s = re.sub(r"\s*\(", " (", s)
+    return s.strip()
+
+
 _YEAR_TMPL = re.compile(r"\{YYYY([+-]\d+)?\}")
 
 

@@ -764,9 +764,9 @@ SELECT doc_id,
        CAST(len(lines) AS INTEGER) AS n_lines,
        CAST(len(list_filter(lines, x -> list_contains(bl, x)))
             AS INTEGER) AS n_boiler,
-       array_to_string(
+       COALESCE(array_to_string(
          list_filter(lines, x -> NOT list_contains(bl, x)),
-         chr(10)) AS clean_text
+         chr(10)), '') AS clean_text
 FROM docline, bl
 """
 

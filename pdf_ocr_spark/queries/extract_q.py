@@ -566,6 +566,20 @@ _X16_CONTRACT = {
 }
 
 
+def x16_corpus_spec(n_documents: int) -> tuple[str, int, int]:
+    """(staged path, n base docs, n skew docs) for the x16 corpus —
+    the ONE definition of its sizing, shared with bench.py so the
+    docs/sec denominator can't drift from what actually runs. The path
+    embeds the generator-source fingerprint: editing the corpus
+    generator invalidates the /tmp staging."""
+    from ..sources.synthetic import corpus_fingerprint
+
+    n = n_documents // 2
+    skew = max(1, n // 500)
+    path = f"/tmp/spark_graft_x16_corpus_{n}_{corpus_fingerprint()}"
+    return path, n, skew
+
+
 def x16_contract_e2e(spark, sf):
     """End-to-end TYPED-contract pipeline over the full synthetic
     corpus (the reference user's switch path, plans/contract_pipeline):
@@ -580,16 +594,15 @@ def x16_contract_e2e(spark, sf):
     from ..plans.contract_pipeline import run_contract_pipeline
     from ..sources.synthetic import write_corpus_table
 
-    n = t(spark, sf, "documents").count() // 2
     # The north-rule input is a staged TABLE (Iceberg/parquet), not an
     # in-flight generator: stage the deterministic seeded corpus once
     # and read it back, so the pipeline (not Python corpus generation)
     # is what executes — and the branch predicate rides the
     # ingest-materialized n_spans column with row-group stats, exactly
     # like the x01 flagship's documents scan.
-    path = f"/tmp/spark_graft_x16_corpus_{n}"
+    path, n, skew = x16_corpus_spec(t(spark, sf, "documents").count())
     if not os.path.exists(f"{path}/_SUCCESS"):
-        write_corpus_table(spark, path, n, skew_docs=max(1, n // 500))
+        write_corpus_table(spark, path, n, skew_docs=skew)
     # spread(): the small bench corpus coalesces into ~2 scan bins
     # (maxPartitionBytes), which would run the extraction kernels on 2
     # of 32 cores; at production scale the scan has >= cores splits and

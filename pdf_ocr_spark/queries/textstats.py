@@ -379,8 +379,8 @@ def _duck_grams(n: int) -> str:
 def _duck_rep(n: int) -> str:
     return f"""
   SELECT doc_id,
-         MAX(cnt * strlen(g)) AS top,
-         SUM(CASE WHEN cnt > 1 THEN cnt * strlen(g) ELSE 0 END) AS dup
+         MAX(cnt * length(g)) AS top,
+         SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dup
   FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM ({_duck_grams(n)}) GROUP BY 1, 2)
   GROUP BY doc_id"""
 
@@ -410,11 +410,17 @@ def _spark_grams(n: int) -> str:
     )
 
 
-def _spark_top(n: int):
+def _gram_src(g) -> str:
+    """Gram-array SQL source: an int builds the sorted n-gram expr
+    inline; a str names an already-projected sorted gram column."""
+    return _spark_grams(g) if isinstance(g, int) else g
+
+
+def _spark_top(g):
     """Max over distinct n-grams of count*len — one pass over the SORTED
     gram array (run-length encode adjacent equals), zero shuffle."""
     return F.expr(
-        f"""aggregate({_spark_grams(n)},
+        f"""aggregate({_gram_src(g)},
         named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
         (a, x) -> IF(x <=> a.prev,
             named_struct('prev', x, 'run', a.run + 1,
@@ -425,11 +431,11 @@ def _spark_top(n: int):
     )
 
 
-def _spark_dup(n: int):
+def _spark_dup(g):
     """Total chars of n-gram occurrences belonging to duplicated grams
     (run length >= 2 in the sorted array) — same single pass."""
     return F.expr(
-        f"""aggregate({_spark_grams(n)},
+        f"""aggregate({_gram_src(g)},
         named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'tot', 0),
         (a, x) -> IF(x <=> a.prev,
             named_struct('prev', x, 'run', a.run + 1,
@@ -464,12 +470,21 @@ def t09(spark, sf):
     d = t(spark, sf, "documents").select(
         "doc_id", "n_chars", F.split("text", " ").alias("w")
     )
+    # Build each sorted gram array ONCE (the HOF aggregates are
+    # CodegenFallback, so Catalyst will not CSE a repeated expr) and
+    # run both run-length folds over the projected column.
+    d = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(_spark_grams(2)).alias("g2"),
+        F.expr(_spark_grams(3)).alias("g3"),
+    )
     nc = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
     return d.select(
         "doc_id",
-        (_spark_top(2).cast("double") / nc).alias("top2_frac"),
-        (_spark_top(3).cast("double") / nc).alias("top3_frac"),
-        (_spark_dup(2).cast("double") / nc).alias("dup2_frac"),
+        (_spark_top("g2").cast("double") / nc).alias("top2_frac"),
+        (_spark_top("g3").cast("double") / nc).alias("top3_frac"),
+        (_spark_dup("g2").cast("double") / nc).alias("dup2_frac"),
     )
 
 

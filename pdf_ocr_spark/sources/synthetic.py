@@ -75,6 +75,24 @@ def synthetic_corpus(
     return base.mapInPandas(_gen_batch(seed), schema=INPUT_SCHEMA)
 
 
+def corpus_fingerprint() -> str:
+    """Short hash of the generator sources (corpus.py, this module, the
+    span schema). Staged-corpus cache paths embed it so editing the
+    generator invalidates any /tmp staging instead of silently reusing
+    stale pre-change bytes."""
+    import hashlib
+    import pathlib
+    import sys
+
+    from .. import corpus as _corpus
+    from ..extract import schema as _schema
+
+    h = hashlib.md5()
+    for mod in (_corpus, _schema, sys.modules[__name__]):
+        h.update(pathlib.Path(mod.__file__).read_bytes())
+    return h.hexdigest()[:10]
+
+
 def write_corpus_table(
     spark: SparkSession,
     path: str,

@@ -70,3 +70,41 @@ def test_merge_semantic_aliases():
     assert merged["vessel"] == ["ship"]
     # inputs untouched
     assert schema["port"] == ["port name"]
+
+
+def test_norm_three_spellings_agree(spark):
+    """The Spark expr, DuckDB SQL, and Python normalizers are one
+    definition in three engines — pin byte-equality on adversarial
+    inputs so an edit to one cannot silently drift the others."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_spark.operators.schema_map import (
+        NORM_SQL,
+        norm_header,
+        norm_header_py,
+    )
+
+    samples = [
+        "Port",
+        '"Ship"',
+        "Tonnage   (MT)",
+        "  A  B\t(c)  ",
+        'MIXED "Case"(x)',
+        "a(b (c",
+        "",
+        "   ",
+        "é É  (ü)",
+    ]
+    spark_out = [
+        r["n"]
+        for r in spark.createDataFrame([(s,) for s in samples], "x string")
+        .select(norm_header(F.col("x")).alias("n"))
+        .collect()
+    ]
+    duck_out = [
+        duckdb.sql(f"SELECT {NORM_SQL.format(x='?')} ", params=[s]).fetchone()[0]
+        for s in samples
+    ]
+    py_out = [norm_header_py(s) for s in samples]
+    assert spark_out == py_out == duck_out

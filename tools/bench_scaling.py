@@ -144,8 +144,12 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else N_DOCS
 
     # deterministic interleaved corpus (text + media spans, skewed
-    # mega-docs), written once and shared by both runs
-    if not os.path.exists(CORPUS):
+    # mega-docs), written once and shared by both runs; the fingerprint
+    # marker invalidates the staging when the generator sources change
+    from pdf_ocr_spark.sources.synthetic import corpus_fingerprint
+
+    marker = f"{CORPUS}/_FINGERPRINT_{n_docs}_{corpus_fingerprint()}"
+    if not os.path.exists(marker):
         from pdf_ocr_spark.session import get_spark
         from pdf_ocr_spark.sources.synthetic import write_corpus_table
 
@@ -154,6 +158,7 @@ def main() -> None:
         write_corpus_table(spark, CORPUS, n_docs=n_docs,
                            skew_docs=max(1, n_docs // 1000), partitions=256)
         spark.stop()
+        open(marker, "w").close()
 
     # Interleaved A/B/A/B schedule: host noisy-neighbor load drifts on
     # a minutes timescale, so consecutive per-level repetitions bias the
@@ -292,7 +297,9 @@ def render_baseline(history: list[dict]) -> None:
         f"| {h['raw']:.3f} | {h['ceiling']:.3f} | {h['normalized']:.3f} |"
         for h in history
     )
-    cur = history[CURRENT_PIPELINE_START:]
+    # Guard a fresh/truncated history: fall back to the full list so
+    # the windows below are never empty (max/median on [] would raise).
+    cur = history[CURRENT_PIPELINE_START:] or history
     first_cur = cur[0]["study"].split()[-1]
     last = history[-1]["study"].split()[-1]
     median_rows = "\n".join(
