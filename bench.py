@@ -40,6 +40,7 @@ HEADLINE = [
     "d07_simhash_wide",
     "d08_decontaminate",
     "d09_line_dedup",
+    "d10_substring_dedup",
     "s01_ann_bruteforce_topk",
     "s03_ivf_centroids",
     "s06_semdedup",
@@ -49,6 +50,8 @@ HEADLINE = [
     "t08_stratified_sample",
     "t11_gopher_rules",
     "t13_sequence_packing",
+    "t14_lm_perplexity",
+    "t15_domain_mixture",
     "m01_media_decode",
     "c01_keyword_classify",
     "u01_unpivot_compound_headers",

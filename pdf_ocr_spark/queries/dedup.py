@@ -819,3 +819,122 @@ def d09(spark, sf):
             ).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------- d10
+_D10_K = 8  # duplicated-substring length in words (Lee et al. use 50
+#             BPE tokens; the short synthetic docs need a smaller k to
+#             exercise the operator — same code path, any k)
+
+_D10_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(w, i, i + {_D10_K - 1}), ' ') AS gram
+  FROM d, unnest(CASE WHEN len(w) >= {_D10_K}
+                      THEN generate_series(1, len(w) - {_D10_K - 1})
+                      ELSE [] END) AS u(i)
+),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+  FROM g
+),
+cut AS (
+  SELECT doc_id, count(*) AS n_dup_occ, list(pos ORDER BY pos) AS starts
+  FROM occ WHERE rk >= 2 GROUP BY doc_id
+),
+cov AS (
+  SELECT doc_id, n_dup_occ,
+         list_distinct(flatten(list_transform(
+           starts, p -> generate_series(p, p + {_D10_K - 1})))) AS covered
+  FROM cut
+)
+SELECT d.doc_id,
+       CAST(len(d.w) AS INTEGER) AS n_words,
+       CAST(COALESCE(cov.n_dup_occ, 0) AS INTEGER) AS n_dup_occ,
+       CAST(COALESCE(len(cov.covered), 0) AS INTEGER) AS n_cut_words,
+       COALESCE(array_to_string(
+         list_filter(d.w, (x, i) ->
+           NOT list_contains(COALESCE(cov.covered, []), i)),
+         ' '), '') AS clean_text
+FROM d LEFT JOIN cov USING (doc_id)
+"""
+
+
+@q("d10_substring_dedup", oracle=_D10_ORACLE)
+def d10(spark, sf):
+    """Substring-level exact dedup (public: Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): every {k}-word window that occurs more than once in
+    the corpus — across documents OR within one — keeps only its FIRST
+    occurrence (global (doc_id, pos) order); every later occurrence's
+    word span is cut from its document.  Emits per-doc occurrence/word
+    cut counts and the cleaned text with the survivors in original
+    order.
+
+    Spark-first shape replacing the paper's monolithic suffix array:
+    (1) one narrow map builds rolling word windows per doc (positions
+    ride along, no second scan); (2) ONE shuffle — the window
+    row_number over gram — finds every non-first occurrence (at
+    production the gram is a 128-bit hash, so the shuffle carries 16
+    bytes + ids per window, and a df-capped heavy-hitter pass like
+    d04's prunes degenerate grams first); (3) cut positions fold back
+    to doc grain (second small shuffle, output-sized), where covered
+    indices expand JVM-side (flatten/sequence) and the doc's word
+    array is index-filtered in place — documents are never exploded
+    to word grain for reassembly, so the big side shuffles only its
+    duplicated window ids, never text."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(w) >= {_D10_K} THEN"
+                f" transform(sequence(1, size(w) - {_D10_K - 1}),"
+                f" i -> concat_ws(' ', slice(w, i, {_D10_K})))"
+                f" ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("gram").orderBy("doc_id", "pos")
+    )
+    cut = (
+        grams.withColumn("rk", rk)
+        .where(F.col("rk") >= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_occ"),
+            F.sort_array(F.collect_list("pos")).alias("starts"),
+        )
+    )
+    cov = cut.select(
+        "doc_id",
+        "n_dup_occ",
+        F.expr(
+            f"array_distinct(flatten(transform("
+            f"starts, p -> sequence(p, p + {_D10_K - 1}))))"
+        ).alias("covered"),
+    )
+    return (
+        d.join(cov, "doc_id", "left")
+        .withColumn(
+            "covered",
+            F.coalesce("covered", F.expr("CAST(array() AS array<int>)")),
+        )
+        .select(
+            "doc_id",
+            F.size("w").cast("int").alias("n_words"),
+            F.coalesce("n_dup_occ", F.lit(0)).cast("int").alias("n_dup_occ"),
+            F.size("covered").cast("int").alias("n_cut_words"),
+            F.expr(
+                "array_join(filter(w,"
+                " (x, i) -> NOT array_contains(covered, i + 1)), ' ')"
+            ).alias("clean_text"),
+        )
+    )

@@ -447,6 +447,10 @@ UNION ALL
 SELECT 'd09' AS fam, doc_id AS doc_a, CAST(n_lines AS BIGINT) AS doc_b,
        CAST(n_boiler AS INTEGER) AS hamming, clean_text AS txt
 FROM {_sub(dedup, "d09_line_dedup")} _d
+UNION ALL
+SELECT 'd10' AS fam, doc_id AS doc_a, CAST(n_cut_words AS BIGINT) AS doc_b,
+       CAST(n_dup_occ AS INTEGER) AS hamming, clean_text AS txt
+FROM {_sub(dedup, "d10_substring_dedup")} _e
 """,
 )
 def d06_suite(spark, sf):
@@ -456,8 +460,11 @@ def d06_suite(spark, sf):
     (block_idx, block_value) equi-joins, no all-pairs stage anywhere —
     benchmark decontamination (d08: broadcast 8-gram overlap against a
     deterministic eval set; doc_b = -1, hamming = n-gram hit count),
-    and line-level boilerplate dedup (d09: doc_b = line count, hamming
-    = boilerplate lines stripped, txt = cleaned text)."""
+    line-level boilerplate dedup (d09: doc_b = line count, hamming =
+    boilerplate lines stripped, txt = cleaned text), and substring-
+    level exact dedup (d10, Lee et al. 2022 ExactSubstr: doc_b = words
+    cut, hamming = duplicate window occurrences removed, txt = cleaned
+    text)."""
     d6 = dedup.QUERIES["d06_simhash_bucketed"](spark, sf).select(
         F.lit("d06").alias("fam"), "doc_a", "doc_b",
         F.col("hamming").cast("int").alias("hamming"),
@@ -482,7 +489,19 @@ def d06_suite(spark, sf):
         F.col("n_boiler").cast("int").alias("hamming"),
         F.col("clean_text").alias("txt"),
     )
-    return d6.unionByName(d7).unionByName(d8).unionByName(d9)
+    d10 = dedup.QUERIES["d10_substring_dedup"](spark, sf).select(
+        F.lit("d10").alias("fam"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_cut_words").cast("bigint").alias("doc_b"),
+        F.col("n_dup_occ").cast("int").alias("hamming"),
+        F.col("clean_text").alias("txt"),
+    )
+    return (
+        d6.unionByName(d7)
+        .unionByName(d8)
+        .unionByName(d9)
+        .unionByName(d10)
+    )
 
 
 # =========================================================== textstats
@@ -509,7 +528,9 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t11.stop_hits, t11.bullet_frac, t11.ellipsis_frac,
        t11.has_lorem, t11.has_brace, t11.gopher_keep, t11.c4_keep,
        t12.n_urls, t12.domains, t12.n_blocked, t12.url_keep,
-       t13.n_tok, t13.first_bin, t13.last_bin, t13.offset_in_bin
+       t13.n_tok, t13.first_bin, t13.last_bin, t13.offset_in_bin,
+       t14.micro_lp_sum, t14.lm_bits_per_tok, t14.ppl_bucket,
+       t15.mix_rate, t15.mix_keep
 FROM {_sub(textstats, "t01_language_id")} t1
 JOIN {_sub(textstats, "t02_quality_score")} t2 ON t2.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t03_token_counts")} t3 ON t3.doc_id = t1.doc_id
@@ -524,6 +545,8 @@ JOIN {_sub(fonts_q, "f02_color_semantics")} f2 ON f2.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t11_gopher_rules")} t11 ON t11.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t12_url_filter")} t12 ON t12.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t13_sequence_packing")} t13 ON t13.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t14_lm_perplexity")} t14 ON t14.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t15_domain_mixture")} t15 ON t15.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -539,8 +562,11 @@ def t01_suite(spark, sf):
     counts, visual-vs-text header verdict), the full Gopher + C4
     quality-rule set (t11: word/line-shape rules, stopword presence,
     lorem-ipsum/brace content filters, keep verdicts), URL/domain
-    blocklist filtering (t12), and per-shard sequence packing into
-    fixed token bins (t13)."""
+    blocklist filtering (t12), per-shard sequence packing into
+    fixed token bins (t13), CCNet-style unigram-LM perplexity
+    scoring with per-language head/middle/tail buckets (t14), and
+    domain-mixture sampling to a token budget (t15: per-domain rate +
+    deterministic hash-coin keep)."""
     t1 = textstats.QUERIES["t01_language_id"](spark, sf)
     t2 = textstats.QUERIES["t02_quality_score"](spark, sf)
     t3 = textstats.QUERIES["t03_token_counts"](spark, sf)
@@ -554,6 +580,12 @@ def t01_suite(spark, sf):
     t11 = textstats.QUERIES["t11_gopher_rules"](spark, sf)
     t12 = textstats.QUERIES["t12_url_filter"](spark, sf)
     t13 = textstats.QUERIES["t13_sequence_packing"](spark, sf).drop("lang")
+    t14 = textstats.QUERIES["t14_lm_perplexity"](spark, sf).select(
+        "doc_id", "micro_lp_sum", "lm_bits_per_tok", "ppl_bucket"
+    )
+    t15 = textstats.QUERIES["t15_domain_mixture"](spark, sf).select(
+        "doc_id", "mix_rate", "mix_keep"
+    )
     return (
         t1.join(t2, "doc_id")
         .join(t3, "doc_id")
@@ -572,6 +604,8 @@ def t01_suite(spark, sf):
         .join(t11, "doc_id")
         .join(t12, "doc_id")
         .join(t13, "doc_id")
+        .join(t14, "doc_id")
+        .join(t15, "doc_id")
     )
 
 

@@ -960,3 +960,213 @@ def t13(spark, sf):
         ((c - 1) / _T13_BIN).cast("int").alias("last_bin"),
         ((c - F.col("n_tok")) % _T13_BIN).cast("int").alias("offset_in_bin"),
     )
+
+
+# ------------------------------------------------------------- t14
+# ln(2) as a shared literal: both engines fold the same constant, so
+# the bits-per-token division is bit-identical.
+_LN2 = "0.6931471805599453"
+
+_T14_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+lm AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT sum(cnt) AS n, count(*) AS v FROM lm),
+lp AS (
+  SELECT tok,
+         CAST(round(ln((cnt + 1.0) / (n + v)) * 1000000) AS BIGINT) AS lp
+  FROM lm, tot
+),
+sc AS (
+  SELECT tok.doc_id,
+         CAST(sum(lp.lp) AS BIGINT) AS micro_lp_sum,
+         count(*) AS n_tok
+  FROM tok JOIN lp USING (tok)
+  GROUP BY tok.doc_id
+),
+sb AS (
+  SELECT d.doc_id, d.lang,
+         CAST(sc.n_tok AS INTEGER) AS lm_n_tok,
+         sc.micro_lp_sum,
+         round(-(CAST(sc.micro_lp_sum AS DOUBLE) / 1000000.0)
+               / sc.n_tok / {_LN2}, 6) AS lm_bits_per_tok,
+         ntile(3) OVER (
+           PARTITION BY d.lang
+           ORDER BY CAST(sc.micro_lp_sum AS DOUBLE) / sc.n_tok DESC,
+                    d.doc_id
+         ) AS b
+  FROM documents d JOIN sc USING (doc_id)
+)
+SELECT doc_id, lang, lm_n_tok, micro_lp_sum, lm_bits_per_tok,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+FROM sb
+"""
+
+
+@q("t14_lm_perplexity", oracle=_T14_ORACLE)
+def t14(spark, sf):
+    """CCNet-style perplexity filtering (public: Wenzek et al. 2020):
+    train a unigram LM on the corpus itself (add-one smoothing), score
+    every document in bits/token, and split each language shard into
+    head/middle/tail perplexity buckets — the classic quality tiers a
+    web-scale pipeline feeds to sampling.
+
+    Cross-engine float discipline: the per-token log-prob is frozen to
+    an integer (micro-nats, round(ln(p)*1e6) as BIGINT) BEFORE the
+    per-doc aggregation, so the doc sum is exact integer math —
+    independent of aggregation order (a float sum over a shuffled
+    explode is NOT reproducible, let alone cross-engine). The only
+    float ops after that are single divisions (IEEE-defined).
+
+    Scale shape: pass 1 (LM training) is a token groupBy with map-side
+    partials whose result is VOCABULARY-sized, then broadcast; pass 2
+    is a scan + broadcast-hash join + one doc-grain shuffle. The
+    bucket split is a per-language ntile window — at 100 TB you'd
+    replace the exact ntile with approx_percentile cutoffs broadcast
+    from a sample (same output contract), as CCNet does; the exact
+    window here keeps the oracle twin precise."""
+    d = t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    lm = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = lm.agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("v")
+    )
+    lp = lm.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log((F.col("cnt") + 1.0) / (F.col("n") + F.col("v"))) * 1000000
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    sc = (
+        tok.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("lp").alias("micro_lp_sum"), F.count("*").alias("n_tok"))
+    )
+    sb = d.select("doc_id", "lang").join(sc, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.col("n_tok").cast("int").alias("lm_n_tok"),
+        "micro_lp_sum",
+        F.round(
+            -(F.col("micro_lp_sum").cast("double") / 1000000.0)
+            / F.col("n_tok")
+            / float(_LN2),
+            6,
+        ).alias("lm_bits_per_tok"),
+        F.expr(
+            "ntile(3) OVER (PARTITION BY lang ORDER BY "
+            "CAST(micro_lp_sum AS DOUBLE) / n_tok DESC, doc_id)"
+        ).alias("b"),
+    )
+    return sb.select(
+        "doc_id", "lang", "lm_n_tok", "micro_lp_sum", "lm_bits_per_tok",
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+# ------------------------------------------------------------- t15
+# Static domain weights for the mixture (public pattern: The Pile /
+# DoReMi-style reweighted sampling). Weights are per-language here
+# (domain = lang); unlisted domains get weight 1.
+_T15_W = {"en": 4, "de": 3, "fr": 2, "es": 1, "zh": 1}
+_T15_BUDGET_FRAC = 0.25  # token budget = 25% of the corpus
+
+_T15_W_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _T15_W.items())
+    + " ELSE 1 END"
+)
+
+_T15_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+         {_T15_W_SQL} AS w
+  FROM documents
+),
+dom AS (
+  SELECT lang, any_value(w) AS w, CAST(sum(n_tok) AS BIGINT) AS dom_tok
+  FROM d GROUP BY lang
+),
+tot AS (
+  SELECT CAST(sum(dom_tok) AS BIGINT) AS all_tok,
+         CAST(sum(w) AS BIGINT) AS all_w
+  FROM dom
+),
+rates AS (
+  SELECT lang,
+         least(1.0,
+               ({_T15_BUDGET_FRAC} * all_tok * w / all_w) / dom_tok
+         ) AS rate
+  FROM dom, tot
+)
+SELECT d.doc_id, d.lang AS domain, CAST(d.n_tok AS INTEGER) AS n_tok,
+       round(r.rate, 6) AS mix_rate,
+       ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 1000000) / 1000000.0) < r.rate AS mix_keep
+FROM d JOIN rates r USING (lang)
+"""
+
+
+@q("t15_domain_mixture", oracle=_T15_ORACLE)
+def t15(spark, sf):
+    """Domain-mixture sampling (public pattern: The Pile's per-source
+    epochs / DoReMi's static domain weights): given target weights per
+    domain (language here; source/quality-bucket in production) and a
+    global token budget, compute each domain's sampling rate
+    rate_d = min(1, budget * w_d / sum(w) / tokens_d) and keep each
+    document by a deterministic doc_id-hash coin toss — the standard
+    way a 100-TB pipeline rebalances a crawl toward a target mixture
+    without materializing an intermediate shuffle of the corpus.
+
+    Float discipline: every rate is a quotient of exact integers
+    (token sums, weights) and one shared literal, so the Spark and
+    DuckDB doubles are bit-identical; the hash coin is an integer
+    modulus — no RNG, no row-order dependence.
+
+    Scale shape: one map-side-combined groupBy to DOMAIN grain (a
+    handful of rows), a broadcast of the rate table, then a narrow
+    per-doc map. The corpus itself never shuffles."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.expr(_T15_W_SQL).alias("w"),
+    )
+    dom = d.groupBy("lang").agg(
+        F.first("w").alias("w"), F.sum("n_tok").alias("dom_tok")
+    )
+    tot = dom.agg(
+        F.sum("dom_tok").alias("all_tok"), F.sum("w").alias("all_w")
+    )
+    rates = dom.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (
+                F.lit(_T15_BUDGET_FRAC)
+                * F.col("all_tok")
+                * F.col("w")
+                / F.col("all_w")
+            )
+            / F.col("dom_tok"),
+        ).alias("rate"),
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0
+    return d.join(F.broadcast(rates), "lang").select(
+        "doc_id",
+        F.col("lang").alias("domain"),
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.round("rate", 6).alias("mix_rate"),
+        (coin < F.col("rate")).alias("mix_keep"),
+    )

@@ -347,3 +347,107 @@ def test_t13_packing_tiles_the_shard_stream(spark, tmp_path):
             assert r["first_bin"] <= r["last_bin"]
     # multi-bin docs exist in the fixture (731*8 > 2048)
     assert any(r["last_bin"] > r["first_bin"] for r in out)
+
+
+def test_d10_substring_dedup_keeps_first_occurrence(spark, tmp_path):
+    """A duplicated 8-word window keeps its first (doc_id, pos)
+    occurrence only — cross-doc and intra-doc; untouched docs pass
+    through verbatim."""
+    import pandas as pd
+
+    import pdf_ocr_spark.queries.dedup as dd
+
+    a = " ".join(f"a{j}" for j in range(8))     # the duplicated window
+    d0 = a + " " + " ".join(f"b{j}" for j in range(8))
+    d1 = " ".join(f"c{j}" for j in range(8)) + " " + a
+    d2 = " ".join(f"d{j}" for j in range(8)) + " x " + " ".join(
+        f"d{j}" for j in range(8)
+    )
+    pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [d0, d1, d2]}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in dd.QUERIES["d10_substring_dedup"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # doc 0 holds the first occurrence: untouched
+    assert rows[0]["n_dup_occ"] == 0 and rows[0]["clean_text"] == d0
+    # doc 1's later copy is cut (8 covered words), prefix survives
+    assert rows[1]["n_dup_occ"] == 1 and rows[1]["n_cut_words"] == 8
+    assert rows[1]["clean_text"] == " ".join(f"c{j}" for j in range(8))
+    # intra-doc repeat: second copy cut, first copy + separator survive
+    assert rows[2]["n_dup_occ"] == 1 and rows[2]["n_cut_words"] == 8
+    assert rows[2]["clean_text"] == " ".join(
+        f"d{j}" for j in range(8)
+    ) + " x"
+
+
+def test_t14_lm_scores_match_python_reference(spark, tmp_path):
+    """micro_lp_sum equals the add-one-smoothed unigram LM computed
+    independently in Python; per-lang buckets split 3/3/3."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.textstats import QUERIES
+
+    texts = [f"w{i % 4} w{(i + 1) % 3} common" for i in range(9)]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(9)),
+            "lang": ["en"] * 9,
+            "text": texts,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    toks = [t for s in texts for t in s.split(" ")]
+    cnt, n, v = Counter(toks), len(toks), len(set(toks))
+    lp = {t: round(math.log((c + 1) / (n + v)) * 1e6) for t, c in cnt.items()}
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["t14_lm_perplexity"](spark, str(tmp_path)).collect()
+    }
+    for i, s in enumerate(texts):
+        want = sum(lp[t] for t in s.split(" "))
+        assert rows[i]["micro_lp_sum"] == want, (i, rows[i])
+    buckets = Counter(r["ppl_bucket"] for r in rows.values())
+    assert buckets == {"head": 3, "middle": 3, "tail": 3}
+
+
+def test_t15_mixture_rate_and_coin(spark, tmp_path):
+    """Sampling rate = budget * w_d / sum(w) / tokens_d (capped at 1);
+    keep is the deterministic md5 hash coin."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.textstats import (
+        _T15_BUDGET_FRAC,
+        _T15_W,
+        QUERIES,
+    )
+
+    # en: 10 docs x 4 tokens; zh: 2 docs x 4 tokens
+    langs = ["en"] * 10 + ["zh"] * 2
+    pd.DataFrame(
+        {
+            "doc_id": list(range(12)),
+            "lang": langs,
+            "text": ["one two three four"] * 12,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    all_tok = 48
+    all_w = _T15_W["en"] + _T15_W["zh"]
+    want_rate = {
+        "en": min(1.0, (_T15_BUDGET_FRAC * all_tok * _T15_W["en"] / all_w) / 40),
+        "zh": min(1.0, (_T15_BUDGET_FRAC * all_tok * _T15_W["zh"] / all_w) / 8),
+    }
+    rows = QUERIES["t15_domain_mixture"](spark, str(tmp_path)).collect()
+    assert len(rows) == 12
+    for r in rows:
+        rate = want_rate[r["domain"]]
+        assert abs(r["mix_rate"] - round(rate, 6)) < 1e-12, r
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        assert r["mix_keep"] == ((h % 1000000) / 1000000.0 < rate), r
