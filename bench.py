@@ -44,6 +44,7 @@ HEADLINE = [
     "s01_ann_bruteforce_topk",
     "s03_ivf_centroids",
     "s06_semdedup",
+    "s07_int8_quantize",
     "t01_language_id",
     "t02_quality_score",
     "t04_doc_fingerprint",
@@ -52,6 +53,7 @@ HEADLINE = [
     "t13_sequence_packing",
     "t14_lm_perplexity",
     "t15_domain_mixture",
+    "t16_bm25_score",
     "m01_media_decode",
     "c01_keyword_classify",
     "u01_unpivot_compound_headers",

@@ -511,3 +511,104 @@ def s06(spark, sf):
         _semdedup_gram(_S06_THETA),
         "vec_id bigint, cluster int, dup_of bigint, cosine double",
     )
+
+
+# ---------------------------------------------------------------- s07
+_S07_ORACLE = """
+WITH dims AS (
+  SELECT i AS pos,
+         CAST(min(embedding[i]) AS DOUBLE) AS mn,
+         CAST(max(embedding[i]) AS DOUBLE) AS mx
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+  GROUP BY i
+),
+stats AS (
+  SELECT list(mn ORDER BY pos) AS mns,
+         list((mx - mn) / 255.0 ORDER BY pos) AS scs
+  FROM dims
+),
+qt AS (
+  SELECT vec_id,
+         list_transform(embedding, (v, i) ->
+           CASE WHEN scs[i] = 0 THEN -128
+                ELSE CAST(round((CAST(v AS DOUBLE) - mns[i]) / scs[i])
+                          AS INTEGER) - 128 END) AS q,
+         list_transform(embedding, (v, i) ->
+           CASE WHEN scs[i] = 0 THEN abs(CAST(v AS DOUBLE) - mns[i])
+                ELSE abs(CAST(v AS DOUBLE) - (mns[i]
+                     + round((CAST(v AS DOUBLE) - mns[i]) / scs[i])
+                       * scs[i])) END) AS err
+  FROM embeddings, stats
+)
+SELECT vec_id, q,
+       CAST(list_reduce(q, (a, x) -> a + x) AS BIGINT) AS q_sum,
+       round(list_reduce(err, (a, x) -> greatest(a, x)), 9) AS max_err
+FROM qt
+"""
+
+
+@q("s07_int8_quantize", oracle=_S07_ORACLE)
+def s07(spark, sf):
+    """Int8 scalar quantization of the embedding column (public
+    pattern: per-dimension min/max affine codes, the storage layout
+    FAISS SQ8 / every vector store uses to cut 4x memory before ANN):
+    code_i = round((v_i - min_dim) / scale_dim) - 128 with
+    scale = (max - min)/255, plus the per-vector max reconstruction
+    error as the quality audit column.
+
+    Float discipline: min/max of float32 values involve no arithmetic
+    (exact), the scale/code/error chain is single IEEE double ops on
+    exact inputs, so codes are bit-identical cross-engine; the only
+    rounding is the final error display digit-cap.
+
+    Scale shape: ONE shuffle to DIMENSION grain (64 rows, map-side
+    partial min/max), stats folded to a single broadcast row of
+    arrays, then quantization is a scan-local higher-order transform —
+    the vector table itself never shuffles. At 100 TB the stats pass
+    reads a sample instead of the full corpus (the standard
+    calibration shortcut) with the same downstream plan."""
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    dims = (
+        e.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.min("v").cast("double").alias("mn"),
+            F.max("v").cast("double").alias("mx"),
+        )
+    )
+    stats = dims.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s")
+    ).select(
+        F.expr("transform(s, x -> x.mn)").alias("mns"),
+        F.expr("transform(s, x -> (x.mx - x.mn) / 255.0)").alias("scs"),
+    )
+    qt = e.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.expr(
+            """transform(embedding, (v, i) ->
+                 CASE WHEN element_at(scs, i + 1) = 0D THEN -128
+                      ELSE CAST(round((CAST(v AS DOUBLE)
+                               - element_at(mns, i + 1))
+                               / element_at(scs, i + 1)) AS INT) - 128
+                 END)"""
+        ).alias("q"),
+        F.expr(
+            """transform(embedding, (v, i) ->
+                 CASE WHEN element_at(scs, i + 1) = 0D
+                      THEN abs(CAST(v AS DOUBLE) - element_at(mns, i + 1))
+                      ELSE abs(CAST(v AS DOUBLE) - (element_at(mns, i + 1)
+                           + round((CAST(v AS DOUBLE)
+                                    - element_at(mns, i + 1))
+                                   / element_at(scs, i + 1))
+                             * element_at(scs, i + 1)))
+                 END)"""
+        ).alias("err"),
+    )
+    return qt.select(
+        "vec_id",
+        "q",
+        F.expr("aggregate(q, 0L, (a, x) -> a + x)").alias("q_sum"),
+        F.round(
+            F.expr("aggregate(err, CAST(0 AS DOUBLE), (a, x) -> greatest(a, x))"), 9
+        ).alias("max_err"),
+    )

@@ -372,13 +372,19 @@ FROM {_sub(similarity, "s05_knn_join")} _e
 UNION ALL
 SELECT 'semdedup', vec_id, CAST(cluster AS BIGINT), dup_of, cosine
 FROM {_sub(similarity, "s06_semdedup")} _f
+UNION ALL
+SELECT 'sq8', vec_id, q_sum, 0, max_err
+FROM {_sub(similarity, "s07_int8_quantize")} _g
 """,
 )
 def s01_suite(spark, sf):
     """ANN suite: brute-force baseline (s01), LSH bucket probe (s02),
     IVF centroid build (s03) + probe (s04), batched KNN join (s05),
-    and cluster-blocked semantic dedup (s06, SemDeDup: aux1 = cluster,
-    aux2 = the survivor the vector duplicates) — tagged union on
+    cluster-blocked semantic dedup (s06, SemDeDup: aux1 = cluster,
+    aux2 = the survivor the vector duplicates), and int8 scalar
+    quantization (s07: aux1 = quantized-code checksum, score = max
+    reconstruction error; the full code array is gated in the
+    fine-grained s07 query) — tagged union on
     (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -422,9 +428,16 @@ def s01_suite(spark, sf):
         F.col("dup_of").cast("long").alias("aux2"),
         F.col("cosine").alias("score"),
     )
+    g = similarity.QUERIES["s07_int8_quantize"](spark, sf).select(
+        F.lit("sq8").alias("fam"),
+        F.col("vec_id").alias("id"),
+        F.col("q_sum").cast("long").alias("aux1"),
+        F.lit(0).cast("long").alias("aux2"),
+        F.col("max_err").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
-        .unionByName(e).unionByName(f)
+        .unionByName(e).unionByName(f).unionByName(g)
     )
 
 
@@ -530,7 +543,8 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t12.n_urls, t12.domains, t12.n_blocked, t12.url_keep,
        t13.n_tok, t13.first_bin, t13.last_bin, t13.offset_in_bin,
        t14.micro_lp_sum, t14.lm_bits_per_tok, t14.ppl_bucket,
-       t15.mix_rate, t15.mix_keep
+       t15.mix_rate, t15.mix_keep,
+       t16.tf_spark, t16.tf_filter, t16.tf_window, t16.bm25
 FROM {_sub(textstats, "t01_language_id")} t1
 JOIN {_sub(textstats, "t02_quality_score")} t2 ON t2.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t03_token_counts")} t3 ON t3.doc_id = t1.doc_id
@@ -547,6 +561,7 @@ JOIN {_sub(textstats, "t12_url_filter")} t12 ON t12.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t13_sequence_packing")} t13 ON t13.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t14_lm_perplexity")} t14 ON t14.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t15_domain_mixture")} t15 ON t15.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t16_bm25_score")} t16 ON t16.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -566,7 +581,8 @@ def t01_suite(spark, sf):
     fixed token bins (t13), CCNet-style unigram-LM perplexity
     scoring with per-language head/middle/tail buckets (t14), and
     domain-mixture sampling to a token budget (t15: per-domain rate +
-    deterministic hash-coin keep)."""
+    deterministic hash-coin keep), and BM25 scoring against a fixed
+    query (t16: per-term tf + the score)."""
     t1 = textstats.QUERIES["t01_language_id"](spark, sf)
     t2 = textstats.QUERIES["t02_quality_score"](spark, sf)
     t3 = textstats.QUERIES["t03_token_counts"](spark, sf)
@@ -586,6 +602,7 @@ def t01_suite(spark, sf):
     t15 = textstats.QUERIES["t15_domain_mixture"](spark, sf).select(
         "doc_id", "mix_rate", "mix_keep"
     )
+    t16 = textstats.QUERIES["t16_bm25_score"](spark, sf).drop("dl")
     return (
         t1.join(t2, "doc_id")
         .join(t3, "doc_id")
@@ -606,6 +623,7 @@ def t01_suite(spark, sf):
         .join(t13, "doc_id")
         .join(t14, "doc_id")
         .join(t15, "doc_id")
+        .join(t16, "doc_id")
     )
 
 

@@ -1170,3 +1170,107 @@ def t15(spark, sf):
         F.round("rate", 6).alias("mix_rate"),
         (coin < F.col("rate")).alias("mix_keep"),
     )
+
+
+# ------------------------------------------------------------- t16
+_T16_TERMS = ("spark", "filter", "window")  # fixed query, corpus vocab
+_T16_K1 = 1.2
+_T16_B = 0.75
+
+
+def _t16_tf_sql(term: str) -> str:
+    return f"len(list_filter(w, x -> x = '{term}'))"
+
+
+def _t16_score_sql() -> str:
+    """BM25 sum over the fixed query terms, in fixed term order (no
+    aggregation — the sum is an expression, so float order is pinned)."""
+    parts = []
+    for i, term in enumerate(_T16_TERMS):
+        tf = f"CAST(tf{i} AS DOUBLE)"
+        idf = f"ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        norm = (
+            f"(tf{i} + {_T16_K1} * (1.0 - {_T16_B} + {_T16_B} * dl / avgdl))"
+        )
+        parts.append(f"{idf} * ({tf} * {_T16_K1 + 1.0}) / {norm}")
+    return " + ".join(parts)
+
+
+_T16_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, len(w) AS dl,
+         {", ".join(f"{_t16_tf_sql(t)} AS tf{i}"
+                    for i, t in enumerate(_T16_TERMS))}
+  FROM d
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+                    for i in range(len(_T16_TERMS)))}
+  FROM tf
+),
+j AS (
+  SELECT tf.*, stats.n_docs,
+         CAST(stats.sum_dl AS DOUBLE) / stats.n_docs AS avgdl,
+         {", ".join(f"stats.df{i}" for i in range(len(_T16_TERMS)))}
+  FROM tf, stats
+)
+SELECT doc_id, CAST(dl AS INTEGER) AS dl,
+       {", ".join(f"CAST(tf{i} AS INTEGER) AS tf_{t}"
+                  for i, t in enumerate(_T16_TERMS))},
+       round({_t16_score_sql()}, 6) AS bm25
+FROM j
+"""
+
+
+@q("t16_bm25_score", oracle=_T16_ORACLE)
+def t16(spark, sf):
+    """BM25 relevance scoring against a fixed query (public: Robertson
+    & Zaragoza 2009) — the retrieval primitive a curation pipeline
+    uses for targeted subset mining and decontamination triage.
+    Per-term tf is a scan-local higher-order count; document frequency
+    and average doc length are ONE corpus aggregation folded to a
+    single broadcast row; the score is a fixed-order expression over
+    exact integer stats (the only transcendental, ln, feeds a
+    round(6) output).
+
+    Scale shape: narrow map + one tiny stats agg + broadcast — the
+    corpus never shuffles. A multi-query production variant turns the
+    term list into a broadcast join on an inverted-index explode
+    (d04's shape); the fixed-query form here is the per-doc scoring
+    kernel of that plan."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    tf = d.select(
+        "doc_id",
+        F.size("w").alias("dl"),
+        *[
+            F.expr(f"size(filter(w, x -> x = '{term}'))").alias(f"tf{i}")
+            for i, term in enumerate(_T16_TERMS)
+        ],
+    )
+    stats = tf.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_T16_TERMS))
+        ],
+    )
+    j = tf.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("sum_dl").cast("double") / F.col("n_docs")
+    )
+    return j.select(
+        "doc_id",
+        F.col("dl").cast("int").alias("dl"),
+        *[
+            F.col(f"tf{i}").cast("int").alias(f"tf_{term}")
+            for i, term in enumerate(_T16_TERMS)
+        ],
+        F.round(F.expr(_t16_score_sql()), 6).alias("bm25"),
+    )

@@ -70,3 +70,41 @@ def test_semdedup_gram_degenerate_clusters():
     )
     assert len(ortho) == 0
     assert list(ortho.columns) == ["vec_id", "cluster", "dup_of", "cosine"]
+
+
+def test_s07_int8_quantize_reference(spark, tmp_path):
+    """Codes match the per-dim affine reference; reconstruction error
+    is bounded by half a quantization step."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_spark.queries.similarity import QUERIES
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1, 1, size=(20, 4)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * 20, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = {
+        r["vec_id"]: r
+        for r in QUERIES["s07_int8_quantize"](spark, str(tmp_path)).collect()
+    }
+    v64 = vecs.astype(np.float64)
+    mn, mx = v64.min(axis=0), v64.max(axis=0)
+    sc = (mx - mn) / 255.0
+    for i in range(20):
+        q = np.round((v64[i] - mn) / sc).astype(int) - 128
+        assert list(rows[i]["q"]) == list(q), (i, rows[i]["q"], q)
+        assert all(-128 <= c <= 127 for c in rows[i]["q"])
+        err = np.abs(v64[i] - (mn + (q + 128) * sc)).max()
+        assert abs(rows[i]["max_err"] - round(err, 9)) < 1e-12
+        assert rows[i]["max_err"] <= sc.max() / 2 + 1e-12

@@ -451,3 +451,47 @@ def test_t15_mixture_rate_and_coin(spark, tmp_path):
         assert abs(r["mix_rate"] - round(rate, 6)) < 1e-12, r
         h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
         assert r["mix_keep"] == ((h % 1000000) / 1000000.0 < rate), r
+
+
+def test_t16_bm25_matches_python_reference(spark, tmp_path):
+    import math
+
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.textstats import (
+        _T16_B,
+        _T16_K1,
+        _T16_TERMS,
+        QUERIES,
+    )
+
+    texts = [
+        "spark spark filter one two",
+        "window three four five six seven",
+        "plain words only here",
+        "spark window filter",
+    ]
+    pd.DataFrame(
+        {"doc_id": list(range(4)), "text": texts}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    toks = [s.split(" ") for s in texts]
+    n_docs = len(texts)
+    avgdl = sum(len(w) for w in toks) / n_docs
+    df = {t: sum(1 for w in toks if t in w) for t in _T16_TERMS}
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["t16_bm25_score"](spark, str(tmp_path)).collect()
+    }
+    for i, w in enumerate(toks):
+        want = 0.0
+        for term in _T16_TERMS:
+            tf = w.count(term)
+            idf = math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1)
+            want += (
+                idf
+                * tf
+                * (_T16_K1 + 1)
+                / (tf + _T16_K1 * (1 - _T16_B + _T16_B * len(w) / avgdl))
+            )
+        assert abs(rows[i]["bm25"] - round(want, 6)) < 1e-9, (i, rows[i])
+        assert rows[i]["tf_spark"] == w.count("spark")
