@@ -827,7 +827,8 @@ _D10_K = 8  # duplicated-substring length in words (Lee et al. use 50
 #             exercise the operator — same code path, any k)
 
 _D10_ORACLE = f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH d AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+           FROM documents),
 g AS (
   SELECT doc_id, i AS pos,
          array_to_string(list_slice(w, i, i + {_D10_K - 1}), ' ') AS gram
@@ -886,7 +887,8 @@ def d10(spark, sf):
     to word grain for reassembly, so the big side shuffles only its
     duplicated window ids, never text."""
     d = t(spark, sf, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("w"),
     )
     grams = d.select(
         "doc_id",

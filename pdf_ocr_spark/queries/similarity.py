@@ -541,8 +541,12 @@ qt AS (
   FROM embeddings, stats
 )
 SELECT vec_id, q,
-       CAST(list_reduce(q, (a, x) -> a + x) AS BIGINT) AS q_sum,
-       round(list_reduce(err, (a, x) -> greatest(a, x)), 9) AS max_err
+       CASE WHEN len(q) = 0 THEN 0
+            ELSE CAST(list_reduce(q, (a, x) -> a + x) AS BIGINT)
+       END AS q_sum,
+       CASE WHEN len(err) = 0 THEN 0.0
+            ELSE round(list_reduce(err, (a, x) -> greatest(a, x)), 9)
+       END AS max_err
 FROM qt
 """
 

@@ -102,7 +102,9 @@ def test_s07_int8_quantize_reference(spark, tmp_path):
     mn, mx = v64.min(axis=0), v64.max(axis=0)
     sc = (mx - mn) / 255.0
     for i in range(20):
-        q = np.round((v64[i] - mn) / sc).astype(int) - 128
+        # HALF_UP like Spark/DuckDB round (np.round is half-to-even);
+        # the ratio is >= 0 so floor(x + 0.5) is away-from-zero
+        q = np.floor((v64[i] - mn) / sc + 0.5).astype(int) - 128
         assert list(rows[i]["q"]) == list(q), (i, rows[i]["q"], q)
         assert all(-128 <= c <= 127 for c in rows[i]["q"])
         err = np.abs(v64[i] - (mn + (q + 128) * sc)).max()

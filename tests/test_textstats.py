@@ -404,7 +404,10 @@ def test_t14_lm_scores_match_python_reference(spark, tmp_path):
     ).to_parquet(str(tmp_path / "documents.parquet"))
     toks = [t for s in texts for t in s.split(" ")]
     cnt, n, v = Counter(toks), len(toks), len(set(toks))
-    lp = {t: round(math.log((c + 1) / (n + v)) * 1e6) for t, c in cnt.items()}
+    # HALF_UP away from zero like Spark round (Python round is
+    # half-to-even); log-probs are negative
+    rnd = lambda x: int(math.copysign(math.floor(abs(x) + 0.5), x))
+    lp = {t: rnd(math.log((c + 1) / (n + v)) * 1e6) for t, c in cnt.items()}
     rows = {
         r["doc_id"]: r
         for r in QUERIES["t14_lm_perplexity"](spark, str(tmp_path)).collect()
