@@ -156,3 +156,73 @@ def m04(spark, sf):
             "n_bytes",
         )
     )
+
+
+# ---------------------------------------------------------------- m05
+@q(
+    "m05_audio_segments",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id,
+         ([16000, 22050, 44100])
+           [('0x' || substr(md5(text), 11, 2))::INT % 3 + 1] AS sample_rate,
+         (n_chars % 30 + 1) AS dur_s
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, sample_rate,
+         CAST(dur_s * sample_rate AS BIGINT) AS n_samples,
+         sample_rate // 40 AS win,
+         sample_rate // 100 AS hop
+  FROM meta
+)
+SELECT doc_id, sample_rate, n_samples,
+       CAST(win AS INTEGER) AS win,
+       CAST(hop AS INTEGER) AS hop,
+       CAST(CASE WHEN n_samples >= win
+                 THEN (n_samples - win) // hop + 1 ELSE 0 END
+            AS INTEGER) AS n_frames
+FROM seg
+""",
+)
+def m05(spark, sf):
+    """Audio segmentation plan: typed metadata for an opaque audio blob
+    (sample rate md5-derived, duration n_chars-derived — the m01
+    deterministic-fake pattern, codecs are not in this container) and
+    the standard 25 ms window / 10 ms hop framing every feature
+    pipeline (fbank/MFCC/wav2vec) uses:
+    n_frames = (n_samples - win) div hop + 1.
+
+    The frame WORK LIST (doc_id x frame_idx explode, m03's shape) and
+    the per-frame feature kernel (mapInPandas, m01's shape) reuse the
+    existing operators; this query is the per-document segmentation
+    contract they fan out from. Pure integer math, scan-local, zero
+    shuffle."""
+    d = t(spark, sf, "documents")
+    sr = F.expr(
+        "element_at(array(16000, 22050, 44100), "
+        "CAST(conv(substring(md5(text), 11, 2), 16, 10) AS INT) % 3 + 1)"
+    )
+    seg = d.select(
+        "doc_id", sr.alias("sample_rate"), (F.col("n_chars") % 30 + 1).alias("dur_s")
+    ).select(
+        "doc_id",
+        "sample_rate",
+        (F.col("dur_s") * F.col("sample_rate")).cast("bigint").alias("n_samples"),
+        F.expr("sample_rate div 40").cast("int").alias("win"),
+        F.expr("sample_rate div 100").cast("int").alias("hop"),
+    )
+    return seg.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "win",
+        "hop",
+        F.when(
+            F.col("n_samples") >= F.col("win"),
+            F.expr("(n_samples - win) div hop + 1"),
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("n_frames"),
+    )

@@ -632,16 +632,18 @@ def t01_suite(spark, sf):
     "m01_media_suite",
     oracle=f"""
 SELECT a.doc_id, a.width, a.height, a.format, a.n_bytes, b.mean_byte,
-       c.new_width, c.new_height
+       c.new_width, c.new_height,
+       e.sample_rate, e.n_samples, e.n_frames
 FROM {_sub(multimodal_q, "m01_media_decode")} a
 JOIN {_sub(multimodal_q, "m02_media_feature")} b ON b.doc_id = a.doc_id
 JOIN {_sub(multimodal_q, "m04_media_resize")} c ON c.doc_id = a.doc_id
+JOIN {_sub(multimodal_q, "m05_audio_segments")} e ON e.doc_id = a.doc_id
 """,
 )
 def m01_suite(spark, sf):
     """Media suite (one row per doc): mapInPandas decode metadata (m01)
     + per-blob feature extraction (m02) + aspect-preserving resize
-    plan (m04), joined on doc_id."""
+    plan (m04) + audio segmentation framing (m05), joined on doc_id."""
     a = multimodal_q.QUERIES["m01_media_decode"](spark, sf)
     b = multimodal_q.QUERIES["m02_media_feature"](spark, sf).select(
         "doc_id", "mean_byte"
@@ -649,7 +651,10 @@ def m01_suite(spark, sf):
     c = multimodal_q.QUERIES["m04_media_resize"](spark, sf).select(
         "doc_id", "new_width", "new_height"
     )
-    return a.join(b, "doc_id").join(c, "doc_id")
+    e = multimodal_q.QUERIES["m05_audio_segments"](spark, sf).select(
+        "doc_id", "sample_rate", "n_samples", "n_frames"
+    )
+    return a.join(b, "doc_id").join(c, "doc_id").join(e, "doc_id")
 
 
 # ========================================================== validation

@@ -498,3 +498,88 @@ def test_t16_bm25_matches_python_reference(spark, tmp_path):
             )
         assert abs(rows[i]["bm25"] - round(want, 6)) < 1e-9, (i, rows[i])
         assert rows[i]["tf_spark"] == w.count("spark")
+
+
+def _py_d10(texts: list[str], k: int = 8):
+    """Pure-Python ExactSubstr reference: every k-word window keeps only
+    its first (doc_id, pos) occurrence; later occurrences' spans are
+    cut."""
+    seen: dict = {}
+    occ: dict = {}  # doc -> list of cut start positions (1-based)
+    for di, s in enumerate(texts):
+        w = s.split(" ")
+        for p in range(len(w) - k + 1):
+            g = " ".join(w[p : p + k])
+            if g in seen:
+                occ.setdefault(di, []).append(p + 1)
+            else:
+                seen[g] = (di, p)
+    out = {}
+    for di, s in enumerate(texts):
+        w = s.split(" ")
+        covered = set()
+        for p in occ.get(di, []):
+            covered.update(range(p, p + k))
+        clean = " ".join(x for j, x in enumerate(w, 1) if j not in covered)
+        out[di] = (
+            len(w),
+            len(occ.get(di, [])),
+            len(covered),
+            clean,
+        )
+    return out
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=2),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_d10_property_vs_python_reference(spark, tmp_path_factory, docs):
+    """Arbitrary tiny-alphabet word streams (heavy window collisions —
+    overlapping duplicate windows, intra-doc repeats, whole-doc dups)
+    match the sequential first-occurrence reference, with k=3 to make
+    collisions dense."""
+    import pandas as pd
+
+    import pdf_ocr_spark.queries.dedup as dd
+
+    texts = [" ".join(ws) for ws in docs]
+    tmp = tmp_path_factory.mktemp("d10prop")
+    pd.DataFrame(
+        {"doc_id": list(range(len(texts))), "text": texts}
+    ).to_parquet(str(tmp / "documents.parquet"))
+    old = dd._D10_K
+    dd._D10_K = 3
+    try:
+        # rebuild the k-dependent plan under the patched constant
+        rows = {
+            r["doc_id"]: r
+            for r in _rebuilt_d10(dd)(spark, str(tmp)).collect()
+        }
+    finally:
+        dd._D10_K = old
+    want = _py_d10(texts, k=3)
+    for di, (nw, nocc, ncut, clean) in want.items():
+        r = rows[di]
+        assert (
+            r["n_words"],
+            r["n_dup_occ"],
+            r["n_cut_words"],
+            r["clean_text"],
+        ) == (nw, nocc, ncut, clean), (di, texts[di])
+
+
+def _rebuilt_d10(dd):
+    """d10's Spark body re-reads module constants at call time, so the
+    registered callable works under the monkeypatched k directly."""
+    return dd.QUERIES["d10_substring_dedup"]
