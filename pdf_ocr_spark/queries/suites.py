@@ -544,7 +544,14 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t13.n_tok, t13.first_bin, t13.last_bin, t13.offset_in_bin,
        t14.micro_lp_sum, t14.lm_bits_per_tok, t14.ppl_bucket,
        t15.mix_rate, t15.mix_keep,
-       t16.tf_spark, t16.tf_filter, t16.tf_window, t16.bm25
+       t16.tf_spark, t16.tf_filter, t16.tf_window, t16.bm25,
+       (t2.keep = 1 AND t11.c4_keep = 1
+        AND t12.url_keep = 1 AND t15.mix_keep) AS curation_keep,
+       CASE WHEN t2.keep = 0 THEN 'quality'
+            WHEN t11.c4_keep = 0 THEN 'c4'
+            WHEN t12.url_keep = 0 THEN 'url'
+            WHEN NOT t15.mix_keep THEN 'mixture'
+            ELSE '' END AS first_fail
 FROM {_sub(textstats, "t01_language_id")} t1
 JOIN {_sub(textstats, "t02_quality_score")} t2 ON t2.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t03_token_counts")} t3 ON t3.doc_id = t1.doc_id
@@ -581,8 +588,15 @@ def t01_suite(spark, sf):
     fixed token bins (t13), CCNet-style unigram-LM perplexity
     scoring with per-language head/middle/tail buckets (t14), and
     domain-mixture sampling to a token budget (t15: per-domain rate +
-    deterministic hash-coin keep), and BM25 scoring against a fixed
-    query (t16: per-term tf + the score)."""
+    deterministic hash-coin keep), BM25 scoring against a fixed
+    query (t16: per-term tf + the score), and the composed curation
+    funnel verdict (curation_keep = every filter stage passes;
+    first_fail = the first stage that rejects, in the fixed pipeline
+    order quality -> c4 -> url -> mixture). The Gopher absolute
+    floors (t11) stay a reported column but sit outside the composed
+    verdict: their 50-word minimum targets web pages and rejects
+    every short synthetic table fragment, which would pin the funnel
+    constant-false — a real deployment includes it."""
     t1 = textstats.QUERIES["t01_language_id"](spark, sf)
     t2 = textstats.QUERIES["t02_quality_score"](spark, sf)
     t3 = textstats.QUERIES["t03_token_counts"](spark, sf)
@@ -624,6 +638,21 @@ def t01_suite(spark, sf):
         .join(t14, "doc_id")
         .join(t15, "doc_id")
         .join(t16, "doc_id")
+        .withColumn(
+            "curation_keep",
+            (F.col("keep") == 1)
+            & (F.col("c4_keep") == 1)
+            & (F.col("url_keep") == 1)
+            & F.col("mix_keep"),
+        )
+        .withColumn(
+            "first_fail",
+            F.when(F.col("keep") == 0, "quality")
+            .when(F.col("c4_keep") == 0, "c4")
+            .when(F.col("url_keep") == 0, "url")
+            .when(~F.col("mix_keep"), "mixture")
+            .otherwise(""),
+        )
     )
 
 
