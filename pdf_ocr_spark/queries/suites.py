@@ -202,12 +202,19 @@ FROM {_sub(windows, "q37_event_time_windows")} _a
 UNION ALL
 SELECT 'q40_sliding', window_start, key, n_events, 0.0
 FROM {_sub(windows, "q40_sliding_windows")} _b
+UNION ALL
+SELECT 'q41_asof', last_purchase_ts, CAST(event_id AS VARCHAR),
+       gap_us, last_purchase_value
+FROM {_sub(windows, "q41_asof_join")} _c
 """,
 )
 def q37_suite(spark, sf):
     """Event-time windowed aggregation suite: 10-min tumbling (q37) +
     10/5-min sliding (q40), both sharing streaming/windows.py with the
-    Structured Streaming path."""
+    Structured Streaming path, + the as-of join (q41: per event, the
+    latest same-user purchase at-or-before — window_start carries the
+    matched purchase ts, key the event id, n_events the gap in
+    microseconds, sum_value the matched value)."""
     a = windows.QUERIES["q37_event_time_windows"](spark, sf).select(
         F.lit("q37_tumbling").alias("fam"),
         "window_start",
@@ -222,7 +229,14 @@ def q37_suite(spark, sf):
         "n_events",
         F.lit(0.0).alias("sum_value"),
     )
-    return a.unionByName(b)
+    c = windows.QUERIES["q41_asof_join"](spark, sf).select(
+        F.lit("q41_asof").alias("fam"),
+        F.col("last_purchase_ts").alias("window_start"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("gap_us").alias("n_events"),
+        F.col("last_purchase_value").alias("sum_value"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 # ============================================================== setops

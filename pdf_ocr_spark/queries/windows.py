@@ -337,3 +337,103 @@ def q40(spark, sf):
         key_col="event_type",
         streaming=False,
     ).drop("window_end")
+
+
+# ---------------------------------------------------------------- q41
+@q(
+    "q41_asof_join",
+    oracle="""
+WITH refs AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       COALESCE(r.ts, TIMESTAMP '1970-01-01') AS last_purchase_ts,
+       COALESCE(r.value, -1.0) AS last_purchase_value,
+       COALESCE(epoch_us(e.ts) - epoch_us(r.ts), -1) AS gap_us
+FROM events e ASOF LEFT JOIN refs r
+  ON e.user_id = r.user_id AND e.ts >= r.ts
+""",
+)
+def q41(spark, sf):
+    """As-of join (temporal point lookup, the operator Spark's join
+    zoo lacks): for every event, the latest purchase by the same user
+    at or before the event's timestamp — DuckDB verifies with its
+    native ASOF JOIN, Spark implements the UNION + last-non-null
+    window pattern (the scale-correct strategy: tag reference rows,
+    union with probe rows, one window per key ordered by (ts, tag)
+    carrying the last reference forward; ref rows sort before probes
+    at equal ts, giving the same >= semantics).
+
+    Why not a range join: probe x ref per user with a ts inequality is
+    O(n*m) BroadcastNestedLoop per key in Spark; the union-window form
+    is ONE shuffle on user_id + a linear scan per partition — the
+    as-of shape that survives 100 TB of events. Reference timestamps
+    are deduplicated per (user_id, ts) by arg-max(event_id) first so
+    ties resolve identically in both engines."""
+    ev = t(spark, sf, "events")
+    refs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("ref_value"))
+    )
+    probe = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("timestamp").alias("ref_ts"),
+        F.lit(None).cast("double").alias("ref_value"),
+    )
+    ref = refs.select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.lit(None).cast("string").alias("event_type"),
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("ts").alias("ref_ts"),
+        "ref_value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = (
+        probe.unionByName(ref)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            "tag",
+            F.last("ref_ts", ignorenulls=True).over(w).alias(
+                "last_purchase_ts"
+            ),
+            F.last("ref_value", ignorenulls=True).over(w).alias(
+                "last_purchase_value"
+            ),
+        )
+        .filter(F.col("tag") == 1)
+    )
+    # no-match sentinels (epoch ts / -1) instead of NULLs: the oracle
+    # comparator reads DuckDB through pandas, where NULL ints/timestamps
+    # become NaN/NaT and change the column's formatting
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce(
+            "last_purchase_ts", F.lit("1970-01-01").cast("timestamp_ntz")
+        ).alias("last_purchase_ts"),
+        F.coalesce("last_purchase_value", F.lit(-1.0)).alias(
+            "last_purchase_value"
+        ),
+        F.coalesce(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("last_purchase_ts").cast("timestamp")),
+            F.lit(-1),
+        ).alias("gap_us"),  # NTZ->TZ cast shift cancels in the difference
+    )
