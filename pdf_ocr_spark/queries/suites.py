@@ -206,6 +206,10 @@ UNION ALL
 SELECT 'q41_asof', last_purchase_ts, CAST(event_id AS VARCHAR),
        gap_us, last_purchase_value
 FROM {_sub(windows, "q41_asof_join")} _c
+UNION ALL
+SELECT 'q42_rollup', bucket, grain || '#' || event_type,
+       n_events, CAST(sum_cents AS DOUBLE)
+FROM {_sub(windows, "q42_time_rollup")} _d
 """,
 )
 def q37_suite(spark, sf):
@@ -214,7 +218,9 @@ def q37_suite(spark, sf):
     Structured Streaming path, + the as-of join (q41: per event, the
     latest same-user purchase at-or-before — window_start carries the
     matched purchase ts, key the event id, n_events the gap in
-    microseconds, sum_value the matched value)."""
+    microseconds, sum_value the matched value), + the hierarchical
+    time rollup (q42: hour/day/month/all grains in one GROUPING-SETS
+    pass; key = grain#event_type, sum_value = integer cents)."""
     a = windows.QUERIES["q37_event_time_windows"](spark, sf).select(
         F.lit("q37_tumbling").alias("fam"),
         "window_start",
@@ -236,7 +242,14 @@ def q37_suite(spark, sf):
         F.col("gap_us").alias("n_events"),
         F.col("last_purchase_value").alias("sum_value"),
     )
-    return a.unionByName(b).unionByName(c)
+    d = windows.QUERIES["q42_time_rollup"](spark, sf).select(
+        F.lit("q42_rollup").alias("fam"),
+        F.col("bucket").alias("window_start"),
+        F.concat_ws("#", "grain", "event_type").alias("key"),
+        F.col("n_events"),
+        F.col("sum_cents").cast("double").alias("sum_value"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 # ============================================================== setops

@@ -437,3 +437,69 @@ def q41(spark, sf):
             F.lit(-1),
         ).alias("gap_us"),  # NTZ->TZ cast shift cancels in the difference
     )
+
+
+# ---------------------------------------------------------------- q42
+@q(
+    "q42_time_rollup",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         date_trunc('month', ts) AS m,
+         date_trunc('day', ts) AS d,
+         date_trunc('hour', ts) AS h,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN GROUPING(h) = 0 THEN 'hour'
+            WHEN GROUPING(d) = 0 THEN 'day'
+            WHEN GROUPING(m) = 0 THEN 'month'
+            ELSE 'all' END AS grain,
+       COALESCE(h, d, m, TIMESTAMP '1970-01-01') AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b
+GROUP BY event_type, ROLLUP(m, d, h)
+""",
+)
+def q42(spark, sf):
+    """Hypertable-style hierarchical time rollup (the TimescaleDB
+    continuous-aggregate shape): per event type, event counts and value
+    sums at hour, day, month, and all-time grains in ONE pass —
+    GROUP BY event_type, ROLLUP(month, day, hour), the multi-grain
+    aggregation a metrics store materializes instead of re-scanning
+    per resolution.
+
+    Float discipline: values freeze to integer cents before the sum,
+    so every grain's total is exact integer math (a double SUM would
+    differ across aggregation orders, let alone engines).
+
+    Scale shape: one shuffle on the grouping-set key with map-side
+    partials (Spark expands the rollup BEFORE the exchange, so each
+    task emits 4 partial rows per input group); bucket keys are
+    time-ordered, so at production the same query over a
+    date-partitioned table prunes to the ingest increment — the
+    continuous-aggregate refresh pattern."""
+    ev = t(spark, sf, "events")
+    ev.select(
+        "event_type",
+        F.date_trunc("month", "ts").alias("m"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).createOrReplaceTempView("q42_b")
+    return ev.sparkSession.sql(
+        """
+SELECT event_type,
+       CASE WHEN GROUPING(h) = 0 THEN 'hour'
+            WHEN GROUPING(d) = 0 THEN 'day'
+            WHEN GROUPING(m) = 0 THEN 'month'
+            ELSE 'all' END AS grain,
+       COALESCE(h, d, m, TIMESTAMP_NTZ '1970-01-01') AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM q42_b
+GROUP BY event_type, ROLLUP(m, d, h)
+"""
+    )
