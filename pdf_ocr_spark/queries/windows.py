@@ -481,25 +481,35 @@ def q42(spark, sf):
     time-ordered, so at production the same query over a
     date-partitioned table prunes to the ingest increment — the
     continuous-aggregate refresh pattern."""
-    ev = t(spark, sf, "events")
-    ev.select(
+    b = t(spark, sf, "events").select(
         "event_type",
         F.date_trunc("month", "ts").alias("m"),
         F.date_trunc("day", "ts").alias("d"),
         F.date_trunc("hour", "ts").alias("h"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-    ).createOrReplaceTempView("q42_b")
-    return ev.sparkSession.sql(
-        """
-SELECT event_type,
-       CASE WHEN GROUPING(h) = 0 THEN 'hour'
-            WHEN GROUPING(d) = 0 THEN 'day'
-            WHEN GROUPING(m) = 0 THEN 'month'
-            ELSE 'all' END AS grain,
-       COALESCE(h, d, m, TIMESTAMP_NTZ '1970-01-01') AS bucket,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(cents) AS BIGINT) AS sum_cents
-FROM q42_b
-GROUP BY event_type, ROLLUP(m, d, h)
-"""
+    )
+    # DataFrame.groupingSets (no temp-view side effect): the four
+    # rollup prefixes of (m, d, h), each carrying event_type
+    et, m, d, h = (F.col(c) for c in ("event_type", "m", "d", "h"))
+    agg = b.groupingSets(
+        [[et, m, d, h], [et, m, d], [et, m], [et]], et, m, d, h
+    ).agg(
+        F.grouping("h").alias("gh"),
+        F.grouping("d").alias("gd"),
+        F.grouping("m").alias("gm"),
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    return agg.select(
+        "event_type",
+        F.when(F.col("gh") == 0, "hour")
+        .when(F.col("gd") == 0, "day")
+        .when(F.col("gm") == 0, "month")
+        .otherwise("all")
+        .alias("grain"),
+        F.coalesce(
+            "h", "d", "m", F.lit("1970-01-01").cast("timestamp_ntz")
+        ).alias("bucket"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
     )

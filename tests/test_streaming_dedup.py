@@ -1,6 +1,7 @@
-"""Streaming dedup-at-ingest: first arrival of each content hash is
-emitted exactly once within the watermark horizon, across micro-batches,
-and the key agrees with the d01 batch operator."""
+"""Streaming dedup-at-ingest: every clause of the module's semantics
+contract, against a real checkpointed multi-batch run — in-horizon
+suppression (in-batch and cross-batch), state eviction past the horizon
+(the duplicate re-emits), and the late-data drop of a never-seen row."""
 
 from __future__ import annotations
 
@@ -21,8 +22,8 @@ SCHEMA = T.StructType(
 )
 
 
-def _t(m):
-    return dt.datetime(2026, 1, 1, 9, m)
+def _t(h, m):
+    return dt.datetime(2026, 1, 1, h, m)
 
 
 @pytest.fixture()
@@ -34,6 +35,9 @@ def dirs(tmp_path):
 
 
 def _write(spark, path, rows):
+    # one file per batch: batch content is deterministic, so the
+    # "arbitrary representative within a micro-batch" clause (#2)
+    # cannot make this test flaky
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(path)
@@ -47,45 +51,60 @@ def _run(spark, dirs):
     q.awaitTermination(120)
 
 
-def test_stream_dedup_first_arrival_wins(spark, dirs):
+def test_stream_dedup_contract(spark, dirs):
     # batch 1: two distinct texts + an in-batch duplicate (whitespace
     # variant — the normalization must fold it onto the same key)
     _write(
         spark,
         dirs["in"],
         [
-            (_t(0), 1, "alpha beta gamma"),
-            (_t(1), 2, "Alpha  beta   GAMMA"),  # dup of doc 1 after norm
-            (_t(2), 3, "wholly different text"),
+            (_t(9, 0), 1, "alpha beta gamma"),
+            (_t(9, 1), 2, "Alpha  beta   GAMMA"),  # dup of doc 1, in-batch
+            (_t(9, 2), 3, "wholly different text"),
         ],
     )
     _run(spark, dirs)
     # batch 2 (same query lineage via checkpoint): a cross-batch dup
-    # of doc 3 and one genuinely new doc
+    # inside the horizon + a new doc far ahead that advances the
+    # watermark to 11:30
     _write(
         spark,
         dirs["in"],
         [
-            (_t(5), 4, "wholly different text"),
-            (_t(6), 5, "a third unique doc"),
+            (_t(9, 5), 4, "wholly different text"),  # in-horizon dup
+            (_t(12, 0), 5, "a third unique doc"),    # advances watermark
+        ],
+    )
+    _run(spark, dirs)
+    # batch 3: a duplicate PAST the horizon (state evicted -> re-emit)
+    # and a never-seen row already older than the watermark (dropped)
+    _write(
+        spark,
+        dirs["in"],
+        [
+            (_t(12, 5), 6, "alpha beta gamma"),       # re-emits (#3)
+            (_t(9, 10), 7, "late unique never seen"),  # late-drop (#4)
         ],
     )
     _run(spark, dirs)
 
     out = spark.read.parquet(dirs["out"])
     got = {r["doc_id"]: r["norm_hash"] for r in out.collect()}
-    # doc 2 (in-batch dup) and doc 4 (cross-batch dup) suppressed
-    assert set(got) == {1, 3, 5}
+    # docs 2/4 suppressed in-horizon; 6 re-emitted; 7 dropped as late
+    assert set(got) == {1, 3, 5, 6}
     # the streaming key equals the batch d01 key, row for row
     batch = {
         r["doc_id"]: r["norm_hash"]
         for r in content_key(
             spark.createDataFrame(
-                [(_t(0), 1, "alpha beta gamma"),
-                 (_t(2), 3, "wholly different text"),
-                 (_t(6), 5, "a third unique doc")],
+                [(_t(9, 0), 1, "alpha beta gamma"),
+                 (_t(9, 2), 3, "wholly different text"),
+                 (_t(12, 0), 5, "a third unique doc"),
+                 (_t(12, 5), 6, "alpha beta gamma")],
                 SCHEMA,
             )
         ).collect()
     }
     assert got == batch
+    # the re-emitted duplicate carries the same key as its first copy
+    assert got[6] == got[1]

@@ -561,10 +561,13 @@ def test_d10_property_vs_python_reference(spark, tmp_path_factory, docs):
     old = dd._D10_K
     dd._D10_K = 3
     try:
-        # rebuild the k-dependent plan under the patched constant
+        # the d10 body reads _D10_K via f-strings at call time, so the
+        # patched constant takes effect on this call directly
         rows = {
             r["doc_id"]: r
-            for r in _rebuilt_d10(dd)(spark, str(tmp)).collect()
+            for r in dd.QUERIES["d10_substring_dedup"](
+                spark, str(tmp)
+            ).collect()
         }
     finally:
         dd._D10_K = old
@@ -578,8 +581,3 @@ def test_d10_property_vs_python_reference(spark, tmp_path_factory, docs):
             r["clean_text"],
         ) == (nw, nocc, ncut, clean), (di, texts[di])
 
-
-def _rebuilt_d10(dd):
-    """d10's Spark body re-reads module constants at call time, so the
-    registered callable works under the monkeypatched k directly."""
-    return dd.QUERIES["d10_substring_dedup"]
