@@ -33,6 +33,8 @@ HEADLINE = [
     "q12_top3_per_group",
     "q13_sessionize_events",
     "q18_median_event_gap",
+    "q41_asof_join",
+    "q42_time_rollup",
     "d01_exact_dedup",
     "d02_minhash_lsh_dedup",
     "d04_ngram_jaccard_dedup",
