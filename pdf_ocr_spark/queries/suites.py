@@ -210,6 +210,11 @@ UNION ALL
 SELECT 'q42_rollup', bucket, grain || '#' || event_type,
        n_events, CAST(sum_cents AS DOUBLE)
 FROM {_sub(windows, "q42_time_rollup")} _d
+UNION ALL
+SELECT 'q43_range', start_ts,
+       promo_id || '#' || n_users || '#' || n_purchases,
+       n_events, CAST(sum_cents AS DOUBLE)
+FROM {_sub(windows, "q43_range_join")} _e
 """,
 )
 def q37_suite(spark, sf):
@@ -220,7 +225,9 @@ def q37_suite(spark, sf):
     matched purchase ts, key the event id, n_events the gap in
     microseconds, sum_value the matched value), + the hierarchical
     time rollup (q42: hour/day/month/all grains in one GROUPING-SETS
-    pass; key = grain#event_type, sum_value = integer cents)."""
+    pass; key = grain#event_type, sum_value = integer cents), + the
+    bucketed range join (q43: events → overlapping promo windows;
+    key = promo#users#purchases, sum_value = attributed cents)."""
     a = windows.QUERIES["q37_event_time_windows"](spark, sf).select(
         F.lit("q37_tumbling").alias("fam"),
         "window_start",
@@ -249,7 +256,18 @@ def q37_suite(spark, sf):
         F.col("n_events"),
         F.col("sum_cents").cast("double").alias("sum_value"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    e = windows.QUERIES["q43_range_join"](spark, sf).select(
+        F.lit("q43_range").alias("fam"),
+        F.col("start_ts").alias("window_start"),
+        F.concat_ws("#", "promo_id", "n_users", "n_purchases").alias(
+            "key"
+        ),
+        F.col("n_events"),
+        F.col("sum_cents").cast("double").alias("sum_value"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    )
 
 
 # ============================================================== setops

@@ -513,3 +513,120 @@ def q42(spark, sf):
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_cents").cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------- q43
+_Q43_ANCHOR = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+_Q43_N = 120  # promo windows: every 6 h + 17 min, 4h23..10h23 long
+
+
+@q(
+    "q43_range_join",
+    oracle="""
+WITH iv AS (
+  SELECT CAST(k AS INTEGER) AS promo_id,
+         TIMESTAMP '2024-01-01'
+           + INTERVAL (360 * k + 17) MINUTE AS start_ts,
+         TIMESTAMP '2024-01-01'
+           + INTERVAL (360 * k + 17 + 60 * (k % 7 + 4) + 23) MINUTE
+           AS end_ts
+  FROM generate_series(0, 119) AS g(k)
+)
+SELECT iv.promo_id, iv.start_ts, iv.end_ts,
+       CAST(count(e.event_id) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_purchases,
+       CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                              THEN CAST(round(e.value * 100) AS BIGINT)
+                              ELSE 0 END), 0) AS BIGINT) AS sum_cents
+FROM iv LEFT JOIN events e
+  ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+GROUP BY iv.promo_id, iv.start_ts, iv.end_ts
+""",
+)
+def q43(spark, sf):
+    """Range (interval containment) join — the second temporal join
+    Spark's zoo lacks (docpact has no analogue; the operator family is
+    the brief's explicit ask next to the as-of join): every event is
+    matched to EVERY promo window containing its timestamp (windows
+    overlap, so one event can hit two — strictly more general than
+    q41's latest-one-only as-of), then per-window attribution counts.
+
+    Strategy — bucketed equi-join instead of a theta join: a raw
+    `e.ts BETWEEN start AND end` join is a BroadcastNestedLoopJoin
+    (every event row probes every interval). Instead both sides are
+    binned to 1-hour buckets: each interval explodes to the <=11
+    buckets it covers, events compute their bucket arithmetically, the
+    join is a plain equi-join on the bucket plus a residual
+    `ts ∈ [start, end)` filter (intervals are deliberately NOT
+    hour-aligned so the residual does real work). DuckDB verifies with
+    its native IEJoin on the raw inequality, so the two engines
+    cross-check different physical range-join strategies.
+
+    Scale shape: the interval side broadcasts here (promo tables are
+    small); with a large interval table the identical plan becomes a
+    shuffle hash join on the bucket key — bucketing bounds fan-out at
+    max(interval_len/bucket) rows per interval and keeps the big event
+    side to ONE shuffle (or zero with a broadcast). Zero-match windows
+    survive via a final left join of the tiny interval spine onto the
+    120-group aggregate."""
+    k = F.col("id")
+    start_min = 360 * k + 17
+    end_min = start_min + 60 * ((k % 7) + 4) + 23  # exclusive
+    iv = spark.range(_Q43_N).select(
+        k.cast("int").alias("promo_id"),
+        F.expr(
+            f"timestampadd(MINUTE, {360}*id + 17, {_Q43_ANCHOR})"
+        ).alias("start_ts"),
+        F.expr(
+            f"timestampadd(MINUTE, 360*id + 17 + 60*(id % 7 + 4) + 23,"
+            f" {_Q43_ANCHOR})"
+        ).alias("end_ts"),
+        F.sequence(
+            F.floor(start_min / 60), F.floor((end_min - 1) / 60)
+        ).alias("buckets"),
+    )
+    iv_binned = iv.select(
+        "promo_id", "start_ts", "end_ts",
+        F.explode("buckets").alias("bucket"),
+    )
+    ev = t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr(
+            f"timestampdiff(HOUR, {_Q43_ANCHOR}, ts)"
+        ).alias("bucket"),
+    )
+    matched = (
+        ev.join(F.broadcast(iv_binned), "bucket")
+        .filter(
+            (F.col("ts") >= F.col("start_ts"))
+            & (F.col("ts") < F.col("end_ts"))
+        )
+        .groupBy("promo_id")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("n_purchases"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents"))
+                .otherwise(F.lit(0))
+            ).alias("sum_cents"),
+        )
+    )
+    spine = iv.select("promo_id", "start_ts", "end_ts")
+    # both sides are |intervals|-bounded; broadcast the build (right)
+    # side so the zero-match backfill adds no exchange
+    return spine.join(F.broadcast(matched), "promo_id", "left").select(
+        "promo_id", "start_ts", "end_ts",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+        F.coalesce("n_purchases", F.lit(0)).cast("long").alias(
+            "n_purchases"
+        ),
+        F.coalesce("sum_cents", F.lit(0)).cast("long").alias("sum_cents"),
+    )
