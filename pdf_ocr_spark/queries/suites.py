@@ -590,6 +590,7 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t14.micro_lp_sum, t14.lm_bits_per_tok, t14.ppl_bucket,
        t15.mix_rate, t15.mix_keep,
        t16.tf_spark, t16.tf_filter, t16.tf_window, t16.bm25,
+       t17.n_chunks, t17.chunk_toks, t17.chunk_digest,
        (t2.keep = 1 AND t11.c4_keep = 1
         AND t12.url_keep = 1 AND t15.mix_keep) AS curation_keep,
        CASE WHEN t2.keep = 0 THEN 'quality'
@@ -614,6 +615,12 @@ JOIN {_sub(textstats, "t13_sequence_packing")} t13 ON t13.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t14_lm_perplexity")} t14 ON t14.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t15_domain_mixture")} t15 ON t15.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t16_bm25_score")} t16 ON t16.doc_id = t1.doc_id
+JOIN (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks,
+             CAST(sum(n_toks) AS BIGINT) AS chunk_toks,
+             md5(string_agg(chunk_md5, '' ORDER BY chunk_idx))
+               AS chunk_digest
+      FROM {_sub(textstats, "t17_chunk_overlap")} _t17
+      GROUP BY doc_id) t17 ON t17.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -634,8 +641,12 @@ def t01_suite(spark, sf):
     scoring with per-language head/middle/tail buckets (t14), and
     domain-mixture sampling to a token budget (t15: per-domain rate +
     deterministic hash-coin keep), BM25 scoring against a fixed
-    query (t16: per-term tf + the score), and the composed curation
-    funnel verdict (curation_keep = every filter stage passes;
+    query (t16: per-term tf + the score), the per-doc rollup of the
+    overlapping RAG chunker (t17: chunk count, summed chunk tokens,
+    and an order-pinned digest of the per-chunk content hashes — the
+    chunk-grain rows themselves are the fine-grained twin), and the
+    composed curation funnel verdict (curation_keep = every filter
+    stage passes;
     first_fail = the first stage that rejects, in the fixed pipeline
     order quality -> c4 -> url -> mixture). The Gopher absolute
     floors (t11) stay a reported column but sit outside the composed
@@ -662,6 +673,27 @@ def t01_suite(spark, sf):
         "doc_id", "mix_rate", "mix_keep"
     )
     t16 = textstats.QUERIES["t16_bm25_score"](spark, sf).drop("dl")
+    t17 = (
+        textstats.QUERIES["t17_chunk_overlap"](spark, sf)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum("n_toks").cast("long").alias("chunk_toks"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("chunk_idx", "chunk_md5")
+                            )
+                        ),
+                        lambda s: s.chunk_md5,
+                    ),
+                )
+            ).alias("chunk_digest"),
+        )
+    )
     return (
         t1.join(t2, "doc_id")
         .join(t3, "doc_id")
@@ -683,6 +715,7 @@ def t01_suite(spark, sf):
         .join(t14, "doc_id")
         .join(t15, "doc_id")
         .join(t16, "doc_id")
+        .join(t17, "doc_id")
         .withColumn(
             "curation_keep",
             (F.col("keep") == 1)

@@ -1274,3 +1274,79 @@ def t16(spark, sf):
         ],
         F.round(F.expr(_t16_score_sql()), 6).alias("bm25"),
     )
+
+
+# ------------------------------------------------------------- t17
+_T17_CHUNK = 64  # tokens per chunk
+_T17_STRIDE = 48  # => 16-token overlap between neighbours
+
+
+@q(
+    "t17_chunk_overlap",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w, n,
+         unnest(range(0,
+           CASE WHEN n <= {_T17_CHUNK} THEN 0
+                ELSE (n - {_T17_CHUNK} + {_T17_STRIDE} - 1)
+                     // {_T17_STRIDE}
+           END + 1)) AS chunk_idx
+  FROM w
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(chunk_idx * {_T17_STRIDE} AS INTEGER) AS start_tok,
+       CAST(least({_T17_CHUNK}, n - chunk_idx * {_T17_STRIDE})
+            AS INTEGER) AS n_toks,
+       md5(array_to_string(
+           list_slice(w, chunk_idx * {_T17_STRIDE} + 1,
+                      chunk_idx * {_T17_STRIDE} + {_T17_CHUNK}), ' '))
+         AS chunk_md5
+FROM c
+""",
+)
+def t17(spark, sf):
+    """Overlapping fixed-window chunking — the RAG / context-window
+    splitter (public pattern: {chunk}-token windows, {stride}-token
+    stride => {overlap}-token overlap so no sentence is orphaned at a
+    boundary). One output row per (doc, chunk) with a stable chunk id,
+    token offsets, and the chunk's content hash — enough for an
+    embedding/indexing stage to fan out without re-reading documents.
+
+    Distinct from t13 (cross-doc packing concatenates docs into bins;
+    chunking splits ONE doc into overlapping windows). Scale shape:
+    scan-local — tokenize, compute the chunk count arithmetically,
+    explode a bounded integer sequence, slice the token array
+    JVM-side; zero shuffles, no UDFs, fan-out bounded at
+    ceil(n_toks/stride) rows per doc."""
+    C, S = _T17_CHUNK, _T17_STRIDE
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    c = d.select(
+        "doc_id", "w", "n",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.when(F.col("n") <= C, F.lit(0)).otherwise(
+                    F.floor((F.col("n") - C + S - 1) / S)
+                ),
+            )
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * S
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_tok"),
+        F.least(F.lit(C), F.col("n") - start).cast("int").alias("n_toks"),
+        F.md5(F.concat_ws(" ", F.slice("w", start + 1, C))).alias(
+            "chunk_md5"
+        ),
+    )

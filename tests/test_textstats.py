@@ -581,3 +581,53 @@ def test_d10_property_vs_python_reference(spark, tmp_path_factory, docs):
             r["clean_text"],
         ) == (nw, nocc, ncut, clean), (di, texts[di])
 
+
+
+def test_t17_chunks_tile_with_overlap(spark, tmp_path):
+    """Chunk windows tile each doc: stride apart, full chunks except
+    possibly the last, every token covered, reconstruction via the
+    chunk hashes matches hashing the slices directly."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.textstats import (
+        _T17_CHUNK, _T17_STRIDE, QUERIES,
+    )
+
+    sizes = [1, 5, 63, 64, 65, 111, 112, 113, 500]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(sizes))),
+            "text": [
+                " ".join(f"w{d}_{j}" for j in range(n))
+                for d, n in enumerate(sizes)
+            ],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["t17_chunk_overlap"](spark, str(tmp_path)).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, n in enumerate(sizes):
+        rs = sorted(by_doc[d], key=lambda r: r["chunk_idx"])
+        words = [f"w{d}_{j}" for j in range(n)]
+        exp_chunks = (
+            1 if n <= _T17_CHUNK
+            else (n - _T17_CHUNK + _T17_STRIDE - 1) // _T17_STRIDE + 1
+        )
+        assert len(rs) == exp_chunks, (d, n)
+        for r in rs:
+            assert r["start_tok"] == r["chunk_idx"] * _T17_STRIDE
+            sl = words[r["start_tok"]: r["start_tok"] + _T17_CHUNK]
+            assert r["n_toks"] == len(sl)
+            assert (
+                r["chunk_md5"]
+                == hashlib.md5(" ".join(sl).encode()).hexdigest()
+            )
+        # full coverage: last chunk reaches the last token
+        assert rs[-1]["start_tok"] + rs[-1]["n_toks"] == n
+        # overlap: consecutive chunks share CHUNK - STRIDE tokens
+        if len(rs) > 1:
+            assert rs[0]["n_toks"] == _T17_CHUNK
+            assert _T17_CHUNK - _T17_STRIDE == 16
