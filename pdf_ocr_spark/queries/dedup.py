@@ -940,3 +940,107 @@ def d10(spark, sf):
             ).alias("clean_text"),
         )
     )
+
+
+# -------------------------------------------------------------- d11
+@q(
+    "d11_incremental_dedup",
+    oracle="""
+WITH k AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 5 THEN md5('__boilerplate__')
+              WHEN doc_id % 2 = 1 AND doc_id % 13 = 3
+                THEN md5('__batch_dup__')
+              ELSE md5(text) END AS content_key,
+         doc_id % 2 = 1 AS is_new
+  FROM documents
+),
+prior AS (
+  SELECT content_key, min(doc_id) AS prior_holder
+  FROM k WHERE NOT is_new GROUP BY content_key
+),
+nw AS (
+  SELECT doc_id, content_key,
+         ROW_NUMBER() OVER (PARTITION BY content_key
+                            ORDER BY doc_id) AS rn,
+         MIN(doc_id) OVER (PARTITION BY content_key) AS batch_holder
+  FROM k WHERE is_new
+)
+SELECT n.doc_id, n.content_key,
+       CASE WHEN p.prior_holder IS NOT NULL THEN 'dup_prior'
+            WHEN n.rn > 1 THEN 'dup_batch'
+            ELSE 'kept' END AS verdict,
+       CAST(COALESCE(p.prior_holder,
+                     CASE WHEN n.rn > 1 THEN n.batch_holder
+                          ELSE n.doc_id END) AS BIGINT) AS holder
+FROM nw n LEFT JOIN prior p USING (content_key)
+""",
+)
+def d11(spark, sf):
+    """Incremental (snapshot-vs-index) exact dedup — the continuous-
+    ingest pattern: a NEW batch of documents is deduplicated against
+    the content-hash index of the PRIOR corpus AND within itself, so
+    re-crawled pages never re-enter the corpus. Verdicts: 'dup_prior'
+    (hash already indexed; holder = the indexed doc), 'dup_batch'
+    (first seen in this batch by a lower doc_id), 'kept' (novel —
+    these rows become the index increment for the next batch).
+
+    The synthetic corpus has no cross-doc duplicate texts, so two
+    deterministic collision classes are injected from doc_id (the t10
+    decoration pattern, identical expression in both engines): a
+    boilerplate key shared across prior+batch (doc_id % 11 = 5) and a
+    batch-only key (odd doc_id % 13 = 3) — all three verdicts fire in
+    any corpus slice. Prior/batch membership is doc_id parity.
+
+    Scale shape: ONE shuffle on the content hash serves the
+    prior-index left join AND the within-batch first-occurrence
+    window (same key, the sort-merge join output stays partitioned).
+    At 100 TB the prior index is a hash-bucketed table, so its side of
+    the join needs no exchange at all, and the batch side — the small
+    side in steady-state ingest — is the only thing shuffled."""
+    boiler = F.md5(F.lit("__boilerplate__"))
+    batchd = F.md5(F.lit("__batch_dup__"))
+    k = t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 5, boiler)
+        .when(
+            (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 13 == 3),
+            batchd,
+        )
+        .otherwise(F.md5("text"))
+        .alias("content_key"),
+        (F.col("doc_id") % 2 == 1).alias("is_new"),
+    )
+    prior = (
+        k.filter(~F.col("is_new"))
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("prior_holder"))
+    )
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy("content_key").orderBy("doc_id")
+    nw = (
+        k.filter("is_new")
+        .withColumn("rn", F.row_number().over(wk))
+        .withColumn(
+            "batch_holder",
+            F.min("doc_id").over(W.partitionBy("content_key")),
+        )
+    )
+    j = nw.join(prior, "content_key", "left")
+    return j.select(
+        "doc_id",
+        "content_key",
+        F.when(F.col("prior_holder").isNotNull(), "dup_prior")
+        .when(F.col("rn") > 1, "dup_batch")
+        .otherwise("kept")
+        .alias("verdict"),
+        F.coalesce(
+            "prior_holder",
+            F.when(F.col("rn") > 1, F.col("batch_holder")).otherwise(
+                F.col("doc_id")
+            ),
+        )
+        .cast("long")
+        .alias("holder"),
+    )

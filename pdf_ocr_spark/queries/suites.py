@@ -509,6 +509,12 @@ UNION ALL
 SELECT 'd10' AS fam, doc_id AS doc_a, CAST(n_cut_words AS BIGINT) AS doc_b,
        CAST(n_dup_occ AS INTEGER) AS hamming, clean_text AS txt
 FROM {_sub(dedup, "d10_substring_dedup")} _e
+UNION ALL
+SELECT 'd11' AS fam, doc_id AS doc_a, holder AS doc_b,
+       CAST(CASE verdict WHEN 'kept' THEN 0
+            WHEN 'dup_prior' THEN 1 ELSE 2 END AS INTEGER) AS hamming,
+       content_key AS txt
+FROM {_sub(dedup, "d11_incremental_dedup")} _f
 """,
 )
 def d06_suite(spark, sf):
@@ -522,7 +528,9 @@ def d06_suite(spark, sf):
     boilerplate lines stripped, txt = cleaned text), and substring-
     level exact dedup (d10, Lee et al. 2022 ExactSubstr: doc_b = words
     cut, hamming = duplicate window occurrences removed, txt = cleaned
-    text)."""
+    text), and incremental snapshot-vs-index dedup (d11: doc_b = the
+    canonical holder, hamming = verdict code 0 kept / 1 dup_prior /
+    2 dup_batch, txt = content key)."""
     d6 = dedup.QUERIES["d06_simhash_bucketed"](spark, sf).select(
         F.lit("d06").alias("fam"), "doc_a", "doc_b",
         F.col("hamming").cast("int").alias("hamming"),
@@ -554,11 +562,23 @@ def d06_suite(spark, sf):
         F.col("n_dup_occ").cast("int").alias("hamming"),
         F.col("clean_text").alias("txt"),
     )
+    d11 = dedup.QUERIES["d11_incremental_dedup"](spark, sf).select(
+        F.lit("d11").alias("fam"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("holder").alias("doc_b"),
+        F.when(F.col("verdict") == "kept", 0)
+        .when(F.col("verdict") == "dup_prior", 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("hamming"),
+        F.col("content_key").alias("txt"),
+    )
     return (
         d6.unionByName(d7)
         .unionByName(d8)
         .unionByName(d9)
         .unionByName(d10)
+        .unionByName(d11)
     )
 
 

@@ -631,3 +631,46 @@ def test_t17_chunks_tile_with_overlap(spark, tmp_path):
         if len(rs) > 1:
             assert rs[0]["n_toks"] == _T17_CHUNK
             assert _T17_CHUNK - _T17_STRIDE == 16
+
+
+def test_d11_incremental_verdicts(spark, tmp_path):
+    """Verdict semantics on a hand-built snapshot: a REAL text dup of
+    a prior doc is dup_prior, a batch-only repeat keeps its first
+    occurrence, novel docs are kept — injected collision classes
+    (doc_id % 11 = 5 boilerplate, odd doc_id % 13 = 3 batch key)
+    resolve the same way."""
+    import pandas as pd
+
+    import pdf_ocr_spark.queries.dedup as dd
+
+    # even = prior snapshot, odd = new batch; avoid ids hitting the
+    # injected classes except where intended
+    rows = [
+        (2, "shared page body"),       # prior holder of the real dup
+        (4, "prior only text"),
+        (1, "shared page body"),       # real dup of doc 2 -> dup_prior
+        (7, "novel text a"),           # kept
+        (9, "repeated in batch"),      # kept (first)
+        (11, "repeated in batch"),     # dup_batch -> holder 9
+        (5, "anything"),               # % 11 == 5 -> boilerplate key
+        (16, "whatever"),              # % 11 == 5, even -> prior holder
+        (3, "x"),                      # odd % 13 == 3 -> batch key, first
+        (29, "y"),                     # odd % 13 == 3 -> dup_batch of 3
+    ]
+    pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["verdict"], r["holder"])
+        for r in dd.QUERIES["d11_incremental_dedup"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {1, 3, 5, 7, 9, 11, 29}  # batch side only
+    assert out[1] == ("dup_prior", 2)
+    assert out[7] == ("kept", 7)
+    assert out[9] == ("kept", 9)
+    assert out[11] == ("dup_batch", 9)
+    assert out[5] == ("dup_prior", 16)
+    assert out[3] == ("kept", 3)
+    assert out[29] == ("dup_batch", 3)
