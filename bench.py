@@ -35,6 +35,7 @@ HEADLINE = [
     "q18_median_event_gap",
     "q41_asof_join",
     "q42_time_rollup",
+    "q43_range_join",
     "d01_exact_dedup",
     "d02_minhash_lsh_dedup",
     "d04_ngram_jaccard_dedup",
@@ -43,6 +44,7 @@ HEADLINE = [
     "d08_decontaminate",
     "d09_line_dedup",
     "d10_substring_dedup",
+    "d11_incremental_dedup",
     "s01_ann_bruteforce_topk",
     "s03_ivf_centroids",
     "s06_semdedup",
@@ -56,6 +58,7 @@ HEADLINE = [
     "t14_lm_perplexity",
     "t15_domain_mixture",
     "t16_bm25_score",
+    "t17_chunk_overlap",
     "m01_media_decode",
     "c01_keyword_classify",
     "u01_unpivot_compound_headers",
