@@ -49,6 +49,7 @@ HEADLINE = [
     "s03_ivf_centroids",
     "s06_semdedup",
     "s07_int8_quantize",
+    "s08_kmeans",
     "t01_language_id",
     "t02_quality_score",
     "t04_doc_fingerprint",

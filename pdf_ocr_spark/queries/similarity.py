@@ -616,3 +616,153 @@ def s07(spark, sf):
             F.expr("aggregate(err, CAST(0 AS DOUBLE), (a, x) -> greatest(a, x))"), 9
         ).alias("max_err"),
     )
+
+
+# ---------------------------------------------------------------- s08
+# Fixed-order squared-distance folds: the SAME IEEE additions in the
+# SAME order on both engines, so distances are bit-identical and the
+# argmin tie-break (lower cid) can never diverge.
+_S08_K = 8
+_S08_SQL_DIST = (
+    "list_reduce(list_transform(range(1, 1 + len({v})),"
+    " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (a, b) -> a + b)"
+)
+
+_S08_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+  FROM e WHERE vec_id < {_S08_K}
+),
+s1 AS (
+  SELECT e.vec_id, e.v, c.cid,
+         {_S08_SQL_DIST.format(v="e.v", c="c.cv")} AS d
+  FROM e, c0 c
+),
+a1 AS (
+  SELECT vec_id, v, cid AS cl1 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d, cid) AS rk
+    FROM s1) WHERE rk = 1
+),
+c1 AS (
+  SELECT cl1 AS cid, pos,
+         CAST(sum(CAST(v[pos] AS DECIMAL(28,9))) AS DOUBLE) / count(*)
+           AS c
+  FROM a1, unnest(generate_series(1, len(v))) AS u(pos)
+  GROUP BY cl1, pos
+),
+c1v AS (SELECT cid, list(c ORDER BY pos) AS cv FROM c1 GROUP BY cid),
+s2 AS (
+  SELECT a.vec_id, a.cl1, c.cid,
+         {_S08_SQL_DIST.format(v="a.v", c="c.cv")} AS d
+  FROM a1 a, c1v c
+)
+SELECT vec_id, CAST(cl1 AS INTEGER) AS cluster_it1,
+       CAST(cid AS INTEGER) AS cluster, round(d, 6) AS dist2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d, cid) AS rk
+  FROM s2) WHERE rk = 1
+"""
+
+
+def _s08_fold_row(cdf):
+    """(cid, cv) rows -> ONE broadcastable row with the cid-sorted
+    centroid array (s06's broadcast-fold shape)."""
+    return cdf.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct('cid', cid, 'cv', cv)))"
+        ).alias("carr")
+    )
+
+
+_S08_ARGMIN = (
+    "aggregate("
+    " transform(carr, c -> named_struct("
+    "   'd', aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),"
+    "                  0D, (a, x) -> a + x),"
+    "   'cid', c.cid)),"
+    " named_struct('d', CAST('Infinity' AS DOUBLE), 'cid', -1),"
+    " (acc, s) -> if(s.d < acc.d, s, acc))"
+)
+
+
+def _s08_assign(edf, cone, out_col):
+    """Scan-local nearest-centroid assignment: centroids arrive as ONE
+    broadcast array row; the argmin is a higher-order fold per vector
+    (strictly-less over the cid-sorted array = ties to the lower cid,
+    the oracle's ORDER BY d, cid). Zero shuffle of the vector table."""
+    return (
+        edf.crossJoin(F.broadcast(cone))
+        .withColumn("_best", F.expr(_S08_ARGMIN))
+        .withColumn(out_col, F.col("_best.cid"))
+        .withColumn(f"{out_col}_d", F.col("_best.d"))
+        .drop("carr", "_best")
+    )
+
+
+def _s08_recompute(adf, cluster_col):
+    """New centroids as exact element-wise means: one shuffle to
+    (cluster, pos) grain with map-side DECIMAL partials (s03's
+    bit-stable mean), folded back to (cid, cv) rows."""
+    cent = (
+        adf.select(cluster_col, F.posexplode("v").alias("pos0", "val"))
+        .groupBy(F.col(cluster_col).alias("cid"),
+                 F.col("pos0").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,9)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    return cent.groupBy("cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"
+        ).alias("cv")
+    )
+
+
+@q("s08_kmeans", oracle=_S08_ORACLE)
+def s08(spark, sf):
+    """K-means (Lloyd's), two unrolled iterations with a full
+    value-hash oracle — the iterative-algorithm shape with EXACT
+    cross-engine verification (x05's connected components verify the
+    fixpoint; here every float in every iteration is pinned):
+    deterministic init (the first k=8 vectors), assign each
+    vector to its nearest centroid (squared L2, ties to the lower
+    id), recompute centroids as element-wise means, re-assign.
+
+    Float discipline: distances are fixed-order higher-order folds —
+    the same IEEE additions in the same order on both engines, so
+    assignment can never diverge on near-ties; centroid means use
+    exact DECIMAL(28,9) partial sums (associative, partitioning-
+    independent), the established s03 discipline.
+
+    Scale shape per iteration: assignment is scan-local (k·dim
+    centroid doubles fold into ONE broadcast row, s06's pattern — the
+    vector table never shuffles); the recompute is ONE
+    (cluster, pos)-grain shuffle with map-side partials — the
+    canonical distributed k-means step. Iterations are unrolled here;
+    a production loop re-broadcasts each round and truncates lineage
+    with localCheckpoint exactly like x05. Empty clusters cannot
+    occur in round 1 (each seed vector sits at distance 0 from its
+    own centroid); a later empty cluster simply drops out of the
+    centroid relation in BOTH engines (no reseed), the standard
+    Lloyd degeneracy choice."""
+    e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
+    c0 = e.filter(F.col("vec_id") < _S08_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    a1 = _s08_assign(e, _s08_fold_row(c0), "cl1")
+    c1 = _s08_recompute(a1, "cl1")
+    a2 = _s08_assign(a1.drop("cl1_d"), _s08_fold_row(c1), "cl2")
+    return a2.select(
+        "vec_id",
+        F.col("cl1").cast("int").alias("cluster_it1"),
+        F.col("cl2").cast("int").alias("cluster"),
+        F.round("cl2_d", 6).alias("dist2"),
+    )

@@ -420,6 +420,10 @@ FROM {_sub(similarity, "s06_semdedup")} _f
 UNION ALL
 SELECT 'sq8', vec_id, q_sum, 0, max_err
 FROM {_sub(similarity, "s07_int8_quantize")} _g
+UNION ALL
+SELECT 'kmeans', vec_id, CAST(cluster AS BIGINT),
+       CAST(cluster_it1 AS BIGINT), dist2
+FROM {_sub(similarity, "s08_kmeans")} _h
 """,
 )
 def s01_suite(spark, sf):
@@ -429,7 +433,9 @@ def s01_suite(spark, sf):
     aux2 = the survivor the vector duplicates), and int8 scalar
     quantization (s07: aux1 = quantized-code checksum, score = max
     reconstruction error; the full code array is gated in the
-    fine-grained s07 query) — tagged union on
+    fine-grained s07 query), and two unrolled Lloyd iterations of
+    k-means (s08: aux1 = final cluster, aux2 = iteration-1 cluster,
+    score = final squared distance) — tagged union on
     (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -480,9 +486,17 @@ def s01_suite(spark, sf):
         F.lit(0).cast("long").alias("aux2"),
         F.col("max_err").alias("score"),
     )
+    h = similarity.QUERIES["s08_kmeans"](spark, sf).select(
+        F.lit("kmeans").alias("fam"),
+        F.col("vec_id").alias("id"),
+        F.col("cluster").cast("long").alias("aux1"),
+        F.col("cluster_it1").cast("long").alias("aux2"),
+        F.col("dist2").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
+        .unionByName(h)
     )
 
 

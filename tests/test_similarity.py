@@ -110,3 +110,54 @@ def test_s07_int8_quantize_reference(spark, tmp_path):
         err = np.abs(v64[i] - (mn + (q + 128) * sc)).max()
         assert abs(rows[i]["max_err"] - round(err, 9)) < 1e-12
         assert rows[i]["max_err"] <= sc.max() / 2 + 1e-12
+
+
+def test_s08_kmeans_matches_lloyd_reference(spark, tmp_path):
+    """Two unrolled Lloyd iterations match a NumPy reference: init =
+    first k vectors, squared-L2 argmin with ties to the lower cid,
+    exact elementwise means between iterations."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_spark.queries.similarity import _S08_K, QUERIES
+
+    rng = np.random.RandomState(11)
+    n, d = 60, 6
+    vecs = rng.uniform(-1, 1, size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["vec_id"]: r
+        for r in QUERIES["s08_kmeans"](spark, str(tmp_path)).collect()
+    }
+
+    V = vecs.astype(np.float64)
+
+    def assign(C):
+        # argmin over squared L2; np.argmin keeps the first (lowest
+        # cid) on exact ties, matching the strictly-less fold
+        D = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return D.argmin(axis=1), D.min(axis=1)
+
+    C0 = V[:_S08_K].copy()
+    a1, _ = assign(C0)
+    C1 = np.stack(
+        [V[a1 == c].mean(axis=0) for c in sorted(set(a1))]
+    )
+    cids = sorted(set(a1))
+    a2, d2 = assign(C1)
+    assert len(out) == n
+    for i in range(n):
+        assert out[i]["cluster_it1"] == a1[i], i
+        assert out[i]["cluster"] == cids[a2[i]], i
+        assert abs(out[i]["dist2"] - d2[i]) < 1e-5, i
