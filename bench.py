@@ -60,6 +60,7 @@ HEADLINE = [
     "t15_domain_mixture",
     "t16_bm25_score",
     "t17_chunk_overlap",
+    "t18_length_quantiles",
     "m01_media_decode",
     "c01_keyword_classify",
     "u01_unpivot_compound_headers",

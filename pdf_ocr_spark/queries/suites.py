@@ -625,6 +625,9 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t15.mix_rate, t15.mix_keep,
        t16.tf_spark, t16.tf_filter, t16.tf_window, t16.bm25,
        t17.n_chunks, t17.chunk_toks, t17.chunk_digest,
+       t18.p25 AS len_p25, t18.p50 AS len_p50, t18.p75 AS len_p75,
+       t18.p95 AS len_p95,
+       (t2.n_chars > t18.p50) AS above_median_len,
        (t2.keep = 1 AND t11.c4_keep = 1
         AND t12.url_keep = 1 AND t15.mix_keep) AS curation_keep,
        CASE WHEN t2.keep = 0 THEN 'quality'
@@ -655,6 +658,8 @@ JOIN (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks,
                AS chunk_digest
       FROM {_sub(textstats, "t17_chunk_overlap")} _t17
       GROUP BY doc_id) t17 ON t17.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t18_length_quantiles")} t18
+  ON t18.lang = t1.labeled_lang
 """,
 )
 def t01_suite(spark, sf):
@@ -678,8 +683,12 @@ def t01_suite(spark, sf):
     query (t16: per-term tf + the score), the per-doc rollup of the
     overlapping RAG chunker (t17: chunk count, summed chunk tokens,
     and an order-pinned digest of the per-chunk content hashes — the
-    chunk-grain rows themselves are the fine-grained twin), and the
-    composed curation funnel verdict (curation_keep = every filter
+    chunk-grain rows themselves are the fine-grained twin), the
+    per-language length-quantile profile broadcast back onto each doc
+    (t18: len_p25..len_p95 + the above_median_len flag; computed via
+    the scalable value-histogram method, verified against DuckDB's
+    sort-based quantile_cont), and the composed curation funnel
+    verdict (curation_keep = every filter
     stage passes;
     first_fail = the first stage that rejects, in the fixed pipeline
     order quality -> c4 -> url -> mixture). The Gopher absolute
@@ -707,6 +716,13 @@ def t01_suite(spark, sf):
         "doc_id", "mix_rate", "mix_keep"
     )
     t16 = textstats.QUERIES["t16_bm25_score"](spark, sf).drop("dl")
+    t18 = textstats.QUERIES["t18_length_quantiles"](spark, sf).select(
+        F.col("lang").alias("labeled_lang"),
+        F.col("p25").alias("len_p25"),
+        F.col("p50").alias("len_p50"),
+        F.col("p75").alias("len_p75"),
+        F.col("p95").alias("len_p95"),
+    )
     t17 = (
         textstats.QUERIES["t17_chunk_overlap"](spark, sf)
         .groupBy("doc_id")
@@ -750,6 +766,8 @@ def t01_suite(spark, sf):
         .join(t15, "doc_id")
         .join(t16, "doc_id")
         .join(t17, "doc_id")
+        .join(F.broadcast(t18), "labeled_lang")
+        .withColumn("above_median_len", F.col("n_chars") > F.col("len_p50"))
         .withColumn(
             "curation_keep",
             (F.col("keep") == 1)

@@ -1350,3 +1350,83 @@ def t17(spark, sf):
             "chunk_md5"
         ),
     )
+
+
+# ------------------------------------------------------------- t18
+_T18_PROBES = (0.25, 0.5, 0.75, 0.95)
+
+
+@q(
+    "t18_length_quantiles",
+    oracle=f"""
+WITH q AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         quantile_cont(n_chars,
+                       [{", ".join(str(p) for p in _T18_PROBES)}]) AS qs
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs,
+       {", ".join(
+           f"round(qs[{i + 1}], 6) AS p{int(p * 100)}"
+           for i, p in enumerate(_T18_PROBES)
+       )}
+FROM q
+""",
+)
+def t18(spark, sf):
+    """Per-language document-length quantiles — the corpus length
+    profile every curation run reports — computed the way that SCALES:
+    not Spark's `percentile` (a sort-based aggregate that buffers
+    every group value in executor memory — exactly what dies on a
+    10^12-doc language group), but the value-histogram method:
+    count per (lang, length) — output bounded by DISTINCT lengths,
+    not documents — cumulative rank ranges over the tiny histogram,
+    then linear interpolation at the probe ranks. DuckDB verifies
+    with its native `quantile_cont`, so the histogram algebra is
+    cross-checked against an independent sort-based implementation.
+
+    Scale shape: ONE data shuffle (the (lang, length) count with
+    map-side partials); everything after operates on the histogram
+    (|langs| x |distinct lengths| rows): one tiny lang-grain window
+    pass + a probe explode bounded at 4 rows per histogram row."""
+    probes = F.array(*[F.lit(p) for p in _T18_PROBES])
+    h = (
+        t(spark, sf, "documents")
+        .groupBy("lang", F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    wcum = (
+        W.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("lang")
+    h = h.select(
+        "lang", "v",
+        F.sum("c").over(wcum).alias("hi"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    # probe ranks (1-based, continuous): r = 1 + p * (n - 1)
+    pr = h.select(
+        "lang", "v", "hi", "n",
+        F.explode(probes).alias("p"),
+    ).withColumn("r", F.lit(1.0) + F.col("p") * (F.col("n") - 1))
+    agg = pr.groupBy("lang", "p").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("hi") >= F.floor("r"), F.col("v"))).alias("vf"),
+        F.min(F.when(F.col("hi") >= F.ceil("r"), F.col("v"))).alias("vc"),
+        F.max(F.col("r") - F.floor("r")).alias("frac"),
+    )
+    qcol = F.col("vf") + F.col("frac") * (F.col("vc") - F.col("vf"))
+    pivot = agg.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        *[
+            F.round(
+                F.max(F.when(F.col("p") == p, qcol)), 6
+            ).alias(f"p{int(p * 100)}")
+            for p in _T18_PROBES
+        ],
+    )
+    return pivot
