@@ -627,6 +627,7 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t17.n_chunks, t17.chunk_toks, t17.chunk_digest,
        t18.p25 AS len_p25, t18.p50 AS len_p50, t18.p75 AS len_p75,
        t18.p95 AS len_p95,
+       t19.split, t19.n_splits, t19.leaked,
        (t2.n_chars > t18.p50) AS above_median_len,
        (t2.keep = 1 AND t11.c4_keep = 1
         AND t12.url_keep = 1 AND t15.mix_keep) AS curation_keep,
@@ -660,6 +661,7 @@ JOIN (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks,
       GROUP BY doc_id) t17 ON t17.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t18_length_quantiles")} t18
   ON t18.lang = t1.labeled_lang
+JOIN {_sub(textstats, "t19_split_leakage")} t19 ON t19.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -687,7 +689,9 @@ def t01_suite(spark, sf):
     per-language length-quantile profile broadcast back onto each doc
     (t18: len_p25..len_p95 + the above_median_len flag; computed via
     the scalable value-histogram method, verified against DuckDB's
-    sort-based quantile_cont), and the composed curation funnel
+    sort-based quantile_cont), the deterministic train/val/test hash
+    split + cross-split exact-duplicate leakage audit (t19: split,
+    n_splits, leaked), and the composed curation funnel
     verdict (curation_keep = every filter
     stage passes;
     first_fail = the first stage that rejects, in the fixed pipeline
@@ -722,6 +726,9 @@ def t01_suite(spark, sf):
         F.col("p50").alias("len_p50"),
         F.col("p75").alias("len_p75"),
         F.col("p95").alias("len_p95"),
+    )
+    t19 = textstats.QUERIES["t19_split_leakage"](spark, sf).select(
+        "doc_id", "split", "n_splits", "leaked"
     )
     t17 = (
         textstats.QUERIES["t17_chunk_overlap"](spark, sf)
@@ -767,6 +774,7 @@ def t01_suite(spark, sf):
         .join(t16, "doc_id")
         .join(t17, "doc_id")
         .join(F.broadcast(t18), "labeled_lang")
+        .join(t19, "doc_id")
         .withColumn("above_median_len", F.col("n_chars") > F.col("len_p50"))
         .withColumn(
             "curation_keep",

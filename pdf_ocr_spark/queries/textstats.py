@@ -1430,3 +1430,97 @@ def t18(spark, sf):
         ],
     )
     return pivot
+
+
+# ------------------------------------------------------------- t19
+# Deterministic train/val/test split + cross-split duplicate-leakage
+# audit.  Public pattern: every LLM data pipeline splits by a content-
+# independent hash (so the split is reproducible and rebalance-free),
+# then audits that no *content-identical* documents straddle splits
+# (exact-dup leakage from train into eval is the classic contamination
+# bug; cf. Lee et al. 2022 §5, the d08 decontamination rule's exact
+# sibling).  Split coin and content key use different salts so the
+# split is independent of the text.
+_T19_BUCKETS = 10  # 0-7 train / 8 val / 9 test
+
+_T19_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % {_T19_BUCKETS}) AS bucket,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           AS content_key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, content_key,
+         CASE WHEN bucket < 8 THEN 'train'
+              WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+  FROM d
+)
+SELECT doc_id, lang, split, content_key,
+       CAST(count(*) OVER (PARTITION BY content_key) AS INTEGER)
+         AS n_copies,
+       CAST(count(DISTINCT split) OVER (PARTITION BY content_key)
+            AS INTEGER) AS n_splits,
+       (count(*) OVER (PARTITION BY content_key) > 1
+        AND count(DISTINCT split) OVER (PARTITION BY content_key) > 1)
+         AS leaked
+FROM s
+"""
+
+
+@q("t19_split_leakage", oracle=_T19_ORACLE)
+def t19(spark, sf):
+    """Hash-based train/val/test split (80/10/10) + duplicate-leakage
+    audit: flag documents whose exact-content group spans more than one
+    split (eval contamination by exact duplicates).
+
+    Scale shape: split assignment is scan-local integer math on a salted
+    doc_id hash (no data dependence, reproducible on any cluster); the
+    audit is ONE shuffle on the content hash (the same key d01's exact
+    dedup already shuffles on — in a production pipeline the two share
+    the exchange / the materialized hash index).  Window over
+    content_key rather than groupBy+join back: one exchange, no second
+    scan of the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split#"),
+                                   F.col("doc_id").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % _T19_BUCKETS
+        ).alias("bucket"),
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("content_key"),
+    )
+    s = d.select(
+        "doc_id",
+        "lang",
+        "content_key",
+        F.when(F.col("bucket") < 8, "train")
+        .when(F.col("bucket") == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    wk = W.partitionBy("content_key")
+    n_copies = F.count("*").over(wk)
+    n_splits = F.size(F.collect_set("split").over(wk))
+    return s.select(
+        "doc_id",
+        "lang",
+        "split",
+        "content_key",
+        n_copies.cast("int").alias("n_copies"),
+        n_splits.cast("int").alias("n_splits"),
+        ((n_copies > 1) & (n_splits > 1)).alias("leaked"),
+    )

@@ -674,3 +674,44 @@ def test_d11_incremental_verdicts(spark, tmp_path):
     assert out[5] == ("dup_prior", 16)
     assert out[3] == ("kept", 3)
     assert out[29] == ("dup_batch", 3)
+
+
+def test_t19_split_assignment_and_leakage(spark, tmp_path):
+    """t19: split is the salted doc_id hash (verified against hashlib),
+    and `leaked` fires exactly for content groups that span splits."""
+    import hashlib
+
+    import pandas as pd
+
+    # 40 docs, 5 distinct texts -> content groups of size 8; with 40
+    # hash-assigned docs per run some groups straddle splits and (with
+    # these fixed ids) at least one sits entirely in train.
+    n = 40
+    texts = [f"shared   Text {i % 5} " for i in range(n)]  # messy ws
+    pd.DataFrame(
+        {"doc_id": list(range(n)), "lang": ["en"] * n, "text": texts}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    from pdf_ocr_spark.queries.textstats import QUERIES, _T19_BUCKETS
+
+    def exp_split(doc_id: int) -> str:
+        h = hashlib.md5(f"split#{doc_id}".encode()).hexdigest()
+        b = int(h[:8], 16) % _T19_BUCKETS
+        return "train" if b < 8 else ("val" if b == 8 else "test")
+
+    rows = QUERIES["t19_split_leakage"](spark, str(tmp_path)).collect()
+    assert len(rows) == n
+    by_key: dict[str, list] = {}
+    for r in rows:
+        assert r["split"] == exp_split(r["doc_id"])
+        by_key.setdefault(r["content_key"], []).append(r)
+    assert len(by_key) == 5
+    leaked_seen = set()
+    for grp in by_key.values():
+        splits = {g["split"] for g in grp}
+        for g in grp:
+            assert g["n_copies"] == len(grp)
+            assert g["n_splits"] == len(splits)
+            assert g["leaked"] == (len(grp) > 1 and len(splits) > 1)
+            leaked_seen.add(g["leaked"])
+    # the fixture must exercise both verdicts
+    assert leaked_seen == {True, False}
