@@ -766,3 +766,103 @@ def s08(spark, sf):
         F.col("cl2").cast("int").alias("cluster"),
         F.round("cl2_d", 6).alias("dist2"),
     )
+
+
+# ---------------------------------------------------------------- s09
+# ANN quality audit: recall@k of the LSH bucket probe (s02's index)
+# against exact brute-force ground truth, per query.  This is the
+# standard index-quality gate every production ANN deployment runs on a
+# query sample before switching retrieval over (cf. big-ann-benchmarks'
+# ground-truth + recall protocol, public).
+_S09_K = 10
+_S09_NQ = 10
+
+
+@q(
+    "s09_ann_recall",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+       FROM b WHERE vec_id < {_S09_NQ}),
+scored AS (
+  SELECT qs.qid, b.vec_id,
+         list_cosine_similarity(b.v, qs.qv) AS cosine,
+         (b.bucket = qs.qbucket) AS in_bucket
+  FROM b, qs
+  WHERE b.vec_id <> qs.qid
+),
+gt AS (
+  SELECT qid, vec_id, in_bucket,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT s.qid,
+       CAST(count(*) FILTER (s.in_bucket) AS INTEGER) AS n_cand,
+       CAST(any_value(h.n_hit) AS INTEGER) AS n_hit,
+       any_value(h.n_hit) / {_S09_K}.0 AS recall
+FROM scored s
+JOIN (SELECT qid, count(*) FILTER (in_bucket) AS n_hit
+      FROM gt WHERE rk <= {_S09_K} GROUP BY qid) h USING (qid)
+GROUP BY s.qid
+""",
+)
+def s09(spark, sf):
+    """Recall@{k} audit of the LSH ANN: for each sample query, the exact
+    top-k neighbor set (ground truth) vs the query-bucket candidate set;
+    recall = fraction of true neighbors the index would have returned.
+
+    Scale shape: the query batch broadcasts; scoring is one narrow scan
+    pass (the base table never shuffles for the join).  The exact top-k
+    uses the TWO-PHASE pattern distributed ground-truth generation
+    needs: bounded local top-k per (query, input partition) with
+    map-side candidate partials, then ONE qid-grain merge of
+    partition-count-bounded partial lists — no N-row window sort per
+    query, no collect_list of the whole corpus in a single group.
+    Which rows meet in a phase-1 group depends on physical partitioning,
+    but the merged top-k is a deterministic function of the data (ties
+    broken by (cosine DESC, vec_id) inside the sorted struct), so any
+    partitioning yields identical output.
+    """
+    e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
+    b = e.withColumn("bucket", F.expr(_bucket_expr("v")))
+    qs = b.filter(F.col("vec_id") < _S09_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        b.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.struct(
+                (-_cos("v", "qv")).alias("nc"),
+                F.col("vec_id").alias("vec_id"),
+                (F.col("bucket") == F.col("qbucket"))
+                .cast("int")
+                .alias("ib"),
+            ).alias("s"),
+        )
+    )
+    p1 = scored.groupBy("qid", F.spark_partition_id().alias("pid")).agg(
+        F.slice(F.sort_array(F.collect_list("s")), 1, _S09_K).alias("part"),
+        F.sum("s.ib").alias("part_cand"),
+    )
+    p2 = p1.groupBy("qid").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("part"))), 1, _S09_K
+        ).alias("top"),
+        F.sum("part_cand").alias("n_cand"),
+    )
+    n_hit = F.expr("aggregate(top, 0, (acc, x) -> acc + x.ib)")
+    return p2.select(
+        "qid",
+        F.col("n_cand").cast("int").alias("n_cand"),
+        n_hit.cast("int").alias("n_hit"),
+        (n_hit / F.lit(float(_S09_K))).alias("recall"),
+    )

@@ -424,6 +424,10 @@ UNION ALL
 SELECT 'kmeans', vec_id, CAST(cluster AS BIGINT),
        CAST(cluster_it1 AS BIGINT), dist2
 FROM {_sub(similarity, "s08_kmeans")} _h
+UNION ALL
+SELECT 'ann_recall', qid, CAST(n_cand AS BIGINT), CAST(n_hit AS BIGINT),
+       recall
+FROM {_sub(similarity, "s09_ann_recall")} _i
 """,
 )
 def s01_suite(spark, sf):
@@ -435,7 +439,9 @@ def s01_suite(spark, sf):
     reconstruction error; the full code array is gated in the
     fine-grained s07 query), and two unrolled Lloyd iterations of
     k-means (s08: aux1 = final cluster, aux2 = iteration-1 cluster,
-    score = final squared distance) — tagged union on
+    score = final squared distance), and the recall@10 ANN quality
+    audit (s09: id = query, aux1 = bucket candidates, aux2 = true
+    neighbors hit, score = recall) — tagged union on
     (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -493,10 +499,17 @@ def s01_suite(spark, sf):
         F.col("cluster_it1").cast("long").alias("aux2"),
         F.col("dist2").alias("score"),
     )
+    i = similarity.QUERIES["s09_ann_recall"](spark, sf).select(
+        F.lit("ann_recall").alias("fam"),
+        F.col("qid").alias("id"),
+        F.col("n_cand").cast("long").alias("aux1"),
+        F.col("n_hit").cast("long").alias("aux2"),
+        F.col("recall").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
-        .unionByName(h)
+        .unionByName(h).unionByName(i)
     )
 
 

@@ -161,3 +161,64 @@ def test_s08_kmeans_matches_lloyd_reference(spark, tmp_path):
         assert out[i]["cluster_it1"] == a1[i], i
         assert out[i]["cluster"] == cids[a2[i]], i
         assert abs(out[i]["dist2"] - d2[i]) < 1e-5, i
+
+
+def test_s09_recall_matches_numpy_reference(spark, tmp_path):
+    """s09: two-phase exact top-k ground truth + bucket candidate/hit
+    counts match a NumPy brute-force reference (including recall)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_spark.queries.similarity import (
+        _S09_K,
+        _S09_NQ,
+        DIM,
+        HYPERPLANES,
+        N_PLANES,
+        QUERIES,
+    )
+
+    rng = np.random.RandomState(23)
+    n, d = 80, DIM
+    vecs = rng.uniform(-1, 1, size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    V = vecs.astype(np.float64)
+    planes = np.array(HYPERPLANES, dtype=np.float64)
+    buckets = ((V @ planes.T >= 0) * (1 << np.arange(N_PLANES))).sum(axis=1)
+
+    def cosine(a, b):
+        return (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    rows = {
+        r["qid"]: r
+        for r in QUERIES["s09_ann_recall"](spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == _S09_NQ
+    for qid in range(_S09_NQ):
+        cos = np.array(
+            [cosine(V[i], V[qid]) if i != qid else -2.0 for i in range(n)]
+        )
+        order = sorted(
+            (i for i in range(n) if i != qid),
+            key=lambda i: (-cos[i], i),
+        )
+        gt = set(order[:_S09_K])
+        cand = {
+            i for i in range(n) if i != qid and buckets[i] == buckets[qid]
+        }
+        r = rows[qid]
+        assert r["n_cand"] == len(cand), qid
+        assert r["n_hit"] == len(gt & cand), qid
+        assert abs(r["recall"] - len(gt & cand) / _S09_K) < 1e-12
