@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .base import sql_dsum_expr, t
+from .base import min_label_components, sql_dsum_expr, t
 from .dedup import SQL_DOC_SHINGLES, _doc_shingles
 
 QUERIES = {}
@@ -332,39 +332,5 @@ def x05(spark, sf):
     each round's frontier shrinks as labels converge.  Oracle: DuckDB
     recursive-CTE reachability.
     """
-    edges = _edges(spark, sf).persist()
-    und = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .persist()
-    )
-    labels = labels.localCheckpoint()
-    while True:
-        # each node adopts min(own label, neighbors' labels).
-        # localCheckpoint truncates lineage each round — without it the
-        # logical plan doubles per iteration and planning time explodes
-        # (the canonical iterative-algorithm pitfall on Spark).
-        neigh = (
-            und.join(labels, und.dst == labels.node)
-            .select(und.src.alias("node"), "component")
-        )
-        new_labels = (
-            labels.unionByName(neigh)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = min_label_components(_edges(spark, sf))
     return labels.select(F.col("node").alias("doc_id"), "component")

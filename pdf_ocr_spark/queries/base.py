@@ -53,3 +53,47 @@ def sql_dsum(col: str, scale: int = 4) -> str:
 
 def sql_dsum_expr(expr: str, scale: int = 6) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def min_label_components(edges: DataFrame) -> DataFrame:
+    """Connected components of an undirected graph given as directed
+    (src, dst) edge rows: min-label propagation to a fixed point.
+
+    Returns (node, component) where component = min node id reachable.
+    Scale: O(diameter) rounds of one equi-join + min-agg shuffle each;
+    near-dup graphs have tiny diameters so rounds stay single-digit at
+    any corpus size, and the changed-label frontier shrinks every
+    round.  localCheckpoint each round truncates lineage — without it
+    the logical plan doubles per iteration (the canonical
+    iterative-algorithm pitfall on Spark).
+    """
+    edges = edges.persist()
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        neigh = und.join(labels, und.dst == labels.node).select(
+            und.src.alias("node"), "component"
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1044,3 +1044,82 @@ def d11(spark, sf):
         .cast("long")
         .alias("holder"),
     )
+
+
+# ---------------------------------------------------------------- d12
+# End-to-end fuzzy-dedup funnel — the production composition (cf.
+# NeMo-Curator / BigCode dedup pipelines, public): MinHash+LSH candidate
+# generation -> exact-Jaccard verification (both = d02) -> connected
+# components of the verified near-dup graph -> keep the min doc_id per
+# cluster.  d02 emits pairs, x05 clusters a different (inverted-index)
+# edge set; this operator is the full funnel at DOC grain over the
+# WHOLE corpus: singletons ride through as their own component.
+_D12_TH = 0.02
+
+_D12_ORACLE_TMPL = """
+WITH RECURSIVE d02 AS ({d02}),
+pairs AS (SELECT doc_a, doc_b FROM d02 WHERE jaccard >= {th}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM und UNION SELECT b, b FROM und
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT doc_id, lang, component,
+       CAST(count(*) OVER (PARTITION BY component) AS INTEGER) AS csize,
+       (doc_id = component) AS keep
+FROM (
+  SELECT d.doc_id, d.lang, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+"""
+
+
+@q(
+    "d12_fuzzy_dedup_funnel",
+    oracle=_D12_ORACLE_TMPL.format(
+        d02=ORACLE["d02_minhash_lsh_dedup"], th=_D12_TH
+    ),
+)
+def d12(spark, sf):
+    """Fuzzy-dedup funnel: LSH candidates -> verified pairs (d02) ->
+    connected components -> one canonical survivor per cluster, emitted
+    at doc grain over the whole corpus (singletons keep themselves).
+
+    Scale shape: candidate generation and verification are d02's
+    banded equi-joins (no all-pairs anywhere); clustering runs on the
+    PAIR set (orders of magnitude smaller than the corpus) via
+    min-label propagation with per-round lineage truncation; the final
+    doc-grain left join is corpus-scan + broadcast-or-shuffle on the
+    tiny label relation, and the cluster-size window shuffles doc ids
+    only.  Keep policy (min doc_id per component) is the standard
+    deterministic survivor rule.
+    """
+    from pyspark.sql import Window as W
+
+    from .base import min_label_components
+
+    pairs = QUERIES["d02_minhash_lsh_dedup"](spark, sf).filter(
+        F.col("jaccard") >= _D12_TH
+    )
+    labels = min_label_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    d = t(spark, sf, "documents").select("doc_id", "lang")
+    joined = d.join(
+        labels, d.doc_id == labels.node, "left"
+    ).select(
+        "doc_id",
+        "lang",
+        F.coalesce("component", "doc_id").alias("component"),
+    )
+    wk = W.partitionBy("component")
+    return joined.select(
+        "doc_id",
+        "lang",
+        "component",
+        F.count("*").over(wk).cast("int").alias("csize"),
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )

@@ -542,6 +542,11 @@ SELECT 'd11' AS fam, doc_id AS doc_a, holder AS doc_b,
             WHEN 'dup_prior' THEN 1 ELSE 2 END AS INTEGER) AS hamming,
        content_key AS txt
 FROM {_sub(dedup, "d11_incremental_dedup")} _f
+UNION ALL
+SELECT 'd12' AS fam, doc_id AS doc_a, component AS doc_b,
+       CAST(csize AS INTEGER) AS hamming,
+       CASE WHEN keep THEN 'keep' ELSE 'dup' END AS txt
+FROM {_sub(dedup, "d12_fuzzy_dedup_funnel")} _g
 """,
 )
 def d06_suite(spark, sf):
@@ -557,7 +562,10 @@ def d06_suite(spark, sf):
     cut, hamming = duplicate window occurrences removed, txt = cleaned
     text), and incremental snapshot-vs-index dedup (d11: doc_b = the
     canonical holder, hamming = verdict code 0 kept / 1 dup_prior /
-    2 dup_batch, txt = content key)."""
+    2 dup_batch, txt = content key), and the end-to-end fuzzy-dedup
+    funnel (d12: LSH -> verified pairs -> connected components ->
+    canonical survivor; doc_b = component, hamming = cluster size,
+    txt = keep/dup verdict)."""
     d6 = dedup.QUERIES["d06_simhash_bucketed"](spark, sf).select(
         F.lit("d06").alias("fam"), "doc_a", "doc_b",
         F.col("hamming").cast("int").alias("hamming"),
@@ -600,12 +608,20 @@ def d06_suite(spark, sf):
         .alias("hamming"),
         F.col("content_key").alias("txt"),
     )
+    d12 = dedup.QUERIES["d12_fuzzy_dedup_funnel"](spark, sf).select(
+        F.lit("d12").alias("fam"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("component").alias("doc_b"),
+        F.col("csize").cast("int").alias("hamming"),
+        F.when(F.col("keep"), "keep").otherwise("dup").alias("txt"),
+    )
     return (
         d6.unionByName(d7)
         .unionByName(d8)
         .unionByName(d9)
         .unionByName(d10)
         .unionByName(d11)
+        .unionByName(d12)
     )
 
 

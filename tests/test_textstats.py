@@ -715,3 +715,61 @@ def test_t19_split_assignment_and_leakage(spark, tmp_path):
             leaked_seen.add(g["leaked"])
     # the fixture must exercise both verdicts
     assert leaked_seen == {True, False}
+
+
+def test_min_label_components_transitive_closure(spark):
+    """Chain 1-2-3 collapses to one component; disjoint pair 5-6 keeps
+    its own; labels = min node id of the component."""
+    from pdf_ocr_spark.queries.base import min_label_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in min_label_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_d12_funnel_clusters_and_keep_policy(spark, tmp_path):
+    """d12: identical-text groups cluster, min doc_id survives,
+    singletons ride through as their own component."""
+    import pandas as pd
+
+    # long repeated sentences -> plenty of shingles -> LSH band hits
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    rows = []
+    for i in range(20):
+        if i in (3, 7, 11):
+            txt = base * 3 + "group one tail"
+        elif i in (4, 14):
+            txt = base * 3 + "totally different group two tail here"
+        else:
+            txt = f"unique document {i} " + " ".join(
+                f"w{i}x{j}" for j in range(30)
+            )
+        rows.append((i, "en", txt))
+    pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from pdf_ocr_spark.queries.dedup import QUERIES
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["d12_fuzzy_dedup_funnel"](spark, str(tmp_path))
+        .collect()
+    }
+    assert len(got) == 20
+    for i in (3, 7, 11):
+        assert got[i]["component"] == 3
+        assert got[i]["csize"] == 3
+        assert got[i]["keep"] == (i == 3)
+    for i in (4, 14):
+        assert got[i]["component"] == 4
+        assert got[i]["csize"] == 2
+        assert got[i]["keep"] == (i == 4)
+    for i in set(range(20)) - {3, 7, 11, 4, 14}:
+        assert got[i]["component"] == i
+        assert got[i]["csize"] == 1
+        assert got[i]["keep"] is True
