@@ -61,6 +61,10 @@ HEADLINE = [
     "t16_bm25_score",
     "t17_chunk_overlap",
     "t18_length_quantiles",
+    "t19_split_leakage",
+    "t20_bpe_merges",
+    "d12_fuzzy_dedup_funnel",
+    "s09_ann_recall",
     "m01_media_decode",
     "c01_keyword_classify",
     "u01_unpivot_compound_headers",

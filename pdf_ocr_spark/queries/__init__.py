@@ -96,7 +96,7 @@ DRIVER_REGISTRY = [
     # similarity / text / multimodal
     "s01_similarity_suite",
     "t01_text_analysis_suite",
-    "t06_tfidf_top_terms",
+    "t06_term_mining_suite",
     "m01_media_suite",
     "m03_frame_sample",
     # extended analytics

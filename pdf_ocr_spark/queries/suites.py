@@ -1254,3 +1254,40 @@ def _x02_oracle() -> str:
 
 QUERIES["x02_extract_report_suite"] = x02_extract_report_suite
 ORACLE["x02_extract_report_suite"] = _x02_oracle()
+
+
+# ===================================================== term mining
+@q(
+    "t06_term_mining_suite",
+    oracle=f"""
+SELECT 'tfidf' AS fam, doc_id AS id, term, tfidf AS score,
+       CAST(rk AS INTEGER) AS rk, FALSE AS flag
+FROM {_sub(textstats, "t06_tfidf_top_terms")} _a
+UNION ALL
+SELECT 'bpe', CAST(it AS BIGINT), a || '|' || b, CAST(cnt AS DOUBLE),
+       0, is_merge
+FROM {_sub(textstats, "t20_bpe_merges")} _b
+""",
+)
+def t06_term_mining_suite(spark, sf):
+    """Term-grain text-mining suite (tagged union): TF-IDF top-3 terms
+    per document (t06) and two unrolled BPE tokenizer-training merge
+    iterations (t20: id = iteration, term = 'a|b' symbol pair, score =
+    corpus pair count, flag = the pair merged that iteration)."""
+    a = textstats.QUERIES["t06_tfidf_top_terms"](spark, sf).select(
+        F.lit("tfidf").alias("fam"),
+        F.col("doc_id").alias("id"),
+        "term",
+        F.col("tfidf").alias("score"),
+        F.col("rk").cast("int").alias("rk"),
+        F.lit(False).alias("flag"),
+    )
+    b = textstats.QUERIES["t20_bpe_merges"](spark, sf).select(
+        F.lit("bpe").alias("fam"),
+        F.col("it").cast("long").alias("id"),
+        F.concat_ws("|", "a", "b").alias("term"),
+        F.col("cnt").cast("double").alias("score"),
+        F.lit(0).cast("int").alias("rk"),
+        F.col("is_merge").alias("flag"),
+    )
+    return a.unionByName(b)

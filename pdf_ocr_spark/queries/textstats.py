@@ -1524,3 +1524,177 @@ def t19(spark, sf):
         n_splits.cast("int").alias("n_splits"),
         ((n_copies > 1) & (n_splits > 1)).alias("leaked"),
     )
+
+
+# ------------------------------------------------------------- t20
+# Distributed BPE tokenizer training (Sennrich et al. 2016), two merge
+# iterations unrolled (the s08 k-means pattern: every intermediate is
+# value-hash-pinned, not just the final state).  This is the corpus
+# pass every tokenizer build runs: word-frequency table -> adjacent
+# symbol-pair counts -> merge the top pair -> recount.
+#
+# Merge-application semantics: Spark applies the true BPE left-to-right
+# fold over each word's symbol array; the DuckDB twin applies two
+# passes of non-overlapping global string replace on the space-joined
+# symbols.  The two are provably identical unless a word contains 5+
+# consecutive occurrences of the SAME merged symbol (replace pass 1
+# takes every other occurrence of a self-adjacent pair, pass 2 the
+# rest — a parity difference appears only at self-runs >= 5, which the
+# [a-z]+ token stream of any natural-ish corpus never produces; the
+# unit test pins the fold against a pure-Python BPE reference).
+_T20_TOPN = 20
+
+
+def _t20_fold(s_col: str):
+    """Left-to-right BPE merge of pair (ta, tb) over symbol array s."""
+    return F.aggregate(
+        F.col(s_col),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.col("ta"))
+            & (x == F.col("tb")),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(F.col("ta"), F.col("tb"))),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _t20_sql_merge(str_col: str) -> str:
+    rep = (
+        f"replace({str_col}, ' ' || ta || ' ' || tb || ' ', "
+        f"' ' || ta || tb || ' ')"
+    )
+    rep2 = (
+        f"replace({rep}, ' ' || ta || ' ' || tb || ' ', "
+        f"' ' || ta || tb || ' ')"
+    )
+    return rep2
+
+
+_T20_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY w),
+s1 AS (
+  SELECT w, freq,
+         list_transform(generate_series(1, length(w)), i -> w[i]) || ['_']
+           AS s
+  FROM wf
+),
+p1 AS (
+  SELECT freq, s[i] AS a, s[i + 1] AS b
+  FROM s1, unnest(generate_series(1, len(s) - 1)) AS u(i)
+),
+c1 AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p1 GROUP BY a, b),
+t1 AS (SELECT a AS ta, b AS tb FROM c1 ORDER BY cnt DESC, a, b LIMIT 1),
+m1 AS (
+  SELECT w, freq,
+         {_t20_sql_merge("' ' || array_to_string(s, ' ') || ' '")} AS str
+  FROM s1, t1
+),
+s2 AS (SELECT w, freq, string_split(trim(str), ' ') AS s FROM m1),
+p2 AS (
+  SELECT freq, s[i] AS a, s[i + 1] AS b
+  FROM s2, unnest(generate_series(1, len(s) - 1)) AS u(i)
+),
+c2 AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p2 GROUP BY a, b),
+r1 AS (
+  SELECT 1 AS it, a, b, cnt,
+         row_number() OVER (ORDER BY cnt DESC, a, b) AS rk
+  FROM c1
+),
+r2 AS (
+  SELECT 2 AS it, a, b, cnt,
+         row_number() OVER (ORDER BY cnt DESC, a, b) AS rk
+  FROM c2
+)
+SELECT it, a, b, cnt, (rk = 1) AS is_merge
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+WHERE rk <= {_T20_TOPN}
+"""
+
+
+@q("t20_bpe_merges", oracle=_T20_ORACLE)
+def t20(spark, sf):
+    """Two unrolled BPE merge iterations over the corpus: top-{topn}
+    adjacent symbol pairs per iteration (is_merge marks the pair each
+    iteration merges).
+
+    Scale shape — exactly distributed tokenizer training: ONE shuffle
+    to the word-frequency table (vocabulary grain, map-side combine),
+    then per iteration one pair-count shuffle (symbol-pair grain —
+    thousands of rows at any corpus size, map-side combined), a 1-row
+    argmin broadcast back, and a scan-local fold applying the merge to
+    the word table.  The corpus itself is touched once; iterations run
+    over the vocabulary relation (the standard trick — word frequency
+    is a sufficient statistic for BPE).  The top-20 window sorts the
+    pair-vocab relation only.
+    """
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    s1 = words.select(
+        "w",
+        "freq",
+        F.expr(
+            "concat(transform(sequence(1, length(w)), "
+            "i -> substring(w, i, 1)), array('_'))"
+        ).alias("s"),
+    ).persist()
+
+    def pair_counts(sdf):
+        pairs = sdf.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1), "
+                    "i -> struct(element_at(s, i) AS a, "
+                    "element_at(s, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        return pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
+
+    def top1(cdf):
+        return cdf.agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), "a", "b")).alias("m")
+        ).select(F.col("m.a").alias("ta"), F.col("m.b").alias("tb"))
+
+    c1 = pair_counts(s1).persist()
+    s2 = (
+        s1.crossJoin(F.broadcast(top1(c1)))
+        .select("w", "freq", _t20_fold("s").alias("s"))
+    )
+    c2 = pair_counts(s2)
+    wk = W.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+
+    def ranked(cdf, it):
+        return (
+            cdf.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= _T20_TOPN)
+            .select(
+                F.lit(it).alias("it"),
+                "a",
+                "b",
+                F.col("cnt").cast("long").alias("cnt"),
+                (F.col("rk") == 1).alias("is_merge"),
+            )
+        )
+
+    return ranked(c1, 1).unionByName(ranked(c2, 2))
+
+
+t20.__doc__ = t20.__doc__.format(topn=_T20_TOPN)

@@ -773,3 +773,74 @@ def test_d12_funnel_clusters_and_keep_policy(spark, tmp_path):
         assert got[i]["component"] == i
         assert got[i]["csize"] == 1
         assert got[i]["keep"] is True
+
+
+def test_t20_bpe_matches_python_reference(spark, tmp_path):
+    """t20: pair counts, merge choice, and post-merge recount match a
+    pure-Python BPE reference (Sennrich-style left-to-right fold),
+    including doubled-letter words."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    texts = [
+        "the cattle rattle battle settle",
+        "the kettle little bottle the the",
+        "aa aaa aaaa abab ababab",  # self-adjacent pair stress
+        "banana bandana ban ban banana",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "lang": ["en"] * len(texts),
+            "text": texts,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    # --- pure-Python reference ---------------------------------------
+    wf = Counter(
+        w for t_ in texts for w in re.findall(r"[a-z]+", t_.lower())
+    )
+    syms = {w: list(w) + ["_"] for w in wf}
+
+    def counts():
+        c = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += f
+        return c
+
+    def fold(s, a, b):
+        out = []
+        for x in s:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    def topn(c, n=20):
+        return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+
+    c1 = counts()
+    (ma, mb), _ = topn(c1, 1)[0]
+    syms = {w: fold(s, ma, mb) for w, s in syms.items()}
+    c2 = counts()
+
+    from pdf_ocr_spark.queries.textstats import QUERIES
+
+    rows = QUERIES["t20_bpe_merges"](spark, str(tmp_path)).collect()
+    got = {1: [], 2: []}
+    for r in rows:
+        got[r["it"]].append(((r["a"], r["b"]), r["cnt"], r["is_merge"]))
+    for it in got:
+        got[it].sort(key=lambda x: (-x[1], x[0]))
+    for it, ref in ((1, c1), (2, c2)):
+        exp = topn(ref)
+        assert [(p, c) for p, c, _ in got[it]] == exp, it
+        # exactly the top pair is flagged as the merge
+        flags = [m for _, _, m in got[it]]
+        assert flags[0] is True and not any(flags[1:])
+    assert (ma, mb) == got[1][0][0]
