@@ -66,6 +66,7 @@ HEADLINE = [
     "d12_fuzzy_dedup_funnel",
     "s09_ann_recall",
     "m01_media_decode",
+    "m06_scene_segments",
     "c01_keyword_classify",
     "u01_unpivot_compound_headers",
     "u02_deterministic_mapping",

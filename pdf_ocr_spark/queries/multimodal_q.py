@@ -226,3 +226,103 @@ def m05(spark, sf):
         .cast("int")
         .alias("n_frames"),
     )
+
+
+# ---------------------------------------------------------------- m06
+# Shot/scene segmentation over the sampled frame stream — the standard
+# video-curation pass (PySceneDetect-style content detector shape,
+# public): per-frame feature -> consecutive-frame difference -> boundary
+# threshold -> cumulative shot id.  The per-frame "luma" is the m01
+# deterministic-fake pattern (no codecs in the container): frames inside
+# the same 450-frame block share a hash-derived luma, so differences are
+# zero within a shot and hash-random across shot changes.
+_SHOT_FRAMES = 450  # 15 s at 30 fps
+_SCENE_TH = 8
+
+
+_M06_ORACLE_TMPL = """
+WITH frames AS ({m03}),
+lu AS (
+  SELECT doc_id, frame_idx,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+                             CAST(frame_idx // {shot} AS VARCHAR)),
+                         1, 2))::INT AS luma
+  FROM frames
+),
+d AS (
+  SELECT doc_id, frame_idx, luma,
+         COALESCE(abs(luma - lag(luma) OVER w), 0) AS diff
+  FROM lu
+  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+)
+SELECT doc_id, frame_idx, luma,
+       (diff >= {th}) AS is_boundary,
+       CAST(sum(CASE WHEN diff >= {th} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY frame_idx
+                  ROWS UNBOUNDED PRECEDING) AS INTEGER) AS shot_id
+FROM d
+"""
+
+
+@q(
+    "m06_scene_segments",
+    oracle=_M06_ORACLE_TMPL.format(
+        m03=ORACLE["m03_frame_sample"], shot=_SHOT_FRAMES, th=_SCENE_TH
+    ),
+)
+def m06(spark, sf):
+    """Scene/shot segmentation: per-frame luma difference over the m03
+    sampled-frame stream, boundary where the difference crosses the
+    threshold, shot id = running boundary count per video.
+
+    Scale shape: ONE doc_id exchange; lag and the running shot counter
+    share the same (doc_id, frame_idx) sort — exactly how a production
+    video pipeline orders per-video frame streams (each video's frames
+    are processed as one partition-local sequential scan; videos
+    distribute freely).  The luma itself would come from the m01
+    mapInPandas decode at frame grain; here it is the deterministic
+    fake so the windowed segmentation logic is fully oracle-checked.
+    """
+    from pyspark.sql import Window as W
+
+    frames = QUERIES["m03_frame_sample"](spark, sf)
+    lu = frames.withColumn(
+        "luma",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col("doc_id").cast("string"),
+                        F.expr(
+                            f"cast(frame_idx div {_SHOT_FRAMES} as string)"
+                        ),
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int"),
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    d = lu.withColumn(
+        "diff",
+        F.coalesce(
+            F.abs(F.col("luma") - F.lag("luma").over(w)), F.lit(0)
+        ),
+    )
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return d.select(
+        "doc_id",
+        "frame_idx",
+        "luma",
+        (F.col("diff") >= _SCENE_TH).alias("is_boundary"),
+        F.sum(
+            F.when(F.col("diff") >= _SCENE_TH, 1).otherwise(0)
+        )
+        .over(wc)
+        .cast("int")
+        .alias("shot_id"),
+    )

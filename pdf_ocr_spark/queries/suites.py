@@ -829,17 +829,27 @@ def t01_suite(spark, sf):
     oracle=f"""
 SELECT a.doc_id, a.width, a.height, a.format, a.n_bytes, b.mean_byte,
        c.new_width, c.new_height,
-       e.sample_rate, e.n_samples, e.n_frames
+       e.sample_rate, e.n_samples, e.n_frames,
+       g.n_sampled, g.n_shots, g.n_cuts
 FROM {_sub(multimodal_q, "m01_media_decode")} a
 JOIN {_sub(multimodal_q, "m02_media_feature")} b ON b.doc_id = a.doc_id
 JOIN {_sub(multimodal_q, "m04_media_resize")} c ON c.doc_id = a.doc_id
 JOIN {_sub(multimodal_q, "m05_audio_segments")} e ON e.doc_id = a.doc_id
+JOIN (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_sampled,
+             CAST(max(shot_id) + 1 AS INTEGER) AS n_shots,
+             CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+                  AS INTEGER) AS n_cuts
+      FROM {_sub(multimodal_q, "m06_scene_segments")} _g
+      GROUP BY doc_id) g ON g.doc_id = a.doc_id
 """,
 )
 def m01_suite(spark, sf):
     """Media suite (one row per doc): mapInPandas decode metadata (m01)
     + per-blob feature extraction (m02) + aspect-preserving resize
-    plan (m04) + audio segmentation framing (m05), joined on doc_id."""
+    plan (m04) + audio segmentation framing (m05) + the per-video
+    rollup of the shot/scene segmentation (m06: sampled frames, shot
+    count, cut count; the frame-grain rows are the fine-grained
+    twin), joined on doc_id."""
     a = multimodal_q.QUERIES["m01_media_decode"](spark, sf)
     b = multimodal_q.QUERIES["m02_media_feature"](spark, sf).select(
         "doc_id", "mean_byte"
@@ -850,7 +860,21 @@ def m01_suite(spark, sf):
     e = multimodal_q.QUERIES["m05_audio_segments"](spark, sf).select(
         "doc_id", "sample_rate", "n_samples", "n_frames"
     )
-    return a.join(b, "doc_id").join(c, "doc_id").join(e, "doc_id")
+    g = (
+        multimodal_q.QUERIES["m06_scene_segments"](spark, sf)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_sampled"),
+            (F.max("shot_id") + 1).cast("int").alias("n_shots"),
+            F.sum(F.when(F.col("is_boundary"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_cuts"),
+        )
+    )
+    return (
+        a.join(b, "doc_id").join(c, "doc_id").join(e, "doc_id")
+        .join(g, "doc_id")
+    )
 
 
 # ========================================================== validation

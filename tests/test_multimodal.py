@@ -105,3 +105,53 @@ def test_resize_batches_blob_roundtrip_and_schema():
         assert (row["width"], row["height"]) == (w, h)
         assert (row["new_width"], row["new_height"]) == (nw, nh)
         assert bytes(row["media_out"]) == b  # stub passthrough, intact
+
+
+def test_m06_scene_segmentation_reference(spark, tmp_path):
+    """m06: luma fake, boundary threshold, and running shot id match a
+    hashlib reference over the sampled frame stream."""
+    import hashlib
+
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "lang": ["en", "en"],
+            "text": ["x" * 7, "y" * 250],  # durations 8 s and 11 s
+            "n_chars": [7, 250],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    from pdf_ocr_spark.queries.multimodal_q import (
+        _SCENE_TH,
+        _SHOT_FRAMES,
+        QUERIES,
+    )
+
+    rows = sorted(
+        QUERIES["m06_scene_segments"](spark, str(tmp_path)).collect(),
+        key=lambda r: (r["doc_id"], r["frame_idx"]),
+    )
+
+    def luma(doc_id, frame_idx):
+        key = f"{doc_id}#{frame_idx // _SHOT_FRAMES}"
+        return int(hashlib.md5(key.encode()).hexdigest()[:2], 16)
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    for doc_id, rs in by_doc.items():
+        dur = (7 if doc_id == 1 else 250) % 120 + 1
+        assert [r["frame_idx"] for r in rs] == list(
+            range(0, dur * 30, 15)
+        )
+        prev, shots = None, 0
+        for r in rs:
+            lu = luma(doc_id, r["frame_idx"])
+            assert r["luma"] == lu
+            exp_b = prev is not None and abs(lu - prev) >= _SCENE_TH
+            assert r["is_boundary"] == exp_b, (doc_id, r["frame_idx"])
+            shots += int(exp_b)
+            assert r["shot_id"] == shots
+            prev = lu
