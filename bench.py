@@ -63,6 +63,7 @@ HEADLINE = [
     "t18_length_quantiles",
     "t19_split_leakage",
     "t20_bpe_merges",
+    "t21_host_rank",
     "d12_fuzzy_dedup_funnel",
     "s09_ann_recall",
     "m01_media_decode",

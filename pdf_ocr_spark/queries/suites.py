@@ -657,6 +657,7 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t18.p25 AS len_p25, t18.p50 AS len_p50, t18.p75 AS len_p75,
        t18.p95 AS len_p95,
        t19.split, t19.n_splits, t19.leaked,
+       t21.host, t21.rank2_nano AS host_rank_nano,
        (t2.n_chars > t18.p50) AS above_median_len,
        (t2.keep = 1 AND t11.c4_keep = 1
         AND t12.url_keep = 1 AND t15.mix_keep) AS curation_keep,
@@ -691,6 +692,7 @@ JOIN (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks,
 JOIN {_sub(textstats, "t18_length_quantiles")} t18
   ON t18.lang = t1.labeled_lang
 JOIN {_sub(textstats, "t19_split_leakage")} t19 ON t19.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t21_host_rank")} t21 ON t21.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -720,7 +722,9 @@ def t01_suite(spark, sf):
     the scalable value-histogram method, verified against DuckDB's
     sort-based quantile_cont), the deterministic train/val/test hash
     split + cross-split exact-duplicate leakage audit (t19: split,
-    n_splits, leaked), and the composed curation funnel
+    n_splits, leaked), the host-graph PageRank source-quality prior
+    (t21: host, host_rank_nano — exact integer nano-unit ranks), and
+    the composed curation funnel
     verdict (curation_keep = every filter
     stage passes;
     first_fail = the first stage that rejects, in the fixed pipeline
@@ -758,6 +762,11 @@ def t01_suite(spark, sf):
     )
     t19 = textstats.QUERIES["t19_split_leakage"](spark, sf).select(
         "doc_id", "split", "n_splits", "leaked"
+    )
+    t21 = textstats.QUERIES["t21_host_rank"](spark, sf).select(
+        "doc_id",
+        "host",
+        F.col("rank2_nano").alias("host_rank_nano"),
     )
     t17 = (
         textstats.QUERIES["t17_chunk_overlap"](spark, sf)
@@ -804,6 +813,7 @@ def t01_suite(spark, sf):
         .join(t17, "doc_id")
         .join(F.broadcast(t18), "labeled_lang")
         .join(t19, "doc_id")
+        .join(t21, "doc_id")
         .withColumn("above_median_len", F.col("n_chars") > F.col("len_p50"))
         .withColumn(
             "curation_keep",

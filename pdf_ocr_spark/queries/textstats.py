@@ -1698,3 +1698,151 @@ def t20(spark, sf):
 
 
 t20.__doc__ = t20.__doc__.format(topn=_T20_TOPN)
+
+
+# ------------------------------------------------------------- t21
+# Host-graph PageRank quality weighting — the CommonCrawl-style source
+# signal (host-level centrality as a document quality prior; cf. the
+# public harmonic-centrality host rankings used to weight crawls).  Two
+# unrolled iterations, damping 0.85, over the host link graph derived
+# from t12's injected URLs (primary host links to secondary host).
+#
+# Float discipline taken to its limit: there are NO floats.  Ranks are
+# integer nano-units (1e9 = mass 1); every contribution is BIGINT
+# `r * w div out_w`; the damping update is `(15*base) div 100 +
+# (85*inflow) div 100`.  Integer arithmetic is associative and
+# engine-identical, so every iteration is value-hash-pinned exactly.
+# Dangling-mass redistribution is omitted (every injected host has
+# out-links; documented simplification).
+
+
+def _t21_hosts_spark():
+    arr = ", ".join(f"'{d}'" for d in _T12_DOMAINS)
+    return (
+        f"element_at(array({arr}), CAST(doc_id % 7 AS INT) + 1)",
+        f"CASE WHEN doc_id % 4 = 0 THEN element_at(array({arr}),"
+        f" CAST((doc_id + 3) % 7 AS INT) + 1) END",
+    )
+
+
+def _t21_hosts_sql():
+    arr = ", ".join(f"'{d}'" for d in _T12_DOMAINS)
+    return (
+        f"([{arr}])[CAST(doc_id % 7 AS INTEGER) + 1]",
+        f"CASE WHEN doc_id % 4 = 0 THEN"
+        f" ([{arr}])[CAST((doc_id + 3) % 7 AS INTEGER) + 1] END",
+    )
+
+
+_T21_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_t21_hosts_sql()[0]} AS host, {_t21_hosts_sql()[1]} AS sec
+  FROM documents
+),
+links AS (
+  SELECT host AS u, sec AS v, CAST(count(*) AS BIGINT) AS w
+  FROM d WHERE sec IS NOT NULL GROUP BY host, sec
+),
+outw AS (SELECT u, CAST(sum(w) AS BIGINT) AS ow FROM links GROUP BY u),
+hosts AS (SELECT DISTINCT host FROM d),
+nb AS (SELECT CAST(1000000000 // count(*) AS BIGINT) AS base FROM hosts),
+r0 AS (SELECT host, base AS r FROM hosts, nb),
+in1 AS (
+  SELECT l.v AS host, CAST(sum((r0.r * l.w) // o.ow) AS BIGINT) AS inflow
+  FROM links l JOIN r0 ON r0.host = l.u JOIN outw o ON o.u = l.u
+  GROUP BY l.v
+),
+r1 AS (
+  SELECT h.host,
+         CAST((15 * nb.base) // 100
+              + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS r
+  FROM hosts h LEFT JOIN in1 i ON i.host = h.host, nb
+),
+in2 AS (
+  SELECT l.v AS host, CAST(sum((r1.r * l.w) // o.ow) AS BIGINT) AS inflow
+  FROM links l JOIN r1 ON r1.host = l.u JOIN outw o ON o.u = l.u
+  GROUP BY l.v
+),
+r2 AS (
+  SELECT h.host,
+         CAST((15 * nb.base) // 100
+              + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS r
+  FROM hosts h LEFT JOIN in2 i ON i.host = h.host, nb
+)
+SELECT d.doc_id, d.host,
+       CAST(COALESCE(o.ow, 0) AS BIGINT) AS host_outw,
+       r1.r AS rank1_nano, r2.r AS rank2_nano
+FROM d
+JOIN r1 ON r1.host = d.host
+JOIN r2 ON r2.host = d.host
+LEFT JOIN outw o ON o.u = d.host
+"""
+
+
+@q("t21_host_rank", oracle=_T21_ORACLE)
+def t21(spark, sf):
+    """Host-graph PageRank (2 unrolled iterations, damping 0.85, exact
+    integer nano-unit arithmetic) joined back onto each document as its
+    source-quality prior.
+
+    Scale shape: the link graph aggregates the corpus scan to HOST
+    grain (web-scale: ~10^8 hosts vs 10^12 docs — map-side combined);
+    every iteration is one host-grain join + agg on the tiny graph
+    relation; the final step broadcasts the rank table back onto the
+    corpus scan.  The corpus is read once and never shuffles.
+    """
+    he, se = _t21_hosts_spark()
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.expr(he).alias("host"), F.expr(se).alias("sec")
+    )
+    links = (
+        d.filter(F.col("sec").isNotNull())
+        .groupBy(F.col("host").alias("u"), F.col("sec").alias("v"))
+        .agg(F.count("*").alias("w"))
+    )
+    outw = links.groupBy("u").agg(F.sum("w").alias("ow"))
+    hosts = d.select("host").distinct()
+    nb = hosts.agg(
+        F.expr("cast(1000000000 div count(*) as bigint)").alias("base")
+    )
+
+    def step(ranks):
+        contrib = (
+            links.join(ranks.withColumnRenamed("host", "u"), "u")
+            .join(outw, "u")
+            .select("v", F.expr("(r * w) div ow").alias("c"))
+        )
+        inflow = contrib.groupBy("v").agg(F.sum("c").alias("inflow"))
+        return (
+            hosts.join(inflow, hosts.host == inflow.v, "left")
+            .crossJoin(F.broadcast(nb))
+            .select(
+                "host",
+                F.expr(
+                    "cast((15 * base) div 100"
+                    " + (85 * coalesce(inflow, 0)) div 100 as bigint)"
+                ).alias("r"),
+            )
+        )
+
+    r0 = hosts.crossJoin(F.broadcast(nb)).select(
+        "host", F.col("base").alias("r")
+    )
+    r1 = step(r0)
+    r2 = step(r1)
+    return (
+        d.join(F.broadcast(r1.withColumnRenamed("r", "rank1_nano")), "host")
+        .join(F.broadcast(r2.withColumnRenamed("r", "rank2_nano")), "host")
+        .join(
+            F.broadcast(outw.withColumnRenamed("u", "host")),
+            "host",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "host",
+            F.coalesce("ow", F.lit(0)).cast("long").alias("host_outw"),
+            "rank1_nano",
+            "rank2_nano",
+        )
+    )

@@ -844,3 +844,53 @@ def test_t20_bpe_matches_python_reference(spark, tmp_path):
         flags = [m for _, _, m in got[it]]
         assert flags[0] is True and not any(flags[1:])
     assert (ma, mb) == got[1][0][0]
+
+
+def test_t21_pagerank_matches_python_reference(spark, tmp_path):
+    """t21: link graph, out-weights, and both integer PageRank
+    iterations match a pure-Python reference."""
+    import pandas as pd
+
+    n = 60
+    pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "lang": ["en"] * n,
+            "text": ["some words here"] * n,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    from pdf_ocr_spark.queries.textstats import _T12_DOMAINS, QUERIES
+
+    # --- reference -----------------------------------------------------
+    links: dict[tuple[str, str], int] = {}
+    for i in range(0, n, 4):
+        u = _T12_DOMAINS[i % 7]
+        v = _T12_DOMAINS[(i + 3) % 7]
+        links[(u, v)] = links.get((u, v), 0) + 1
+    hosts = sorted({_T12_DOMAINS[i % 7] for i in range(n)})
+    outw = {}
+    for (u, _), w in links.items():
+        outw[u] = outw.get(u, 0) + w
+    base = 1_000_000_000 // len(hosts)
+    r = {h: base for h in hosts}
+
+    def step(r):
+        inflow = {h: 0 for h in hosts}
+        for (u, v), w in links.items():
+            inflow[v] += (r[u] * w) // outw[u]
+        return {
+            h: (15 * base) // 100 + (85 * inflow[h]) // 100 for h in hosts
+        }
+
+    r1, r2 = step(r), step(step(r))
+
+    rows = QUERIES["t21_host_rank"](spark, str(tmp_path)).collect()
+    assert len(rows) == n
+    for row in rows:
+        h = _T12_DOMAINS[row["doc_id"] % 7]
+        assert row["host"] == h
+        assert row["host_outw"] == outw.get(h, 0)
+        assert row["rank1_nano"] == r1[h], h
+        assert row["rank2_nano"] == r2[h], h
+    # rank mass stays near 1e9 (no dangling hosts in the injection)
+    assert abs(sum(r2.values()) - 1_000_000_000) < 1000
