@@ -66,6 +66,7 @@ HEADLINE = [
     "t21_host_rank",
     "d12_fuzzy_dedup_funnel",
     "s09_ann_recall",
+    "s10_product_quantize",
     "m01_media_decode",
     "m06_scene_segments",
     "c01_keyword_classify",

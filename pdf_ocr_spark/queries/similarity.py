@@ -866,3 +866,138 @@ def s09(spark, sf):
         n_hit.cast("int").alias("n_hit"),
         (n_hit / F.lit(float(_S09_K))).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------- s10
+# Product quantization (Jégou et al. 2011, the FAISS PQ stage): split
+# each vector into M subspaces, encode each subvector as its nearest
+# codeword id, and score queries against the codes with an
+# asymmetric-distance (ADC) lookup.  Codebooks here are the
+# deterministic-init convention (subvectors of the first k vectors) —
+# production trains them offline on a sample with s08's k-means; the
+# scale-critical corpus passes are ENCODE and ADC, which is what this
+# operator pins.
+_PQ_M = 4
+_PQ_SUB = 16  # dims per subspace (DIM = 64)
+_PQ_K = 16  # codewords per subspace
+
+_PQ_PARTS = (
+    "transform(sequence(0, {mm}), m ->"
+    " aggregate("
+    "  transform(filter(cbarr, c -> c.m = m), c -> named_struct("
+    "    'd', aggregate(zip_with(slice(v, m * {sub} + 1, {sub}), c.cv,"
+    "                            (x, y) -> (x - y) * (x - y)),"
+    "                   0D, (a, x) -> a + x),"
+    "    'cid', c.cid,"
+    "    'dq', aggregate(zip_with(slice(qv, m * {sub} + 1, {sub}), c.cv,"
+    "                             (x, y) -> (x - y) * (x - y)),"
+    "                    0D, (a, x) -> a + x))),"
+    "  named_struct('d', CAST('Infinity' AS DOUBLE), 'cid', -1, 'dq', 0D),"
+    "  (acc, s) -> if(s.d < acc.d, s, acc)))"
+).format(mm=_PQ_M - 1, sub=_PQ_SUB)
+
+_PQ_SQL_SUBDIST = (
+    "list_reduce(list_transform(range(1, {sub} + 1),"
+    " i -> ({v}[m * {sub} + i] - cv[i]) * ({v}[m * {sub} + i] - cv[i])),"
+    " (a, b) -> a + b)"
+)
+
+_S10_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cb AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, u.m,
+         v[u.m * {_PQ_SUB} + 1 : (u.m + 1) * {_PQ_SUB}] AS cv
+  FROM e, unnest(generate_series(0, {_PQ_M - 1})) AS u(m)
+  WHERE vec_id < {_PQ_K}
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, cb.m, cb.cid,
+         {_PQ_SQL_SUBDIST.format(v="e.v", sub=_PQ_SUB)} AS dist,
+         {_PQ_SQL_SUBDIST.format(v="q.qv", sub=_PQ_SUB)} AS dq
+  FROM e, cb, q
+),
+best AS (
+  SELECT vec_id, m, cid, dist, dq FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dist, cid) AS rk
+    FROM d) WHERE rk = 1
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN m = 0 THEN cid END) AS INTEGER) AS code0,
+       CAST(max(CASE WHEN m = 1 THEN cid END) AS INTEGER) AS code1,
+       CAST(max(CASE WHEN m = 2 THEN cid END) AS INTEGER) AS code2,
+       CAST(max(CASE WHEN m = 3 THEN cid END) AS INTEGER) AS code3,
+       round(max(CASE WHEN m = 0 THEN dist END)
+             + max(CASE WHEN m = 1 THEN dist END)
+             + max(CASE WHEN m = 2 THEN dist END)
+             + max(CASE WHEN m = 3 THEN dist END), 6) AS recon,
+       round(max(CASE WHEN m = 0 THEN dq END)
+             + max(CASE WHEN m = 1 THEN dq END)
+             + max(CASE WHEN m = 2 THEN dq END)
+             + max(CASE WHEN m = 3 THEN dq END), 6) AS adc
+FROM best
+GROUP BY vec_id
+"""
+
+
+@q("s10_product_quantize", oracle=_S10_ORACLE)
+def s10(spark, sf):
+    """PQ encode + ADC scoring: per vector, the M={m} nearest-codeword
+    ids (one per {sub}-dim subspace), the exact reconstruction error
+    (sum of per-subspace quantization distances) and the asymmetric
+    distance to the sample query (sum of query-to-chosen-codeword
+    subspace distances, the PQ distance-table lookup).
+
+    Float discipline: every subspace distance is the fixed-order fold
+    (engine-bit-identical, s08's discipline), the per-subspace argmin
+    breaks ties to the lower codeword id, and the M-term sums are
+    fixed-order expressions — every output value hash-pins.
+
+    Scale shape: the codebook (M x k x {sub} doubles) folds into ONE
+    broadcast row; encode + ADC are scan-local per-vector expressions
+    — the vector table NEVER shuffles (the property that makes PQ the
+    standard 100-TB vector-store compression).  The DuckDB twin runs
+    the relational formulation (cross join + window argmin) so the two
+    engines cross-check different physical strategies.
+    """
+    e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
+    cb = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.explode(F.expr(f"sequence(0, {_PQ_M - 1})")).alias("m"),
+            "v",
+        )
+        .select(
+            "m",
+            "cid",
+            F.expr(f"slice(v, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"),
+        )
+    )
+    cone = cb.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct('m', m, 'cid', cid,"
+            " 'cv', cv)))"
+        ).alias("cbarr")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    parts = (
+        e.crossJoin(F.broadcast(cone))
+        .crossJoin(F.broadcast(qv))
+        .withColumn("parts", F.expr(_PQ_PARTS))
+    )
+    code = [F.expr(f"parts[{m}].cid").cast("int").alias(f"code{m}")
+            for m in range(_PQ_M)]
+    recon = F.round(
+        F.expr(" + ".join(f"parts[{m}].d" for m in range(_PQ_M))), 6
+    ).alias("recon")
+    adc = F.round(
+        F.expr(" + ".join(f"parts[{m}].dq" for m in range(_PQ_M))), 6
+    ).alias("adc")
+    return parts.select("vec_id", *code, recon, adc)
+
+
+s10.__doc__ = s10.__doc__.format(m=_PQ_M, sub=_PQ_SUB)

@@ -428,6 +428,11 @@ UNION ALL
 SELECT 'ann_recall', qid, CAST(n_cand AS BIGINT), CAST(n_hit AS BIGINT),
        recall
 FROM {_sub(similarity, "s09_ann_recall")} _i
+UNION ALL
+SELECT 'pq', vec_id,
+       CAST(code0 * 4096 + code1 * 256 + code2 * 16 + code3 AS BIGINT),
+       0, adc
+FROM {_sub(similarity, "s10_product_quantize")} _j
 """,
 )
 def s01_suite(spark, sf):
@@ -441,8 +446,10 @@ def s01_suite(spark, sf):
     k-means (s08: aux1 = final cluster, aux2 = iteration-1 cluster,
     score = final squared distance), and the recall@10 ANN quality
     audit (s09: id = query, aux1 = bucket candidates, aux2 = true
-    neighbors hit, score = recall) — tagged union on
-    (fam, id, aux1, aux2, score)."""
+    neighbors hit, score = recall), and PQ encode + ADC scoring
+    (s10: aux1 = the packed 4x4-bit code, score = asymmetric distance
+    to the sample query; recon error rides the fine-grained twin) —
+    tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
         F.col("vec_id").alias("id"),
@@ -506,10 +513,20 @@ def s01_suite(spark, sf):
         F.col("n_hit").cast("long").alias("aux2"),
         F.col("recall").alias("score"),
     )
+    j = similarity.QUERIES["s10_product_quantize"](spark, sf).select(
+        F.lit("pq").alias("fam"),
+        F.col("vec_id").alias("id"),
+        (
+            F.col("code0") * 4096 + F.col("code1") * 256
+            + F.col("code2") * 16 + F.col("code3")
+        ).cast("long").alias("aux1"),
+        F.lit(0).cast("long").alias("aux2"),
+        F.col("adc").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
-        .unionByName(h).unionByName(i)
+        .unionByName(h).unionByName(i).unionByName(j)
     )
 
 

@@ -222,3 +222,62 @@ def test_s09_recall_matches_numpy_reference(spark, tmp_path):
         assert r["n_cand"] == len(cand), qid
         assert r["n_hit"] == len(gt & cand), qid
         assert abs(r["recall"] - len(gt & cand) / _S09_K) < 1e-12
+
+
+def test_s10_pq_matches_numpy_reference(spark, tmp_path):
+    """s10: per-subspace codes, reconstruction error, and ADC distance
+    match a NumPy PQ reference (codebook = first k vectors' subvectors,
+    ties to the lower codeword id)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_spark.queries.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        DIM,
+        QUERIES,
+    )
+
+    rng = np.random.RandomState(31)
+    n = 50
+    vecs = rng.uniform(-1, 1, size=(n, DIM)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    V = vecs.astype(np.float64)
+    rows = {
+        r["vec_id"]: r
+        for r in QUERIES["s10_product_quantize"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(rows) == n
+    q = V[0]
+    for i in range(n):
+        recon, adc = 0.0, 0.0
+        for m in range(_PQ_M):
+            lo, hi = m * _PQ_SUB, (m + 1) * _PQ_SUB
+            sub = V[i, lo:hi]
+            cents = V[:_PQ_K, lo:hi]
+            d = ((cents - sub) ** 2).sum(axis=1)
+            cid = int(d.argmin())  # first minimum = lowest cid
+            assert rows[i][f"code{m}"] == cid, (i, m)
+            recon += d[cid]
+            adc += ((q[lo:hi] - cents[cid]) ** 2).sum()
+        assert abs(rows[i]["recon"] - round(recon, 6)) < 1e-9, i
+        assert abs(rows[i]["adc"] - round(adc, 6)) < 1e-9, i
+    # every vector below k encodes itself exactly in every subspace
+    for i in range(_PQ_K):
+        assert rows[i]["recon"] == 0.0
+        assert [rows[i][f"code{m}"] for m in range(_PQ_M)] == [i] * _PQ_M
