@@ -46,6 +46,20 @@ def dsum_expr(expr, scale: int = 6):
     return F.sum(expr.cast(f"decimal(18,{scale})")).cast("double")
 
 
+def norm_hash(col="text"):
+    """The d01 content key: md5 over whitespace-collapsed, trimmed,
+    lowercased text. THE single definition — batch exact dedup (d01),
+    the streaming dedup-at-ingest key, and the train/val/test leakage
+    audit (t19) all hash through here, so the documented batch/stream
+    key agreement holds by construction (reference: compress.py content
+    fingerprint)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
+# SQL-side twin of norm_hash (DuckDB oracle snippets)
+SQL_NORM_HASH = "md5(lower(trim(regexp_replace({col}, '\\s+', ' ', 'g'))))"
+
+
 # SQL-side twins (DuckDB oracle snippets)
 def sql_dsum(col: str, scale: int = 4) -> str:
     return f"CAST(SUM(CAST({col} AS DECIMAL(18,{scale}))) AS DOUBLE)"

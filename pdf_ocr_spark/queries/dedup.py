@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .base import spread, t
+from .base import norm_hash, spread, t
 
 QUERIES = {}
 ORACLE = {}
@@ -112,8 +112,7 @@ def d01(spark, sf):
     at 10^12 docs this is the cheapest possible dedup (no pairwise work).
     """
     d = t(spark, sf, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    return d.groupBy(F.md5(norm).alias("norm_hash")).agg(
+    return d.groupBy(norm_hash().alias("norm_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count("*").alias("n_copies"),
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .base import t
+from .base import norm_hash, t
 from .dedup import SQL_TOKENS, _tokens
 
 QUERIES = {}
@@ -1499,9 +1499,7 @@ def t19(spark, sf):
                 16, 10,
             ).cast("long") % _T19_BUCKETS
         ).alias("bucket"),
-        F.md5(
-            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-        ).alias("content_key"),
+        norm_hash().alias("content_key"),
     )
     s = d.select(
         "doc_id",

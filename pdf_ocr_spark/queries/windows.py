@@ -364,7 +364,11 @@ def q41(spark, sf):
     window pattern (the scale-correct strategy: tag reference rows,
     union with probe rows, one window per key ordered by (ts, tag)
     carrying the last reference forward; ref rows sort before probes
-    at equal ts, giving the same >= semantics).
+    at equal ts, giving the same >= semantics). The carried value is a
+    single (ts, value) STRUCT so both outputs always come from the SAME
+    purchase row — two independent last(..., ignorenulls) windows could
+    pair a newer ts with an older non-null value when a purchase has a
+    NULL value, a (ts, value) combination that never co-occurred.
 
     Why not a range join: probe x ref per user with a ts inequality is
     O(n*m) BroadcastNestedLoop per key in Spark; the union-window form
@@ -372,7 +376,12 @@ def q41(spark, sf):
     as-of shape that survives 100 TB of events. Reference timestamps
     are deduplicated per (user_id, ts) by arg-max(event_id) first so
     ties resolve identically in both engines."""
-    ev = t(spark, sf, "events")
+    return asof_last_purchase(t(spark, sf, "events"))
+
+
+def asof_last_purchase(ev):
+    """q41 core over any events-shaped frame (unit tests feed literal
+    frames with NULL purchase values, which the shipped corpus lacks)."""
     refs = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
@@ -401,6 +410,14 @@ def q41(spark, sf):
         .orderBy("ts", "tag")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # NULL struct on probe rows (when without otherwise), one struct per
+    # ref row: last() then carries ts+value as an atomic pair.
+    ref_pair = F.when(
+        F.col("tag") == 0,
+        F.struct(
+            F.col("ref_ts").alias("ts"), F.col("ref_value").alias("val")
+        ),
+    )
     joined = (
         probe.unionByName(ref)
         .select(
@@ -409,14 +426,17 @@ def q41(spark, sf):
             "event_type",
             "ts",
             "tag",
-            F.last("ref_ts", ignorenulls=True).over(w).alias(
-                "last_purchase_ts"
-            ),
-            F.last("ref_value", ignorenulls=True).over(w).alias(
-                "last_purchase_value"
-            ),
+            F.last(ref_pair, ignorenulls=True).over(w).alias("lp"),
         )
         .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.col("lp.ts").alias("last_purchase_ts"),
+            F.col("lp.val").alias("last_purchase_value"),
+        )
     )
     # no-match sentinels (epoch ts / -1) instead of NULLs: the oracle
     # comparator reads DuckDB through pandas, where NULL ints/timestamps
@@ -573,17 +593,16 @@ def q43(spark, sf):
     survive via a final left join of the tiny interval spine onto the
     120-group aggregate."""
     k = F.col("id")
+    # single source of truth for the interval spec: timestamps AND the
+    # bucket list both derive from start_min/end_min, so the exploded
+    # bucket range can never drift out from under [start_ts, end_ts)
     start_min = 360 * k + 17
     end_min = start_min + 60 * ((k % 7) + 4) + 23  # exclusive
+    anchor = F.expr(_Q43_ANCHOR)
     iv = spark.range(_Q43_N).select(
         k.cast("int").alias("promo_id"),
-        F.expr(
-            f"timestampadd(MINUTE, {360}*id + 17, {_Q43_ANCHOR})"
-        ).alias("start_ts"),
-        F.expr(
-            f"timestampadd(MINUTE, 360*id + 17 + 60*(id % 7 + 4) + 23,"
-            f" {_Q43_ANCHOR})"
-        ).alias("end_ts"),
+        F.timestampadd("MINUTE", start_min, anchor).alias("start_ts"),
+        F.timestampadd("MINUTE", end_min, anchor).alias("end_ts"),
         F.sequence(
             F.floor(start_min / 60), F.floor((end_min - 1) / 60)
         ).alias("buckets"),

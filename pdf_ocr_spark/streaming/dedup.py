@@ -39,10 +39,12 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def content_key(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the d01 normalized-content hash (same expression as the
-    batch operator, so batch and stream dedup agree key-for-key)."""
-    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
-    return df.withColumn("norm_hash", F.md5(norm))
+    """Attach the d01 normalized-content hash — the SAME expression
+    object as the batch operator (queries.base.norm_hash), so batch and
+    stream dedup agree key-for-key by construction."""
+    from ..queries.base import norm_hash
+
+    return df.withColumn("norm_hash", norm_hash(text_col))
 
 
 def dedup_stream(

@@ -35,9 +35,9 @@ def dirs(tmp_path):
 
 
 def _write(spark, path, rows):
-    # one file per batch: batch content is deterministic, so the
-    # "arbitrary representative within a micro-batch" clause (#2)
-    # cannot make this test flaky
+    # one file per batch so each _run sees exactly one new micro-batch;
+    # assertions below still treat the within-batch survivor as arbitrary
+    # (contract clause #2 — single-file order is not a Spark guarantee)
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(path)
@@ -90,9 +90,14 @@ def test_stream_dedup_contract(spark, dirs):
 
     out = spark.read.parquet(dirs["out"])
     got = {r["doc_id"]: r["norm_hash"] for r in out.collect()}
-    # docs 2/4 suppressed in-horizon; 6 re-emitted; 7 dropped as late
-    assert set(got) == {1, 3, 5, 6}
-    # the streaming key equals the batch d01 key, row for row
+    # contract clause 2: WHICH of an in-batch duplicate pair (docs 1/2)
+    # survives is arbitrary — assert exactly one did, not a specific one
+    alpha_survivor = set(got) & {1, 2}
+    assert len(alpha_survivor) == 1
+    # doc 4 suppressed cross-batch in-horizon; 6 re-emitted; 7 late-drop
+    assert set(got) == alpha_survivor | {3, 5, 6}
+    # the streaming key equals the batch d01 key, row for row (docs 1 and
+    # 2 normalize to the same key, so the alpha survivor's hash is fixed)
     batch = {
         r["doc_id"]: r["norm_hash"]
         for r in content_key(
@@ -105,6 +110,7 @@ def test_stream_dedup_contract(spark, dirs):
             )
         ).collect()
     }
-    assert got == batch
+    assert {got[d] for d in alpha_survivor} == {batch[1]}
+    assert all(got[d] == batch[d] for d in (3, 5, 6))
     # the re-emitted duplicate carries the same key as its first copy
-    assert got[6] == got[1]
+    assert got[6] == batch[1]
