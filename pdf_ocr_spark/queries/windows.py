@@ -601,8 +601,8 @@ def q43(spark, sf):
     anchor = F.expr(_Q43_ANCHOR)
     iv = spark.range(_Q43_N).select(
         k.cast("int").alias("promo_id"),
-        F.timestampadd("MINUTE", start_min, anchor).alias("start_ts"),
-        F.timestampadd("MINUTE", end_min, anchor).alias("end_ts"),
+        F.timestamp_add("MINUTE", start_min, anchor).alias("start_ts"),
+        F.timestamp_add("MINUTE", end_min, anchor).alias("end_ts"),
         F.sequence(
             F.floor(start_min / 60), F.floor((end_min - 1) / 60)
         ).alias("buckets"),
