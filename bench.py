@@ -36,6 +36,8 @@ HEADLINE = [
     "q41_asof_join",
     "q42_time_rollup",
     "q43_range_join",
+    "q44_event_funnel",
+    "q45_cohort_retention",
     "d01_exact_dedup",
     "d02_minhash_lsh_dedup",
     "d04_ngram_jaccard_dedup",
@@ -64,6 +66,7 @@ HEADLINE = [
     "t19_split_leakage",
     "t20_bpe_merges",
     "t21_host_rank",
+    "t22_char_entropy",
     "d12_fuzzy_dedup_funnel",
     "s09_ann_recall",
     "s10_product_quantize",

@@ -177,20 +177,26 @@ def q12_suite(spark, sf):
     oracle=f"""
 SELECT a.user_id, a.n_sessions, a.n_events,
        CAST(b.n_alternations AS BIGINT) AS n_alternations,
-       c.median_gap_us, c.n_gaps
+       c.median_gap_us, c.n_gaps,
+       d.funnel_depth, d.signup_ts, d.first_view_ts, d.first_click_ts,
+       d.first_purchase_ts, d.funnel_lag_us
 FROM {_sub(windows, "q13_sessionize_events")} a
 JOIN {_sub(windows, "q16_zebra_alternations")} b ON b.user_id = a.user_id
 JOIN {_sub(windows, "q18_median_event_gap")} c ON c.user_id = a.user_id
+JOIN {_sub(windows, "q44_event_funnel")} d ON d.user_id = a.user_id
 """,
 )
 def q13_suite(spark, sf):
     """Per-user event-stream window suite: gap sessionization (q13, the
     y-clustering pattern), zebra alternation count (q16), median-gap
-    adaptive threshold (q18) — one row per user, joined on user_id."""
+    adaptive threshold (q18), and the ordered conversion funnel (q44:
+    signup -> view -> click -> purchase first-touch stage timestamps,
+    depth, and end-to-end lag) — one row per user, joined on user_id."""
     a = windows.QUERIES["q13_sessionize_events"](spark, sf)
     b = windows.QUERIES["q16_zebra_alternations"](spark, sf)
     c = windows.QUERIES["q18_median_event_gap"](spark, sf)
-    return a.join(b, "user_id").join(c, "user_id")
+    d = windows.QUERIES["q44_event_funnel"](spark, sf)
+    return a.join(b, "user_id").join(c, "user_id").join(d, "user_id")
 
 
 # q37 tumbling + q40 sliding event-time windows — tagged union
@@ -215,6 +221,12 @@ SELECT 'q43_range', start_ts,
        promo_id || '#' || n_users || '#' || n_purchases,
        n_events, CAST(sum_cents AS DOUBLE)
 FROM {_sub(windows, "q43_range_join")} _e
+UNION ALL
+SELECT 'q45_cohort',
+       TIMESTAMP '1970-01-01' + INTERVAL (cohort_wk * 7) DAY,
+       offset_wk || '#' || n_cohort,
+       n_active, CAST(retention_ppm AS DOUBLE)
+FROM {_sub(windows, "q45_cohort_retention")} _f
 """,
 )
 def q37_suite(spark, sf):
@@ -227,7 +239,10 @@ def q37_suite(spark, sf):
     time rollup (q42: hour/day/month/all grains in one GROUPING-SETS
     pass; key = grain#event_type, sum_value = integer cents), + the
     bucketed range join (q43: events → overlapping promo windows;
-    key = promo#users#purchases, sum_value = attributed cents)."""
+    key = promo#users#purchases, sum_value = attributed cents), + the
+    weekly cohort-retention triangle (q45: window_start = cohort week
+    as a timestamp, key = offset#cohort_size, n_events = active users,
+    sum_value = retention in ppm)."""
     a = windows.QUERIES["q37_event_time_windows"](spark, sf).select(
         F.lit("q37_tumbling").alias("fam"),
         "window_start",
@@ -265,8 +280,23 @@ def q37_suite(spark, sf):
         F.col("n_events"),
         F.col("sum_cents").cast("double").alias("sum_value"),
     )
+    f = windows.QUERIES["q45_cohort_retention"](spark, sf).select(
+        F.lit("q45_cohort").alias("fam"),
+        F.timestamp_add(
+            "DAY",
+            (F.col("cohort_wk") * 7).cast("int"),
+            F.lit("1970-01-01").cast("timestamp_ntz"),
+        ).alias("window_start"),
+        F.concat_ws("#", "offset_wk", "n_cohort").alias("key"),
+        F.col("n_active").alias("n_events"),
+        F.col("retention_ppm").cast("double").alias("sum_value"),
+    )
     return (
-        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        a.unionByName(b)
+        .unionByName(c)
+        .unionByName(d)
+        .unionByName(e)
+        .unionByName(f)
     )
 
 
@@ -675,10 +705,12 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t18.p95 AS len_p95,
        t19.split, t19.n_splits, t19.leaked,
        t21.host, t21.rank2_nano AS host_rank_nano,
+       t22.n_distinct_chars, t22.micro_entropy, t22.entropy_keep,
        (t2.n_chars > t18.p50) AS above_median_len,
-       (t2.keep = 1 AND t11.c4_keep = 1
+       (t2.keep = 1 AND t22.entropy_keep AND t11.c4_keep = 1
         AND t12.url_keep = 1 AND t15.mix_keep) AS curation_keep,
        CASE WHEN t2.keep = 0 THEN 'quality'
+            WHEN NOT t22.entropy_keep THEN 'entropy'
             WHEN t11.c4_keep = 0 THEN 'c4'
             WHEN t12.url_keep = 0 THEN 'url'
             WHEN NOT t15.mix_keep THEN 'mixture'
@@ -710,6 +742,7 @@ JOIN {_sub(textstats, "t18_length_quantiles")} t18
   ON t18.lang = t1.labeled_lang
 JOIN {_sub(textstats, "t19_split_leakage")} t19 ON t19.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t21_host_rank")} t21 ON t21.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t22_char_entropy")} t22 ON t22.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -740,12 +773,13 @@ def t01_suite(spark, sf):
     sort-based quantile_cont), the deterministic train/val/test hash
     split + cross-split exact-duplicate leakage audit (t19: split,
     n_splits, leaked), the host-graph PageRank source-quality prior
-    (t21: host, host_rank_nano — exact integer nano-unit ranks), and
-    the composed curation funnel
+    (t21: host, host_rank_nano — exact integer nano-unit ranks), the
+    character-entropy gibberish profile (t22: distinct chars,
+    micro-nat entropy, keep verdict), and the composed curation funnel
     verdict (curation_keep = every filter
     stage passes;
     first_fail = the first stage that rejects, in the fixed pipeline
-    order quality -> c4 -> url -> mixture). The Gopher absolute
+    order quality -> entropy -> c4 -> url -> mixture). The Gopher absolute
     floors (t11) stay a reported column but sit outside the composed
     verdict: their 50-word minimum targets web pages and rejects
     every short synthetic table fragment, which would pin the funnel
@@ -785,6 +819,7 @@ def t01_suite(spark, sf):
         "host",
         F.col("rank2_nano").alias("host_rank_nano"),
     )
+    t22 = textstats.QUERIES["t22_char_entropy"](spark, sf)
     t17 = (
         textstats.QUERIES["t17_chunk_overlap"](spark, sf)
         .groupBy("doc_id")
@@ -831,10 +866,12 @@ def t01_suite(spark, sf):
         .join(F.broadcast(t18), "labeled_lang")
         .join(t19, "doc_id")
         .join(t21, "doc_id")
+        .join(t22, "doc_id")
         .withColumn("above_median_len", F.col("n_chars") > F.col("len_p50"))
         .withColumn(
             "curation_keep",
             (F.col("keep") == 1)
+            & F.col("entropy_keep")
             & (F.col("c4_keep") == 1)
             & (F.col("url_keep") == 1)
             & F.col("mix_keep"),
@@ -842,6 +879,7 @@ def t01_suite(spark, sf):
         .withColumn(
             "first_fail",
             F.when(F.col("keep") == 0, "quality")
+            .when(~F.col("entropy_keep"), "entropy")
             .when(F.col("c4_keep") == 0, "c4")
             .when(F.col("url_keep") == 0, "url")
             .when(~F.col("mix_keep"), "mixture")

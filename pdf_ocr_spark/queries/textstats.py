@@ -1844,3 +1844,108 @@ def t21(spark, sf):
             "rank2_nano",
         )
     )
+
+
+# ------------------------------------------------------------- t22
+# Character-entropy gibberish filter — the curation heuristic that
+# rejects binary junk, key-mash, and single-char-flood documents (cf.
+# the public C4/RefinedWeb-style "heuristic filtering" family): Shannon
+# entropy of the per-character distribution, in nats per character.
+#
+# Float discipline (t14's trick): each distinct character's term
+# -(r/n)*ln(r/n) freezes to an integer micro-nat BEFORE the per-doc
+# sum, so the total is commutative integer math — identical across
+# engines and aggregation orders; the keep verdict compares integers.
+_T22_LO = 1_500_000  # < 1.5 nats/char: repeated-char flood
+_T22_HI = 4_200_000  # > 4.2 nats/char: uniform noise / key-mash
+
+# The synthetic corpus is all natural-ish text (2.55-2.94 nats/char at
+# sf0.001), so the reject branch would be constant-false.  Like t10's
+# PII decoration, every 53rd doc is deterministically REPLACED by a
+# 4-symbol flood (ln 4 = 1.386 nats < LO) before scoring — documented
+# synthetic injection so the verdict is exercised on every corpus, not
+# data augmentation.
+_T22_SRC = (
+    "CASE WHEN doc_id % 53 = 0 THEN repeat('spam', 200) ELSE text END"
+)
+
+# one micro-nat term for a character occurring r times out of n
+_T22_TERM = (
+    "CAST(round((-(CAST({r} AS DOUBLE) / {n})"
+    " * ln(CAST({r} AS DOUBLE) / {n})) * 1000000) AS BIGINT)"
+)
+
+
+def _t22_fold():
+    """Single-pass run-length fold over the SORTED char array (the t09
+    zero-shuffle pattern): each run close emits its frozen term."""
+    term = _T22_TERM.format(r="a.run", n="n_c")
+    fin = _T22_TERM.format(r="a.run", n="n_c")
+    return f"""aggregate(
+      array_sort(transform(sequence(1, CAST(n_c AS INT)),
+                           i -> substr(text, i, 1))),
+      named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+                   'k', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
+      (a, x) -> IF(x <=> a.prev,
+          named_struct('prev', x, 'run', a.run + 1, 'k', a.k, 'acc', a.acc),
+          named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'k', a.k + 1,
+                       'acc', a.acc + IF(a.prev IS NULL,
+                                         CAST(0 AS BIGINT), {term}))),
+      a -> named_struct('k', a.k,
+                        'acc', a.acc + IF(a.prev IS NULL,
+                                          CAST(0 AS BIGINT), {fin})))"""
+
+
+_T22_ORACLE = f"""
+WITH src AS (SELECT doc_id, {_T22_SRC} AS text,
+             length({_T22_SRC}) AS n FROM documents),
+ch AS (
+  SELECT doc_id, n,
+         unnest(list_transform(generate_series(1, CAST(n AS INTEGER)),
+                               i -> substr(text, i, 1))) AS c
+  FROM src WHERE n > 0
+),
+runs AS (SELECT doc_id, c, count(*) AS r, min(n) AS n
+         FROM ch GROUP BY doc_id, c),
+g AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum({_T22_TERM.format(r="r", n="n")}) AS BIGINT) AS acc
+  FROM runs GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(COALESCE(g.k, 0) AS BIGINT) AS n_distinct_chars,
+       CAST(COALESCE(g.acc, 0) AS BIGINT) AS micro_entropy,
+       (COALESCE(g.acc, 0) BETWEEN {_T22_LO} AND {_T22_HI}) AS entropy_keep
+FROM src s LEFT JOIN g ON g.doc_id = s.doc_id
+"""
+
+
+@q("t22_char_entropy", oracle=_T22_ORACLE)
+def t22(spark, sf):
+    """Per-document character-entropy profile + gibberish keep verdict.
+
+    Scale shape: ZERO shuffle — each doc's char multiset is run-length
+    encoded in one pass over its own sorted char array (the t09
+    `aggregate` pattern, JVM-side HOF, no Python); the whole plan is a
+    narrow map, linear in executors at 100 TB. The DuckDB twin uses the
+    classic unnest -> GROUP BY formulation, so the two strategies
+    cross-check each other. Empty docs short-circuit to (0, 0, false)
+    without evaluating the fold."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(_T22_SRC).alias("text"),
+    ).withColumn("n_c", F.length("text"))
+    folded = d.select(
+        "doc_id",
+        F.when(
+            F.col("n_c") > 0, F.expr(_t22_fold())
+        ).otherwise(F.expr(
+            "named_struct('k', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT))"
+        )).alias("e"),
+    )
+    return folded.select(
+        "doc_id",
+        F.col("e.k").alias("n_distinct_chars"),
+        F.col("e.acc").alias("micro_entropy"),
+        F.col("e.acc").between(_T22_LO, _T22_HI).alias("entropy_keep"),
+    )

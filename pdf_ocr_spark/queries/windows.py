@@ -649,3 +649,210 @@ def q43(spark, sf):
         ),
         F.coalesce("sum_cents", F.lit(0)).cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------- q44
+# Ordered conversion funnel: signup -> view -> click -> purchase.  A
+# stage counts only if it happens AT OR AFTER the user's first reach of
+# the previous stage (strictly ordered first-touch attribution — the
+# standard product-analytics funnel, which no single Spark builtin
+# expresses).
+_Q44_EPOCH = "TIMESTAMP '1970-01-01'"
+
+_Q44_ORACLE = """
+WITH e AS (SELECT user_id, ts, event_type, event_id FROM events),
+x1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS m1 FROM e),
+x2 AS (SELECT *, min(CASE WHEN event_type = 'view'
+                          AND m1 IS NOT NULL THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS m2 FROM x1),
+x3 AS (SELECT *, min(CASE WHEN event_type = 'click'
+                          AND m2 IS NOT NULL THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS m3 FROM x2),
+agg AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS s1,
+         min(CASE WHEN event_type = 'view'
+                  AND m1 IS NOT NULL THEN ts END) AS s2,
+         min(CASE WHEN event_type = 'click'
+                  AND m2 IS NOT NULL THEN ts END) AS s3,
+         min(CASE WHEN event_type = 'purchase'
+                  AND m3 IS NOT NULL THEN ts END) AS s4
+  FROM x3 GROUP BY user_id
+)
+SELECT user_id,
+       CAST(CASE WHEN s4 IS NOT NULL THEN 4 WHEN s3 IS NOT NULL THEN 3
+                 WHEN s2 IS NOT NULL THEN 2 WHEN s1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS funnel_depth,
+       COALESCE(s1, TIMESTAMP '1970-01-01') AS signup_ts,
+       COALESCE(s2, TIMESTAMP '1970-01-01') AS first_view_ts,
+       COALESCE(s3, TIMESTAMP '1970-01-01') AS first_click_ts,
+       COALESCE(s4, TIMESTAMP '1970-01-01') AS first_purchase_ts,
+       COALESCE(epoch_us(s4) - epoch_us(s1), -1) AS funnel_lag_us
+FROM agg
+"""
+
+
+@q("q44_event_funnel", oracle=_Q44_ORACLE)
+def q44(spark, sf):
+    """Per-user ordered conversion funnel (signup -> view -> click ->
+    purchase, first-touch attribution): the chained-window pattern.
+
+    Strategy: m_k = running min over (user, ts, event_id) of stage-k
+    timestamps QUALIFIED by m_{k-1} being set — because the running
+    frame ends at the current row, "m_{k-1} IS NOT NULL" is exactly
+    "stage k-1 was first reached at or before this row".  The three
+    chained window expressions share ONE window spec, so the physical
+    plan is a single Exchange on user_id + one Sort feeding three
+    stacked Window operators (verified: Exchange(3) -> Sort(4) ->
+    Window(5,7,9)), then the per-user aggregate — the funnel never re-sorts
+    or re-shuffles, the shape that survives 10^12 events.  Sentinels:
+    epoch / -1 instead of NULLs (pandas NaT/NaN comparator discipline).
+    """
+    return event_funnel(t(spark, sf, "events"))
+
+
+def event_funnel(ev):
+    """q44 core over any events-shaped frame (unit tests feed literal
+    frames with out-of-order stage arrivals)."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+
+    def first_reach(ev_type, gate):
+        cond = F.col("event_type") == ev_type
+        if gate is not None:
+            cond = cond & F.col(gate).isNotNull()
+        return F.min(F.when(cond, F.col("ts"))).over(w)
+
+    x = (
+        ev.select("user_id", "ts", "event_type", "event_id")
+        .withColumn("m1", first_reach("signup", None))
+        .withColumn("m2", first_reach("view", "m1"))
+        .withColumn("m3", first_reach("click", "m2"))
+    )
+    agg = x.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "s1"
+        ),
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & F.col("m1").isNotNull(),
+                F.col("ts"),
+            )
+        ).alias("s2"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & F.col("m2").isNotNull(),
+                F.col("ts"),
+            )
+        ).alias("s3"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("m3").isNotNull(),
+                F.col("ts"),
+            )
+        ).alias("s4"),
+    )
+    epoch = F.lit("1970-01-01").cast("timestamp_ntz")
+    return agg.select(
+        "user_id",
+        F.when(F.col("s4").isNotNull(), 4)
+        .when(F.col("s3").isNotNull(), 3)
+        .when(F.col("s2").isNotNull(), 2)
+        .when(F.col("s1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("funnel_depth"),
+        F.coalesce("s1", epoch).alias("signup_ts"),
+        F.coalesce("s2", epoch).alias("first_view_ts"),
+        F.coalesce("s3", epoch).alias("first_click_ts"),
+        F.coalesce("s4", epoch).alias("first_purchase_ts"),
+        F.coalesce(
+            F.unix_micros(F.col("s4").cast("timestamp"))
+            - F.unix_micros(F.col("s1").cast("timestamp")),
+            F.lit(-1),
+        ).alias("funnel_lag_us"),
+    )
+
+
+# ---------------------------------------------------------------- q45
+# Weekly cohort retention (the classic growth-analytics triangle): a
+# user's cohort is the epoch-week of their FIRST event; retention at
+# offset k = share of the cohort active k weeks later.  Integer ppm
+# division keeps the ratio engine-exact.
+_Q45_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS wk
+  FROM events
+),
+firsts AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+active AS (
+  SELECT DISTINCT f.cohort_wk, e.wk - f.cohort_wk AS offset_wk, e.user_id
+  FROM e JOIN firsts f ON f.user_id = e.user_id
+),
+sizes AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS n_cohort
+          FROM firsts GROUP BY cohort_wk)
+SELECT a.cohort_wk, CAST(a.offset_wk AS BIGINT) AS offset_wk,
+       CAST(count(*) AS BIGINT) AS n_active, s.n_cohort,
+       CAST((1000000 * count(*)) // s.n_cohort AS BIGINT) AS retention_ppm
+FROM active a JOIN sizes s ON s.cohort_wk = a.cohort_wk
+GROUP BY a.cohort_wk, a.offset_wk, s.n_cohort
+"""
+
+
+@q("q45_cohort_retention", oracle=_Q45_ORACLE)
+def q45(spark, sf):
+    """Weekly cohort retention triangle over the events stream.
+
+    Scale shape: ONE scan of the event stream — cohort assignment is
+    one window (min over the user partition; the Window operator still
+    sorts its partition, one Exchange + Sort total), then the (cohort,
+    offset, user) distinct and the count are map-side-combined shuffles
+    on tiny keys.  Cohort SIZE needs no second scan: a user's first
+    event is by definition in their cohort week, so n_cohort = n_active
+    at offset 0 — the counts relation (cohort x offset rows, KBs at any
+    corpus size) is persisted and self-joined.  retention_ppm =
+    1000000 * active div cohort_size (integer div, engine-exact)."""
+    e = t(spark, sf, "events").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            / 7
+        ).alias("wk"),
+    )
+    e = e.withColumn(
+        "cohort_wk", F.min("wk").over(W.partitionBy("user_id"))
+    )
+    active = e.select(
+        "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"),
+        "user_id",
+    ).distinct()
+    counts = (
+        active.groupBy("cohort_wk", "offset_wk")
+        .agg(F.count("*").alias("n_active"))
+        .persist()  # feeds both the offset-0 sizes branch and the join
+    )
+    sizes = counts.filter(F.col("offset_wk") == 0).select(
+        "cohort_wk", F.col("n_active").alias("n_cohort")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            F.col("offset_wk").cast("long").alias("offset_wk"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.expr("CAST(1000000 * n_active div n_cohort AS BIGINT)").alias(
+                "retention_ppm"
+            ),
+        )
+    )

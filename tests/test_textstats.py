@@ -894,3 +894,60 @@ def test_t21_pagerank_matches_python_reference(spark, tmp_path):
         assert row["rank2_nano"] == r2[h], h
     # rank mass stays near 1e9 (no dangling hosts in the injection)
     assert abs(sum(r2.values()) - 1_000_000_000) < 1000
+
+
+def test_t22_entropy_matches_counter_reference(spark, tmp_path):
+    """micro_entropy equals the Counter-based Shannon entropy computed
+    independently in Python; the %53 flood injection trips the low
+    bound; verdict brackets are integer comparisons."""
+    import math
+
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.textstats import (
+        _T22_HI,
+        _T22_LO,
+        QUERIES,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "aaaa bbbb aaaa bbbb",   # 3 symbols, low entropy
+        3: "abcdefghijklmnopqrstuvwxyz" * 2,  # uniform 26 symbols
+        53: "natural text that will be replaced by the flood",  # %53==0
+    }
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "lang": ["en"] * 4,
+            "text": [texts[53], texts[1], texts[2], texts[3]],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    def ref(s):
+        from collections import Counter
+
+        n = len(s)
+        rnd = lambda x: int(math.floor(x + 0.5))  # terms are >= 0
+        return sum(
+            rnd(-(r / n) * math.log(r / n) * 1e6)
+            for r in Counter(s).values()
+        )
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["t22_char_entropy"](spark, str(tmp_path)).collect()
+    }
+    # doc 0: %53 == 0 -> scored on the injected 'spam' flood, rejected
+    assert rows[0]["micro_entropy"] == ref("spam" * 200)
+    assert rows[0]["n_distinct_chars"] == 4
+    assert not rows[0]["entropy_keep"]
+    for i, s in [(1, texts[1]), (2, texts[2]), (3, texts[3])]:
+        assert rows[i]["micro_entropy"] == ref(s), i
+        assert rows[i]["n_distinct_chars"] == len(set(s))
+        assert rows[i]["entropy_keep"] == (
+            _T22_LO <= rows[i]["micro_entropy"] <= _T22_HI
+        )
+    # sanity on the brackets themselves
+    assert not rows[2]["entropy_keep"]  # ~1.04 nats < LO
+    assert rows[1]["entropy_keep"]
