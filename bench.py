@@ -38,6 +38,7 @@ HEADLINE = [
     "q43_range_join",
     "q44_event_funnel",
     "q45_cohort_retention",
+    "q46_copurchase_lift",
     "d01_exact_dedup",
     "d02_minhash_lsh_dedup",
     "d04_ngram_jaccard_dedup",
@@ -67,6 +68,7 @@ HEADLINE = [
     "t20_bpe_merges",
     "t21_host_rank",
     "t22_char_entropy",
+    "t23_inverted_index",
     "d12_fuzzy_dedup_funnel",
     "s09_ann_recall",
     "s10_product_quantize",

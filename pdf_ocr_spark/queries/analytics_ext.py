@@ -334,3 +334,94 @@ def x05(spark, sf):
     """
     labels = min_label_components(_edges(spark, sf))
     return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+# ---------------------------------------------------------------- q46
+# Market-basket co-occurrence (the A-Priori support-counting stage of
+# association mining): per purchasing user the DISTINCT item basket
+# (item = the 'k' field of the event props JSON), then support and
+# lift for every item pair co-occurring in at least one basket.  Lift
+# freezes to integer ppm (support * n_users * 1e6 div (cnt_a * cnt_b))
+# so the ratio is engine-exact.
+_Q46_ORACLE = """
+WITH basket AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'purchase'
+),
+cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM basket
+        GROUP BY item),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM basket),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM basket a JOIN basket b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT p.item_a, p.item_b, p.support,
+       ca.n AS n_a, cb.n AS n_b,
+       CAST((p.support * nu.n_users * 1000000) // (ca.n * cb.n)
+            AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN cnt ca ON ca.item = p.item_a
+JOIN cnt cb ON cb.item = p.item_b, nu
+"""
+
+
+@q("q46_copurchase_lift", oracle=_Q46_ORACLE)
+def q46(spark, sf):
+    """Item-pair co-occurrence with support and integer-ppm lift (the
+    market-basket/association-mining primitive).
+
+    Scale shape: ONE user_id shuffle builds distinct per-user baskets;
+    the pair stage is a per-user self-join whose fan-out is bounded by
+    basket size squared — the quantity A-Priori bounds by capping
+    baskets (rank-cap hot users before pairing at production scale);
+    pair counts shuffle on the (a, b) key with map-side partials; the
+    per-item counts broadcast back onto the pair aggregate.  DuckDB
+    verifies the identical algebra through its own join planner."""
+    basket = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .distinct()
+    )
+    # basket feeds three branches (pair self-join x2 + item counts):
+    # persist the tiny distinct relation rather than re-shuffling events
+    basket = basket.persist()
+    cnt = basket.groupBy("item").agg(F.count("*").alias("n"))
+    n_users = basket.select("user_id").distinct().count()
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    ca = cnt.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"CAST(support * {n_users} * 1000000 div (n_a * n_b)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import (
+    analytics_ext,
     classify_q,
     dedup,
     extract_q,
@@ -227,6 +228,11 @@ SELECT 'q45_cohort',
        offset_wk || '#' || n_cohort,
        n_active, CAST(retention_ppm AS DOUBLE)
 FROM {_sub(windows, "q45_cohort_retention")} _f
+UNION ALL
+SELECT 'q46_lift', TIMESTAMP '1970-01-01',
+       item_a || '#' || item_b || '#' || n_a || '#' || n_b,
+       support, CAST(lift_ppm AS DOUBLE)
+FROM {_sub(analytics_ext, "q46_copurchase_lift")} _g
 """,
 )
 def q37_suite(spark, sf):
@@ -242,7 +248,9 @@ def q37_suite(spark, sf):
     key = promo#users#purchases, sum_value = attributed cents), + the
     weekly cohort-retention triangle (q45: window_start = cohort week
     as a timestamp, key = offset#cohort_size, n_events = active users,
-    sum_value = retention in ppm)."""
+    sum_value = retention in ppm), + market-basket co-occurrence (q46:
+    key = item pair + per-item counts, n_events = support, sum_value =
+    integer-ppm lift)."""
     a = windows.QUERIES["q37_event_time_windows"](spark, sf).select(
         F.lit("q37_tumbling").alias("fam"),
         "window_start",
@@ -291,12 +299,20 @@ def q37_suite(spark, sf):
         F.col("n_active").alias("n_events"),
         F.col("retention_ppm").cast("double").alias("sum_value"),
     )
+    g = analytics_ext.QUERIES["q46_copurchase_lift"](spark, sf).select(
+        F.lit("q46_lift").alias("fam"),
+        F.lit("1970-01-01").cast("timestamp_ntz").alias("window_start"),
+        F.concat_ws("#", "item_a", "item_b", "n_a", "n_b").alias("key"),
+        F.col("support").alias("n_events"),
+        F.col("lift_ppm").cast("double").alias("sum_value"),
+    )
     return (
         a.unionByName(b)
         .unionByName(c)
         .unionByName(d)
         .unionByName(e)
         .unionByName(f)
+        .unionByName(g)
     )
 
 
@@ -1356,13 +1372,20 @@ UNION ALL
 SELECT 'bpe', CAST(it AS BIGINT), a || '|' || b, CAST(cnt AS DOUBLE),
        0, is_merge
 FROM {_sub(textstats, "t20_bpe_merges")} _b
+UNION ALL
+SELECT 'index', df, term || '#' || postings_digest, CAST(cf AS DOUBLE),
+       CAST(idf_micro AS INTEGER), df = 1
+FROM {_sub(textstats, "t23_inverted_index")} _c
 """,
 )
 def t06_term_mining_suite(spark, sf):
     """Term-grain text-mining suite (tagged union): TF-IDF top-3 terms
-    per document (t06) and two unrolled BPE tokenizer-training merge
+    per document (t06), two unrolled BPE tokenizer-training merge
     iterations (t20: id = iteration, term = 'a|b' symbol pair, score =
-    corpus pair count, flag = the pair merged that iteration)."""
+    corpus pair count, flag = the pair merged that iteration), and the
+    inverted-index build (t23: id = document frequency, term carries
+    the order-pinned posting digest, score = collection frequency,
+    rk = integer micro-nat IDF, flag = hapax)."""
     a = textstats.QUERIES["t06_tfidf_top_terms"](spark, sf).select(
         F.lit("tfidf").alias("fam"),
         F.col("doc_id").alias("id"),
@@ -1379,4 +1402,12 @@ def t06_term_mining_suite(spark, sf):
         F.lit(0).cast("int").alias("rk"),
         F.col("is_merge").alias("flag"),
     )
-    return a.unionByName(b)
+    c = textstats.QUERIES["t23_inverted_index"](spark, sf).select(
+        F.lit("index").alias("fam"),
+        F.col("df").alias("id"),
+        F.concat_ws("#", "term", "postings_digest").alias("term"),
+        F.col("cf").cast("double").alias("score"),
+        F.col("idf_micro").cast("int").alias("rk"),
+        (F.col("df") == 1).alias("flag"),
+    )
+    return a.unionByName(b).unionByName(c)

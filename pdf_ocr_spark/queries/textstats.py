@@ -1952,3 +1952,67 @@ def t22(spark, sf):
         F.col("e.acc").alias("micro_entropy"),
         F.col("e.acc").between(_T22_LO, _T22_HI).alias("entropy_keep"),
     )
+
+
+# ------------------------------------------------------------- t23
+# Inverted-index build — the search-index construction job (Lucene /
+# Elasticsearch segment shape, done as a batch relational job): term ->
+# document frequency, collection frequency, integer micro-nat IDF, and
+# an order-pinned digest of the full (doc_id, tf) posting list.  The
+# digest pins every posting and its order without hauling unbounded
+# arrays through the comparator.
+_T23_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY term, doc_id),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       CAST(round(ln(n.n_docs / count(*)) * 1000000) AS BIGINT)
+         AS idf_micro,
+       md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id))
+         AS postings_digest
+FROM tf, n
+GROUP BY term, n.n_docs
+"""
+
+
+@q("t23_inverted_index", oracle=_T23_ORACLE)
+def t23(spark, sf):
+    """Inverted-index build: term -> (df, cf, idf_micro, order-pinned
+    posting-list digest).
+
+    Scale shape: tokenize-explode (narrow) -> ONE (term, doc) shuffle
+    with map-side partial counts -> ONE term-grain shuffle assembling
+    the posting list.  Skew note: stopword terms own posting lists as
+    long as the corpus — at production scale posting lists are
+    BLOCK-SEGMENTED (a (term, doc_id div B) pre-aggregation bounds any
+    single reduce group, then per-term segment concat), and df-capped
+    terms drop out of the index entirely (d04's hot-shingle cap); the
+    digest here covers the full list so the oracle pins every posting.
+    idf freezes to integer micro-nats (t14 discipline)."""
+    d = spread(t(spark, sf, "documents"))
+    n_docs = float(d.count())
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.round(F.log(F.lit(n_docs) / F.count("*")) * 1000000)
+        .cast("long")
+        .alias("idf_micro"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda s: F.concat_ws(":", s.doc_id, s.tf),
+                ),
+            )
+        ).alias("postings_digest"),
+    )
