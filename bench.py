@@ -72,6 +72,7 @@ HEADLINE = [
     "d12_fuzzy_dedup_funnel",
     "s09_ann_recall",
     "s10_product_quantize",
+    "s11_ivfpq_search",
     "m01_media_decode",
     "m06_scene_segments",
     "c01_keyword_classify",

@@ -1001,3 +1001,151 @@ def s10(spark, sf):
 
 
 s10.__doc__ = s10.__doc__.format(m=_PQ_M, sub=_PQ_SUB)
+
+
+# ---------------------------------------------------------------- s11
+# IVF-PQ search — the composed production vector-store query path
+# (FAISS IVFPQ): route the query to its nearest coarse cell (s04's IVF
+# probe), then rank ONLY that cell by PQ asymmetric distance (s10's
+# ADC) instead of exact cosine.  This is the operator a 100-TB vector
+# store actually executes per query: coarse routing prunes the scan to
+# 1/k of the corpus, ADC scores compressed codes without touching the
+# raw vectors.
+_S11_ORACLE = f"""
+WITH {_SQL_CENTROIDS},
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+best AS (
+  SELECT c.label
+  FROM cvec c, qv
+  ORDER BY list_cosine_similarity(c.cv, qv.qv) DESC, c.label
+  LIMIT 1
+),
+cb AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, u.m,
+         v[u.m * {_PQ_SUB} + 1 : (u.m + 1) * {_PQ_SUB}] AS cv
+  FROM e, unnest(generate_series(0, {_PQ_M - 1})) AS u(m)
+  WHERE vec_id < {_PQ_K}
+),
+cell AS (
+  SELECT e.vec_id, e.label, e.v FROM e, best
+  WHERE e.label = best.label AND e.vec_id <> 0
+),
+d AS (
+  SELECT cell.vec_id, cell.label, cb.m, cb.cid,
+         {_PQ_SQL_SUBDIST.format(v="cell.v", sub=_PQ_SUB)} AS dist,
+         {_PQ_SQL_SUBDIST.format(v="q.qv", sub=_PQ_SUB)} AS dq
+  FROM cell, cb, qv q
+),
+enc AS (
+  SELECT vec_id, label, m, dq FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dist, cid) AS rk
+    FROM d) WHERE rk = 1
+),
+scored AS (
+  SELECT vec_id, label, sum(dq) AS adc_raw
+  FROM enc GROUP BY vec_id, label
+)
+SELECT vec_id, label, round(adc_raw, 6) AS adc,
+       CAST(row_number() OVER (ORDER BY adc_raw, vec_id) AS INTEGER)
+         AS rk
+FROM scored
+ORDER BY adc_raw, vec_id
+LIMIT 5
+"""
+
+
+@q("s11_ivfpq_search", oracle=_S11_ORACLE)
+def s11(spark, sf):
+    """IVF-PQ composed search: coarse-route the query to its best IVF
+    cell (cosine vs per-label centroids, ties to the lower label),
+    then top-5 the CELL ONLY by PQ asymmetric distance.
+
+    Float discipline: routing reuses s04's exact-DECIMAL centroid
+    means + fixed-order cosine folds; ADC reuses s10's fixed-order
+    subspace folds with argmin ties to the lower codeword id, and the
+    final ranking orders by the RAW (bit-identical) ADC before
+    rounding for output — both engines produce the same top-5 in the
+    same order.
+
+    Scale shape: centroids and the PQ codebook fold into broadcast
+    rows; the cell filter is a partition-prunable predicate when the
+    table is partitioned by IVF cell id (1/k of the corpus scanned);
+    ADC is a scan-local expression over the pruned cell; the top-5 is
+    a bounded sort of one cell (two-phase s09-style merge when cells
+    outgrow a partition).  ONE aggregate pass over a pruned scan —
+    the IVFPQ query plan at any corpus size.
+
+    The DuckDB twin runs the relational formulation (cross join +
+    window argmin per subspace) so the engines cross-check different
+    physical strategies."""
+    e = t(spark, sf, "embeddings").select("vec_id", "label", _vd().alias("v"))
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos0", "val"))
+        .groupBy("label", F.col("pos0").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,9)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    cvec = cent.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"
+        ).alias("cv")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    best = (
+        cvec.crossJoin(F.broadcast(qv))
+        .select("label", _cos("cv", "qv").alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("label"))
+        .limit(1)
+        .select(F.col("label").alias("best_label"))
+    )
+    cb = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.explode(F.expr(f"sequence(0, {_PQ_M - 1})")).alias("m"),
+            "v",
+        )
+        .select(
+            "m",
+            "cid",
+            F.expr(f"slice(v, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"),
+        )
+    )
+    cone = cb.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct('m', m, 'cid', cid,"
+            " 'cv', cv)))"
+        ).alias("cbarr")
+    )
+    cell = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(best), F.col("label") == F.col("best_label"))
+        .crossJoin(F.broadcast(cone))
+        .crossJoin(F.broadcast(qv))
+        .withColumn("parts", F.expr(_PQ_PARTS))
+    )
+    scored = cell.select(
+        "vec_id",
+        "label",
+        F.expr(
+            " + ".join(f"parts[{m}].dq" for m in range(_PQ_M))
+        ).alias("adc_raw"),
+    )
+    w5 = scored.orderBy("adc_raw", "vec_id").limit(5)
+    from pyspark.sql import Window as W
+
+    return w5.select(
+        "vec_id",
+        "label",
+        F.round("adc_raw", 6).alias("adc"),
+        F.row_number()
+        .over(W.orderBy("adc_raw", "vec_id"))
+        .cast("int")
+        .alias("rk"),
+    )

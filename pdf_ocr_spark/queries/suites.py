@@ -479,6 +479,9 @@ SELECT 'pq', vec_id,
        CAST(code0 * 4096 + code1 * 256 + code2 * 16 + code3 AS BIGINT),
        0, adc
 FROM {_sub(similarity, "s10_product_quantize")} _j
+UNION ALL
+SELECT 'ivfpq', vec_id, CAST(label AS BIGINT), CAST(rk AS BIGINT), adc
+FROM {_sub(similarity, "s11_ivfpq_search")} _k
 """,
 )
 def s01_suite(spark, sf):
@@ -494,7 +497,9 @@ def s01_suite(spark, sf):
     audit (s09: id = query, aux1 = bucket candidates, aux2 = true
     neighbors hit, score = recall), and PQ encode + ADC scoring
     (s10: aux1 = the packed 4x4-bit code, score = asymmetric distance
-    to the sample query; recon error rides the fine-grained twin) —
+    to the sample query; recon error rides the fine-grained twin), and
+    the composed IVF-PQ search path (s11: coarse-route then ADC-rank
+    the routed cell only; aux1 = cell label, aux2 = rank) —
     tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -569,10 +574,18 @@ def s01_suite(spark, sf):
         F.lit(0).cast("long").alias("aux2"),
         F.col("adc").alias("score"),
     )
+    k = similarity.QUERIES["s11_ivfpq_search"](spark, sf).select(
+        F.lit("ivfpq").alias("fam"),
+        F.col("vec_id").alias("id"),
+        F.col("label").cast("long").alias("aux1"),
+        F.col("rk").cast("long").alias("aux2"),
+        F.col("adc").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
         .unionByName(h).unionByName(i).unionByName(j)
+        .unionByName(k)
     )
 
 

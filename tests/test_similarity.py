@@ -281,3 +281,66 @@ def test_s10_pq_matches_numpy_reference(spark, tmp_path):
     for i in range(_PQ_K):
         assert rows[i]["recon"] == 0.0
         assert [rows[i][f"code{m}"] for m in range(_PQ_M)] == [i] * _PQ_M
+
+
+def test_s11_ivfpq_matches_numpy_reference(spark, tmp_path):
+    """s11: the routed cell and the ADC top-5 ranking match a NumPy
+    IVF-PQ reference (centroid = per-label mean, codebook = first k
+    vectors' subvectors, argmin ties to the lower codeword id)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_spark.queries.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        DIM,
+        QUERIES,
+    )
+
+    rng = np.random.RandomState(47)
+    n, n_labels = 60, 3
+    vecs = rng.uniform(-1, 1, size=(n, DIM)).astype(np.float32)
+    labels = [i % n_labels for i in range(n)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    V = vecs.astype(np.float64)
+    q = V[0]
+    # route: nearest per-label centroid by cosine, ties to lower label
+    best_label, best_sim = None, -2.0
+    for lb in range(n_labels):
+        c = V[[i for i in range(n) if labels[i] == lb]].mean(axis=0)
+        sim = c @ q / (np.linalg.norm(c) * np.linalg.norm(q))
+        if sim > best_sim:
+            best_label, best_sim = lb, sim
+    # ADC over the routed cell
+    adc = {}
+    for i in range(1, n):
+        if labels[i] != best_label:
+            continue
+        s = 0.0
+        for m in range(_PQ_M):
+            lo, hi = m * _PQ_SUB, (m + 1) * _PQ_SUB
+            d = ((V[i, lo:hi] - V[:_PQ_K, lo:hi]) ** 2).sum(axis=1)
+            cid = int(np.argmin(d))  # np.argmin ties -> lowest index
+            s += float(((q[lo:hi] - V[cid, lo:hi]) ** 2).sum())
+        adc[i] = s
+    want = sorted(adc, key=lambda i: (adc[i], i))[:5]
+
+    rows = QUERIES["s11_ivfpq_search"](spark, str(tmp_path)).collect()
+    assert [r["vec_id"] for r in sorted(rows, key=lambda r: r["rk"])] == want
+    assert all(r["label"] == best_label for r in rows)
+    got = {r["vec_id"]: r["adc"] for r in rows}
+    for i in want:
+        assert abs(got[i] - adc[i]) < 1e-5, i
