@@ -362,8 +362,8 @@ pairs AS (
 )
 SELECT p.item_a, p.item_b, p.support,
        ca.n AS n_a, cb.n AS n_b,
-       CAST((p.support * nu.n_users * 1000000) // (ca.n * cb.n)
-            AS BIGINT) AS lift_ppm
+       CAST((p.support::HUGEINT * nu.n_users * 1000000)
+            // (ca.n::HUGEINT * cb.n) AS BIGINT) AS lift_ppm
 FROM pairs p
 JOIN cnt ca ON ca.item = p.item_a
 JOIN cnt cb ON cb.item = p.item_b, nu
@@ -419,8 +419,12 @@ def q46(spark, sf):
             "support",
             "n_a",
             "n_b",
+            # DECIMAL(38,0) intermediates: support * n_users * 1e6
+            # overflows int64 once purchasing users reach ~3M (ANSI
+            # mode would throw); exact integer div is unchanged
             F.expr(
-                f"CAST(support * {n_users} * 1000000 div (n_a * n_b)"
+                f"CAST(CAST(support AS DECIMAL(38,0)) * {n_users}"
+                " * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
                 " AS BIGINT)"
             ).alias("lift_ppm"),
         )

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .base import norm_hash, spread, t
+from .base import SQL_NORM_HASH, norm_hash, spread, t
 
 QUERIES = {}
 ORACLE = {}
@@ -97,8 +97,8 @@ SQL_DOC_SHINGLES = f"""
 # ---------------------------------------------------------------- d01
 @q(
     "d01_exact_dedup",
-    oracle="""
-SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_hash,
+    oracle=f"""
+SELECT {SQL_NORM_HASH.format(col="text")} AS norm_hash,
        min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
 FROM documents

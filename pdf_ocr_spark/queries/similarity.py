@@ -1044,7 +1044,14 @@ enc AS (
     FROM d) WHERE rk = 1
 ),
 scored AS (
-  SELECT vec_id, label, sum(dq) AS adc_raw
+  -- fixed m-order sum (s10's discipline), NOT sum(dq): an aggregate
+  -- sum adds in physical row order, which need not match Spark's
+  -- parts[0]+parts[1]+parts[2]+parts[3] and could flip near-tie ranks
+  SELECT vec_id, label,
+         max(CASE WHEN m = 0 THEN dq END)
+         + max(CASE WHEN m = 1 THEN dq END)
+         + max(CASE WHEN m = 2 THEN dq END)
+         + max(CASE WHEN m = 3 THEN dq END) AS adc_raw
   FROM enc GROUP BY vec_id, label
 )
 SELECT vec_id, label, round(adc_raw, 6) AS adc,

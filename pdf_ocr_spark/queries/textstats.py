@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .base import norm_hash, spread, t
+from .base import SQL_NORM_HASH, norm_hash, spread, t
 from .dedup import SQL_TOKENS, _tokens
 
 QUERIES = {}
@@ -1448,8 +1448,7 @@ WITH d AS (
   SELECT doc_id, lang,
          (('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8))
            ::BIGINT % {_T19_BUCKETS}) AS bucket,
-         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-           AS content_key
+         {SQL_NORM_HASH.format(col="text")} AS content_key
   FROM documents
 ),
 s AS (
@@ -1879,8 +1878,10 @@ _T22_TERM = (
 def _t22_fold():
     """Single-pass run-length fold over the SORTED char array (the t09
     zero-shuffle pattern): each run close emits its frozen term."""
+    # one term string for both the run-close inside the merge lambda
+    # and the final-run close in the finish lambda — the final run is
+    # scored identically by construction
     term = _T22_TERM.format(r="a.run", n="n_c")
-    fin = _T22_TERM.format(r="a.run", n="n_c")
     # split('', ...) not substr-per-index: substr(text, i, 1) re-scans
     # the string to char i, O(n^2) per doc (measured 2.2x slower at
     # sf0.1); split is one linear pass and agrees on multibyte chars
@@ -1895,7 +1896,7 @@ def _t22_fold():
                                          CAST(0 AS BIGINT), {term}))),
       a -> named_struct('k', a.k,
                         'acc', a.acc + IF(a.prev IS NULL,
-                                          CAST(0 AS BIGINT), {fin})))"""
+                                          CAST(0 AS BIGINT), {term})))"""
 
 
 _T22_ORACLE = f"""
