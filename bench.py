@@ -39,6 +39,7 @@ HEADLINE = [
     "q44_event_funnel",
     "q45_cohort_retention",
     "q46_copurchase_lift",
+    "q47_click_attribution",
     "d01_exact_dedup",
     "d02_minhash_lsh_dedup",
     "d04_ngram_jaccard_dedup",
@@ -69,6 +70,7 @@ HEADLINE = [
     "t21_host_rank",
     "t22_char_entropy",
     "t23_inverted_index",
+    "v04_data_profile",
     "d12_fuzzy_dedup_funnel",
     "s09_ann_recall",
     "s10_product_quantize",

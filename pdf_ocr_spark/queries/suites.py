@@ -233,6 +233,10 @@ SELECT 'q46_lift', TIMESTAMP '1970-01-01',
        item_a || '#' || item_b || '#' || n_a || '#' || n_b,
        support, CAST(lift_ppm AS DOUBLE)
 FROM {_sub(analytics_ext, "q46_copurchase_lift")} _g
+UNION ALL
+SELECT 'q47_attrib', purchase_ts,
+       user_id || '#' || click_id || '#' || purchase_id, lag_us, 0.0
+FROM {_sub(windows, "q47_click_attribution")} _h
 """,
 )
 def q37_suite(spark, sf):
@@ -250,7 +254,9 @@ def q37_suite(spark, sf):
     as a timestamp, key = offset#cohort_size, n_events = active users,
     sum_value = retention in ppm), + market-basket co-occurrence (q46:
     key = item pair + per-item counts, n_events = support, sum_value =
-    integer-ppm lift)."""
+    integer-ppm lift), + click->purchase interval-join attribution
+    (q47, the stream-stream join's batch twin: key = user#click#
+    purchase, n_events = lag in microseconds)."""
     a = windows.QUERIES["q37_event_time_windows"](spark, sf).select(
         F.lit("q37_tumbling").alias("fam"),
         "window_start",
@@ -306,6 +312,15 @@ def q37_suite(spark, sf):
         F.col("support").alias("n_events"),
         F.col("lift_ppm").cast("double").alias("sum_value"),
     )
+    h = windows.QUERIES["q47_click_attribution"](spark, sf).select(
+        F.lit("q47_attrib").alias("fam"),
+        F.col("purchase_ts").alias("window_start"),
+        F.concat_ws("#", "user_id", "click_id", "purchase_id").alias(
+            "key"
+        ),
+        F.col("lag_us").alias("n_events"),
+        F.lit(0.0).alias("sum_value"),
+    )
     return (
         a.unionByName(b)
         .unionByName(c)
@@ -313,6 +328,7 @@ def q37_suite(spark, sf):
         .unionByName(e)
         .unionByName(f)
         .unionByName(g)
+        .unionByName(h)
     )
 
 
@@ -984,6 +1000,12 @@ FROM {_sub(validation_q, "v02_violation_histogram")} _b
 UNION ALL
 SELECT 'v03_gate', CAST(doc_id AS VARCHAR), missing_csv, n_missing, passed
 FROM {_sub(retrieval_q, "p04_required_gate")} _c
+UNION ALL
+SELECT 'v04_profile', col_name,
+       n_null || '#' || n_distinct || '#' || completeness_ppm || '#'
+         || min_s || '#' || max_s,
+       n_rows, n_null = 0
+FROM {_sub(validation_q, "v04_data_profile")} _d
 """,
 )
 def v01_suite(spark, sf):
@@ -991,7 +1013,9 @@ def v01_suite(spark, sf):
     violations CSV (v01 — the CSV encodes exactly the failed assert
     columns) + the corpus-level violation histogram (v02) + the
     metadata required-field gate over the composed quick_scan chain
-    (p04, docpact retrieval.py:340-366)."""
+    (p04, docpact retrieval.py:340-366) + the Deequ-style column
+    profiler (v04: key = column, info = null/distinct/completeness/
+    min/max, ok = null-free)."""
     a = validation_q.QUERIES["v01_contract_validation"](spark, sf).select(
         F.lit("v01_doc").alias("fam"),
         F.col("doc_id").cast("string").alias("key"),
@@ -1013,7 +1037,17 @@ def v01_suite(spark, sf):
         F.col("n_missing").alias("n"),
         F.col("passed").alias("ok"),
     )
-    return a.unionByName(b).unionByName(c)
+    d = validation_q.QUERIES["v04_data_profile"](spark, sf).select(
+        F.lit("v04_profile").alias("fam"),
+        F.col("col_name").alias("key"),
+        F.concat_ws(
+            "#", "n_null", "n_distinct", "completeness_ppm", "min_s",
+            "max_s",
+        ).alias("info"),
+        F.col("n_rows").alias("n"),
+        (F.col("n_null") == 0).alias("ok"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 @q(

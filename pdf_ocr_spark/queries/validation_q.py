@@ -264,3 +264,89 @@ def r01(spark, sf):
         F.date_format(F.coalesce(rd, F.to_date(F.lit("1900-01-01"))), "yyyy-MM-dd").alias("report_date"),
         rd.isNotNull().alias("resolved"),
     )
+
+
+# ---------------------------------------------------------------- v04
+# Deequ-style column profiler — the data-quality gate a production
+# pipeline runs before accepting a new corpus drop: per column, row
+# count, null count, exact distinct count, integer-ppm completeness,
+# and string-cast min/max.  The corpus ships null-free, so 'source' is
+# profiled through NULLIF(source, 'src1') — the t10/t22 documented
+# synthetic-injection pattern — to exercise the null/completeness
+# arithmetic on every run.
+_V04_COLS = ("lang", "source", "text", "n_chars")
+
+_V04_SQL_ARM = """
+SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST((count({c}) * 1000000) // count(*) AS BIGINT)
+         AS completeness_ppm,
+       CAST(min({c}) AS VARCHAR) AS min_s,
+       CAST(max({c}) AS VARCHAR) AS max_s
+FROM src
+"""
+
+_V04_ORACLE = (
+    "WITH src AS (SELECT lang, NULLIF(source, 'src1') AS source, text,"
+    " n_chars FROM documents)\n"
+    + "\nUNION ALL\n".join(_V04_SQL_ARM.format(c=c) for c in _V04_COLS)
+)
+
+
+@q("v04_data_profile", oracle=_V04_ORACLE)
+def v04(spark, sf):
+    """Column-profile report over the documents table (one row per
+    profiled column).
+
+    Scale shape: ONE aggregate pass over one scan — all per-column
+    metrics (null counts, exact distincts, min/max) computed in a
+    single wide agg row, then stacked to long form JVM-side (the
+    DuckDB twin runs the naive one-arm-per-column UNION, 4 scans, so
+    the engines cross-check different strategies).  Exact
+    count_distinct on several columns expands the aggregate
+    (Spark's Expand operator multiplies rows by #distinct-aggs);
+    at 100 TB swap exact distincts for approx_count_distinct per
+    column or profile columns in batches.  Completeness freezes to
+    integer ppm."""
+    from pyspark.sql import functions as F
+
+    d = t(spark, sf, "documents").select(
+        "lang",
+        F.nullif("source", F.lit("src1")).alias("source"),
+        "text",
+        "n_chars",
+    )
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _V04_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}_nd"),
+            # min/max in the column's native type, cast AFTER (the
+            # oracle casts the numeric min of n_chars, not the min of
+            # the cast strings — '99' > '100' lexicographically)
+            F.min(F.col(c)).cast("string").alias(f"{c}_min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}_max"),
+        ]
+    wide = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}_nn, {c}_nd, {c}_min, {c}_max" for c in _V04_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_V04_COLS)}, {stack})"
+            " AS (col_name, nn, n_distinct, min_s, max_s)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("nn")).alias("n_null"),
+        "n_distinct",
+        F.expr("CAST(nn * 1000000 div n_rows AS BIGINT)").alias(
+            "completeness_ppm"
+        ),
+        "min_s",
+        "max_s",
+    )

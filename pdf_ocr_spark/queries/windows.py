@@ -856,3 +856,37 @@ def q45(spark, sf):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- q47
+@q(
+    "q47_click_attribution",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+""",
+)
+def q47(spark, sf):
+    """Click -> purchase attribution (every purchase matched to every
+    same-user click in the preceding 30 minutes) — the BATCH TWIN of
+    the watermarked stream-stream interval join, sharing
+    streaming/attribution.py:attribute_purchases verbatim (the
+    Structured Streaming guarantee under test: the streamed inner join
+    emits exactly the batch result once watermarks pass).
+
+    Batch plan: one user_id sort-merge join with the time-range
+    residual inline — per-user match fan-out is bounded by horizon x
+    event rate, the same bound that sizes the streaming join state.
+    DuckDB verifies with its own inequality-join planner."""
+    from ..streaming.attribution import attribute_purchases
+
+    ev = t(spark, sf, "events")
+    return attribute_purchases(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
