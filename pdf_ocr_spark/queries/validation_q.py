@@ -283,8 +283,8 @@ SELECT '{c}' AS col_name,
        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
        CAST((count({c}) * 1000000) // count(*) AS BIGINT)
          AS completeness_ppm,
-       CAST(min({c}) AS VARCHAR) AS min_s,
-       CAST(max({c}) AS VARCHAR) AS max_s
+       COALESCE(CAST(min({c}) AS VARCHAR), '') AS min_s,
+       COALESCE(CAST(max({c}) AS VARCHAR), '') AS max_s
 FROM src
 """
 
@@ -325,9 +325,17 @@ def v04(spark, sf):
             F.count_distinct(F.col(c)).alias(f"{c}_nd"),
             # min/max in the column's native type, cast AFTER (the
             # oracle casts the numeric min of n_chars, not the min of
-            # the cast strings — '99' > '100' lexicographically)
-            F.min(F.col(c)).cast("string").alias(f"{c}_min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}_max"),
+            # the cast strings — '99' > '100' lexicographically);
+            # coalesce to '' so an all-null column profiles to empty
+            # strings identically in both engines (NULL would also
+            # break the suite's NULL-propagating || key in DuckDB vs
+            # Spark's NULL-skipping concat_ws)
+            F.coalesce(F.min(F.col(c)).cast("string"), F.lit("")).alias(
+                f"{c}_min"
+            ),
+            F.coalesce(F.max(F.col(c)).cast("string"), F.lit("")).alias(
+                f"{c}_max"
+            ),
         ]
     wide = d.agg(*aggs)
     stack = ", ".join(

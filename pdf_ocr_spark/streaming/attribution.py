@@ -76,6 +76,9 @@ def attribute_purchases(
         "click_ts",
         "purchase_ts",
         (
+            # the casts are LOAD-BEARING, not defensive: batch parquet
+            # reads ts as TIMESTAMP_NTZ, which unix_micros rejects; the
+            # NTZ->TZ cast shift cancels in the difference (q41's note)
             F.unix_micros(F.col("purchase_ts").cast("timestamp"))
             - F.unix_micros(F.col("click_ts").cast("timestamp"))
         ).alias("lag_us"),

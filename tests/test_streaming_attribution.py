@@ -49,7 +49,9 @@ def _run(spark, dirs):
         spark, dirs["clicks"], dirs["purch"], dirs["out"], dirs["ckpt"],
         SCHEMA, horizon="30 minutes",
     )
-    q.awaitTermination(120)
+    # a timed-out run would silently overlap the next wave's query on
+    # the same checkpoint — fail loudly instead
+    assert q.awaitTermination(300), "streaming wave did not finish"
 
 
 def test_stream_attribution_contract(spark, dirs):

@@ -36,7 +36,7 @@ def test_stream_equals_batch(spark, dirs):
     """availableNow stream over a static drop == batch extract output."""
     _drop_files(spark, dirs["in"], 24)
     q = stream_extract(spark, dirs["in"], dirs["out"], dirs["ckpt"])
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "streaming run did not finish"
 
     got = (
         spark.read.parquet(dirs["out"])
@@ -60,12 +60,12 @@ def test_stream_resumes_incrementally(spark, dirs):
     """A second drop + restart processes ONLY the new files (the streaming
     checkpoint is the progress ledger): no duplicates, no reprocessing."""
     _drop_files(spark, dirs["in"], 24)
-    stream_extract(spark, dirs["in"], dirs["out"], dirs["ckpt"]).awaitTermination(120)
+    assert stream_extract(spark, dirs["in"], dirs["out"], dirs["ckpt"]).awaitTermination(300)
     n1 = spark.read.parquet(dirs["out"]).count()
     assert n1 == 24
 
     _drop_files(spark, dirs["in"], 12, id_offset=1000)  # late-arriving drop
-    stream_extract(spark, dirs["in"], dirs["out"], dirs["ckpt"]).awaitTermination(120)
+    assert stream_extract(spark, dirs["in"], dirs["out"], dirs["ckpt"]).awaitTermination(300)
     out = spark.read.parquet(dirs["out"])
     assert out.count() == 24 + 12
     # exactly-once: every doc_id appears once

@@ -48,7 +48,7 @@ def _run(spark, dirs):
         spark, dirs["in"], dirs["out"], dirs["ckpt"], SCHEMA,
         watermark="30 minutes",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "streaming run did not finish"
 
 
 def test_stream_dedup_contract(spark, dirs):

@@ -25,7 +25,7 @@ def _run(spark, dirs):
         spark, dirs["in"], dirs["out"], dirs["ckpt"], SCHEMA,
         gap="15 minutes", watermark="10 minutes",
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "streaming run did not finish"
 
 
 def _sessions(spark, dirs):

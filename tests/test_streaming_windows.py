@@ -45,7 +45,7 @@ def _run(spark, dirs):
         spark, dirs["in"], dirs["out"], dirs["ckpt"], SCHEMA,
         window="10 minutes", watermark="30 minutes",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "streaming run did not finish"
 
 
 def _read(spark, dirs):
