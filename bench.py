@@ -77,6 +77,7 @@ HEADLINE = [
     "s11_ivfpq_search",
     "m01_media_decode",
     "m06_scene_segments",
+    "m07_image_phash_dedup",
     "c01_keyword_classify",
     "u01_unpivot_compound_headers",
     "u02_deterministic_mapping",

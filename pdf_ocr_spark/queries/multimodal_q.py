@@ -326,3 +326,142 @@ def m06(spark, sf):
         .cast("int")
         .alias("shot_id"),
     )
+
+
+# ---------------------------------------------------------------- m07
+# Perceptual image near-dup (dHash, the crawl-scale image dedup): a 9x8
+# luma grid per image -> 64 horizontal-gradient bits -> d07's 4x16-bit
+# pigeonhole block join (Hamming <= 3 implies at least one equal block)
+# -> exact Hamming verify on candidates only.  No codecs in the
+# container, so the "decoded luma" is the m01 deterministic-fake
+# pattern: lum(r, c) = first md5 byte of (src:r:c), identically
+# computable in both engines.  Every 97th doc pair (doc_id % 97 in
+# {0, 3}) shares an injected identical image so the accept branch is
+# exercised (Hamming 0); random 16-bit block collisions exercise the
+# reject branch (Hamming ~32).
+_M07_HAMMING = 3
+
+_M07_SRC = (
+    "CASE WHEN doc_id % 97 IN (0, 3)"
+    " THEN concat('img-', CAST(doc_id div 97 AS STRING))"
+    " ELSE text END"
+)
+_M07_SQL_SRC = (
+    "CASE WHEN doc_id % 97 IN (0, 3)"
+    " THEN 'img-' || CAST(doc_id // 97 AS VARCHAR)"
+    " ELSE text END"
+)
+
+
+def _m07_lum(r: str, c: str) -> str:
+    """Spark fake-luma expression: first md5 byte of (s:r:c)."""
+    return (
+        "CAST(conv(substring(md5(concat(s, ':', CAST(" + r
+        + " AS STRING), ':', CAST(" + c + " AS STRING))), 1, 2), 16, 10)"
+        " AS INT)"
+    )
+
+
+def _m07_sql_lum(r: str, c: str) -> str:
+    return (
+        "(('0x' || substr(md5(s || ':' || CAST(" + r
+        + " AS VARCHAR) || ':' || CAST(" + c + " AS VARCHAR)), 1, 2))::INT)"
+    )
+
+
+_M07_ORACLE = f"""
+WITH src AS (SELECT doc_id, {_M07_SQL_SRC} AS s FROM documents),
+bits AS (
+  SELECT doc_id, u.b, v.i,
+         CASE WHEN {_m07_sql_lum("2 * u.b + v.i // 8", "v.i % 8 + 1")}
+                 > {_m07_sql_lum("2 * u.b + v.i // 8", "v.i % 8")}
+              THEN (1 << v.i) ELSE 0 END AS w
+  FROM src,
+       unnest(generate_series(0, 3)) AS u(b),
+       unnest(generate_series(0, 15)) AS v(i)
+),
+blocks AS (SELECT doc_id, b, CAST(sum(w) AS BIGINT) AS h
+           FROM bits GROUP BY doc_id, b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM blocks a JOIN blocks c
+    ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
+),
+ham AS (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(sum(bit_count(xor(x.h, y.h))) AS INTEGER) AS hamming
+  FROM cand
+  JOIN blocks x ON x.doc_id = cand.doc_a
+  JOIN blocks y ON y.doc_id = cand.doc_b AND y.b = x.b
+  GROUP BY cand.doc_a, cand.doc_b
+)
+SELECT doc_a, doc_b, hamming, hamming <= {_M07_HAMMING} AS is_dup
+FROM ham
+"""
+
+
+@q("m07_image_phash_dedup", oracle=_M07_ORACLE)
+def m07(spark, sf):
+    """dHash image near-dup: per image a 4x16-bit gradient fingerprint,
+    pigeonhole block equi-join for candidates, exact Hamming verify.
+
+    Scale shape (d07's): fingerprints are 4 rows/doc; candidates come
+    from the (block_idx, block_value) equi-join — 2^16 buckets per
+    block, never all-pairs; the Hamming verify joins blocks back for
+    CANDIDATES only (4 rows/side/pair).  The blocks relation feeds the
+    bucket join and both verify sides — persisted.  Fake luma keeps
+    the whole plan JVM-side; with real codecs only the luma stage
+    becomes an Arrow-batched mapInPandas (m01's plumbing), the joins
+    are unchanged."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.expr(_M07_SRC).alias("s")
+    )
+    fold = (
+        "aggregate(sequence(0, 15), 0, (acc, i) -> acc + IF("
+        + _m07_lum("2 * b + i div 8", "i % 8 + 1")
+        + " > "
+        + _m07_lum("2 * b + i div 8", "i % 8")
+        + ", shiftleft(1, i), 0))"
+    )
+    blocks = (
+        d.select(
+            "doc_id", "s", F.explode(F.expr("sequence(0, 3)")).alias("b")
+        )
+        .select("doc_id", "b", F.expr(fold).cast("long").alias("h"))
+        .persist()
+    )
+    a, c = blocks.alias("a"), blocks.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.h") == F.col("c.h"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    x, y = blocks.alias("x"), blocks.alias("y")
+    return (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.b") == F.col("x.b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.bit_count(F.col("x.h").bitwiseXOR(F.col("y.h"))))
+            .cast("int")
+            .alias("hamming")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            (F.col("hamming") <= _M07_HAMMING).alias("is_dup"),
+        )
+    )

@@ -940,7 +940,9 @@ def t01_suite(spark, sf):
 SELECT a.doc_id, a.width, a.height, a.format, a.n_bytes, b.mean_byte,
        c.new_width, c.new_height,
        e.sample_rate, e.n_samples, e.n_frames,
-       g.n_sampled, g.n_shots, g.n_cuts
+       g.n_sampled, g.n_shots, g.n_cuts,
+       CAST(COALESCE(p.n_cand, 0) AS INTEGER) AS n_phash_cand,
+       CAST(COALESCE(p.n_dup, 0) AS INTEGER) AS n_phash_dup
 FROM {_sub(multimodal_q, "m01_media_decode")} a
 JOIN {_sub(multimodal_q, "m02_media_feature")} b ON b.doc_id = a.doc_id
 JOIN {_sub(multimodal_q, "m04_media_resize")} c ON c.doc_id = a.doc_id
@@ -951,6 +953,15 @@ JOIN (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_sampled,
                   AS INTEGER) AS n_cuts
       FROM {_sub(multimodal_q, "m06_scene_segments")} _g
       GROUP BY doc_id) g ON g.doc_id = a.doc_id
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_cand,
+         sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup
+  FROM (SELECT doc_a AS doc_id, is_dup
+        FROM {_sub(multimodal_q, "m07_image_phash_dedup")} _p1
+        UNION ALL
+        SELECT doc_b, is_dup
+        FROM {_sub(multimodal_q, "m07_image_phash_dedup")} _p2)
+  GROUP BY doc_id) p ON p.doc_id = a.doc_id
 """,
 )
 def m01_suite(spark, sf):
@@ -959,7 +970,9 @@ def m01_suite(spark, sf):
     plan (m04) + audio segmentation framing (m05) + the per-video
     rollup of the shot/scene segmentation (m06: sampled frames, shot
     count, cut count; the frame-grain rows are the fine-grained
-    twin), joined on doc_id."""
+    twin) + the per-doc rollup of the dHash image near-dup (m07:
+    candidate-pair and confirmed-dup counts; the pair grain is the
+    fine-grained twin), joined on doc_id."""
     a = multimodal_q.QUERIES["m01_media_decode"](spark, sf)
     b = multimodal_q.QUERIES["m02_media_feature"](spark, sf).select(
         "doc_id", "mean_byte"
@@ -981,9 +994,29 @@ def m01_suite(spark, sf):
             .alias("n_cuts"),
         )
     )
+    m7 = multimodal_q.QUERIES["m07_image_phash_dedup"](spark, sf)
+    p = (
+        m7.select(F.col("doc_a").alias("doc_id"), "is_dup")
+        .unionByName(m7.select(F.col("doc_b").alias("doc_id"), "is_dup"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_phash_cand"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_phash_dup"),
+        )
+    )
     return (
         a.join(b, "doc_id").join(c, "doc_id").join(e, "doc_id")
         .join(g, "doc_id")
+        .join(p, "doc_id", "left")
+        .withColumn(
+            "n_phash_cand",
+            F.coalesce("n_phash_cand", F.lit(0)).cast("int"),
+        )
+        .withColumn(
+            "n_phash_dup", F.coalesce("n_phash_dup", F.lit(0)).cast("int")
+        )
     )
 
 
