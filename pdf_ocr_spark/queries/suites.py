@@ -956,11 +956,8 @@ JOIN (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_sampled,
 LEFT JOIN (
   SELECT doc_id, count(*) AS n_cand,
          sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup
-  FROM (SELECT doc_a AS doc_id, is_dup
-        FROM {_sub(multimodal_q, "m07_image_phash_dedup")} _p1
-        UNION ALL
-        SELECT doc_b, is_dup
-        FROM {_sub(multimodal_q, "m07_image_phash_dedup")} _p2)
+  FROM (SELECT unnest([doc_a, doc_b]) AS doc_id, is_dup
+        FROM {_sub(multimodal_q, "m07_image_phash_dedup")} _p1)
   GROUP BY doc_id) p ON p.doc_id = a.doc_id
 """,
 )
@@ -994,10 +991,15 @@ def m01_suite(spark, sf):
             .alias("n_cuts"),
         )
     )
+    # explode, not a self-union: only m07's internal blocks relation is
+    # persisted, so two selects from m7 would run the candidate +
+    # verify joins twice
     m7 = multimodal_q.QUERIES["m07_image_phash_dedup"](spark, sf)
     p = (
-        m7.select(F.col("doc_a").alias("doc_id"), "is_dup")
-        .unionByName(m7.select(F.col("doc_b").alias("doc_id"), "is_dup"))
+        m7.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+            "is_dup",
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_phash_cand"),
