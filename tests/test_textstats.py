@@ -951,3 +951,48 @@ def test_t22_entropy_matches_counter_reference(spark, tmp_path):
     # sanity on the brackets themselves
     assert not rows[2]["entropy_keep"]  # ~1.04 nats < LO
     assert rows[1]["entropy_keep"]
+
+
+def test_t23_inverted_index_matches_counter_reference(spark, tmp_path):
+    """t23: df/cf/idf and the order-pinned posting digest match a
+    Counter-based Python reference (including a term that appears in
+    multiple docs with different tfs)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.textstats import QUERIES
+
+    texts = {
+        0: "alpha beta alpha",
+        1: "beta gamma",
+        2: "alpha beta beta gamma gamma gamma",
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "lang": ["en"] * 3,
+            "text": list(texts.values()),
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    tf = {}
+    for d, s in texts.items():
+        for w in s.split():
+            tf.setdefault(w, {}).setdefault(d, 0)
+            tf[w][d] += 1
+    rows = {
+        r["term"]: r
+        for r in QUERIES["t23_inverted_index"](spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == set(tf)
+    rnd = lambda x: int(math.copysign(math.floor(abs(x) + 0.5), x))
+    for w, posts in tf.items():
+        assert rows[w]["df"] == len(posts)
+        assert rows[w]["cf"] == sum(posts.values())
+        assert rows[w]["idf_micro"] == rnd(math.log(3 / len(posts)) * 1e6)
+        digest = hashlib.md5(
+            ",".join(f"{d}:{posts[d]}" for d in sorted(posts)).encode()
+        ).hexdigest()
+        assert rows[w]["postings_digest"] == digest, w

@@ -83,3 +83,74 @@ def test_funnel_orders_stages_strictly(spark):
     assert out[9]["funnel_depth"] == 0
     assert out[9]["funnel_lag_us"] == -1
     assert out[9]["signup_ts"] == dt.datetime(1970, 1, 1)
+
+
+# ---------------------------------------------------------- property
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_STAGES = ["signup", "view", "click", "purchase"]
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),                      # user
+        st.integers(0, 59),                     # minute
+        st.sampled_from(_STAGES + ["error"]),   # type (incl. noise)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _py_funnel(rows):
+    """Pure-Python first-touch funnel reference (strictly ordered by
+    (ts, event_id) per user, stage k gated on first reach of k-1)."""
+    out = {}
+    by_user = {}
+    for eid, (u, m, ty) in enumerate(rows):
+        by_user.setdefault(u, []).append((m, eid, ty))
+    for u, evs in by_user.items():
+        reach = [None] * 4  # first-reach minute per stage
+        for m, _eid, ty in sorted(evs):
+            for k, stage in enumerate(_STAGES):
+                if ty != stage:
+                    continue
+                if (k == 0 or reach[k - 1] is not None) and reach[k] is None:
+                    reach[k] = m
+        depth = 0
+        for k in range(4):
+            if reach[k] is None:
+                break
+            depth = k + 1
+        out[u] = (depth, reach)
+    return out
+
+
+@settings(
+    max_examples=20, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(rows=_events)
+def test_q44_funnel_property(spark, rows):
+    """event_funnel equals the pure-Python gated-first-touch reference
+    for arbitrary event streams (same-minute collisions resolve by
+    event_id in both, noise event types ignored)."""
+    data = [
+        (eid, _t(m), u, ty, None) for eid, (u, m, ty) in enumerate(rows)
+    ]
+    got = {
+        r["user_id"]: r
+        for r in event_funnel(spark.createDataFrame(data, SCHEMA)).collect()
+    }
+    want = _py_funnel(rows)
+    assert set(got) == set(want)
+    for u, (depth, reach) in want.items():
+        assert got[u]["funnel_depth"] == depth, (u, rows)
+        for k, col in enumerate(
+            ["signup_ts", "first_view_ts", "first_click_ts",
+             "first_purchase_ts"]
+        ):
+            exp = (
+                _t(reach[k]) if reach[k] is not None
+                else dt.datetime(1970, 1, 1)
+            )
+            assert got[u][col] == exp, (u, col, rows)
