@@ -86,6 +86,7 @@ HEADLINE = [
     "p01_metadata_patterns",
     "x01_extract_documents",
     "x16_contract_e2e",
+    "x17_curation_shards",
 ]
 
 

@@ -1493,3 +1493,63 @@ def t06_term_mining_suite(spark, sf):
         (F.col("df") == 1).alias("flag"),
     )
     return a.unionByName(b).unionByName(c)
+
+
+# ===================================================== curation capstone
+# x17: the composed end-to-end curation job (plans/curation_job.py) as
+# a registered fine-grained twin — quality -> entropy -> C4 -> URL ->
+# mixture -> exact-dedup keeper -> fuzzy-dedup survivor -> per-language
+# token-bin packing.  The oracle composes the MEMBER oracles (each
+# independently hash-green) through the identical flag algebra, so the
+# whole funnel is value-hash-pinned end to end.  NOT in the driver
+# registry (kept at 50); rides FULL_QUERIES for tests and bench.
+from ..queries.base import SQL_NORM_HASH as _SQL_NH  # noqa: E402
+
+_X17_ORACLE = f"""
+WITH q2 AS {_sub(textstats, "t02_quality_score")},
+q22 AS {_sub(textstats, "t22_char_entropy")},
+q11 AS {_sub(textstats, "t11_gopher_rules")},
+q12 AS {_sub(textstats, "t12_url_filter")},
+q15 AS {_sub(textstats, "t15_domain_mixture")},
+d01 AS {_sub(dedup, "d01_exact_dedup")},
+d12 AS {_sub(dedup, "d12_fuzzy_dedup_funnel")},
+docs AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+           AS n_tok,
+         {_SQL_NH.format(col="text")} AS nh
+  FROM documents
+),
+surv AS (
+  SELECT d.doc_id, d.lang, d.n_tok
+  FROM docs d
+  JOIN q2 ON q2.doc_id = d.doc_id
+  JOIN q22 ON q22.doc_id = d.doc_id
+  JOIN q11 ON q11.doc_id = d.doc_id
+  JOIN q12 ON q12.doc_id = d.doc_id
+  JOIN q15 ON q15.doc_id = d.doc_id
+  JOIN d01 ON d01.norm_hash = d.nh
+  JOIN d12 ON d12.doc_id = d.doc_id
+  WHERE q2.keep = 1 AND q22.entropy_keep AND q11.c4_keep = 1
+    AND q12.url_keep = 1 AND q15.mix_keep
+    AND d01.keeper_doc_id = d.doc_id AND d12.keep
+)
+SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok) // 512
+            AS INTEGER) AS bin
+FROM surv
+"""
+
+
+@q("x17_curation_shards", oracle=_X17_ORACLE)
+def x17(spark, sf):
+    """The full curation funnel + shard packing as one query (see
+    plans/curation_job.py for the job wrapper with the stage report
+    and the partitioned write)."""
+    from ..plans.curation_job import curation_flags, pack_survivors
+
+    packed = pack_survivors(curation_flags(spark, sf), 512)
+    return packed.select(
+        "doc_id", "lang", F.col("n_tok").cast("long").alias("n_tok"), "bin"
+    )
