@@ -83,6 +83,7 @@ HEADLINE = [
     "u02_deterministic_mapping",
     "z01_zone_text",
     "q39_number_format",
+    "t24_bpe_encode",
     "p01_metadata_patterns",
     "x01_extract_documents",
     "x16_contract_e2e",

@@ -2017,3 +2017,129 @@ def t23(spark, sf):
             )
         ).alias("postings_digest"),
     )
+
+
+# ------------------------------------------------------------- t24
+# Tokenizer ENCODE — the apply side of the t20 learn loop: a fixed BPE
+# merge table (the tokenizer artifact every training run ships) encodes
+# every document, reporting per-doc token statistics.  Production
+# tokenization is exactly this shape: the merge table is a broadcast
+# constant and encoding is scan-local, so the job is a narrow map that
+# never shuffles — tokenizing 100 TB costs one pass at scan speed.
+#
+# The merge table is applied IN ORDER with true left-to-right fold
+# semantics per word (t20's `_t20_fold`); the DuckDB twin applies each
+# merge as t20's two-pass non-overlapping replace on the space-joined
+# symbol string (identical unless a word holds 5+ consecutive copies of
+# the same merged symbol — see the t20 parity note; the unit test pins
+# the fold against a pure-Python BPE reference).  Words are the [a-z]+
+# stream with the '_' end-of-word sentinel; no merge starts with a
+# '_'-final symbol, so whole-document replace never crosses a word
+# boundary.
+_T24_MERGES = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("o", "f"),
+    ("the", "_"),
+    ("and", "_"),
+    ("s", "_"),
+)
+
+
+def _t24_encode_expr() -> str:
+    """Chained left-to-right BPE folds applying the fixed merge table to
+    one word `w` -> its final symbol array."""
+    e = (
+        "concat(transform(sequence(1, length(w)), "
+        "i -> substring(w, i, 1)), array('_'))"
+    )
+    for a, b in _T24_MERGES:
+        e = (
+            f"aggregate({e}, CAST(array() AS ARRAY<STRING>), "
+            f"(acc, x) -> IF(try_element_at(acc, -1) = '{a}' "
+            f"AND x = '{b}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{a}{b}')), "
+            f"concat(acc, array(x))))"
+        )
+    return e
+
+
+def _t24_sql_str() -> str:
+    """DuckDB: the doc's space-joined symbol string after every merge."""
+    s = (
+        "' ' || array_to_string(list_transform("
+        "regexp_extract_all(lower(text), '[a-z]+'), "
+        "w -> array_to_string(list_transform("
+        "generate_series(1, length(w)), i -> w[i]), ' ') || ' _'), "
+        "' ') || ' '"
+    )
+    for a, b in _T24_MERGES:
+        for _ in range(2):  # two non-overlapping passes per merge
+            s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    return s
+
+
+_T24_ORACLE = f"""
+WITH enc AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+         length(array_to_string(
+           regexp_extract_all(lower(text), '[a-z]+'), '')) AS n_chars,
+         CASE WHEN trim({_t24_sql_str()}) = '' THEN []
+              ELSE string_split(trim({_t24_sql_str()}), ' ') END AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tok
+FROM enc
+"""
+
+
+@q("t24_bpe_encode", oracle=_T24_ORACLE)
+def t24(spark, sf):
+    """Encode every document with the fixed {n}-entry BPE merge table:
+    per-doc (n_words, n_chars, n_tokens, n_distinct_tok).
+
+    Scale shape: ZERO Exchange — the merge table folds into the
+    expression tree (the broadcast-constant tokenizer artifact) and
+    encoding is a per-doc higher-order fold chain over the word array,
+    JVM-side, linear in executors at 100 TB.  The vocabulary-grain
+    variant (encode DISTINCT words once, join counts back — t20's
+    sufficient-statistic trick) trades two shuffles for amortized
+    encode work; scan-local wins whenever the encode kernel is cheaper
+    than a corpus shuffle, which a 12-merge table always is.  spread()
+    fans the small test scan out (no-op at production scale)."""
+    d = spread(t(spark, sf, "documents")).select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias(
+            "words"
+        ),
+    )
+    enc = d.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.length(F.array_join("words", "")).cast("long").alias("n_chars"),
+        F.expr(
+            f"flatten(transform(words, w -> {_t24_encode_expr()}))"
+        ).alias("toks"),
+    )
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias(
+            "n_distinct_tok"
+        ),
+    )
+
+
+t24.__doc__ = t24.__doc__.format(n=len(_T24_MERGES))

@@ -996,3 +996,59 @@ def test_t23_inverted_index_matches_counter_reference(spark, tmp_path):
             ",".join(f"{d}:{posts[d]}" for d in sorted(posts)).encode()
         ).hexdigest()
         assert rows[w]["postings_digest"] == digest, w
+
+
+def test_t24_bpe_encode_matches_python_reference(spark, tmp_path):
+    """t24: the chained merge-table folds match a pure-Python BPE
+    encoder applying the same merges in order, including chained
+    multi-char merges (th -> the -> the_) and self-adjacent stress."""
+    import re
+
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.textstats import _T24_MERGES, QUERIES
+
+    texts = [
+        "the weather thereafter ended and so on",
+        "inland bands of sand and banana stands",
+        "thththth ananan ss s sss",  # self-adjacent / sentinel stress
+        "",  # no words at all
+        "rethinking the ongoing transfer of reorders",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "lang": ["en"] * len(texts),
+            "text": texts,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    def fold(s, a, b):
+        out = []
+        for x in s:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    def encode(w):
+        s = list(w) + ["_"]
+        for a, b in _T24_MERGES:
+            s = fold(s, a, b)
+        return s
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["t24_bpe_encode"](spark, str(tmp_path)).collect()
+    }
+    assert len(got) == len(texts)
+    for i, t_ in enumerate(texts):
+        words = re.findall(r"[a-z]+", t_.lower())
+        toks = [s for w in words for s in encode(w)]
+        assert got[i]["n_words"] == len(words), i
+        assert got[i]["n_chars"] == sum(len(w) for w in words), i
+        assert got[i]["n_tokens"] == len(toks), i
+        assert got[i]["n_distinct_tok"] == len(set(toks)), i
+    # the merge table actually compresses: fewer tokens than chars+words
+    assert got[0]["n_tokens"] < got[0]["n_chars"] + got[0]["n_words"]
