@@ -84,6 +84,7 @@ HEADLINE = [
     "z01_zone_text",
     "q39_number_format",
     "t24_bpe_encode",
+    "v05_drift_psi",
     "p01_metadata_patterns",
     "x01_extract_documents",
     "x16_contract_e2e",

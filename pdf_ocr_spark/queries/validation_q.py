@@ -358,3 +358,152 @@ def v04(spark, sf):
         "min_s",
         "max_s",
     )
+
+
+# ---------------------------------------------------------------- v05
+# Snapshot drift detection — the validation gate between two runs of a
+# recurring pipeline (Evidently/Deequ-style): Population Stability
+# Index per monitored column between a baseline window (days 1-15 of
+# the event month) and the current window (days 16+).  Monitored
+# dimensions: the event-type mix, the fixed-width value histogram
+# (width 50, capped at bin 9), hour-of-day, and day-of-week.
+#
+# Float discipline: bin proportions are Laplace-smoothed exact ratios
+# of BIGINT counts ((n+1)/(N+k)); each bin's PSI contribution
+# (p-q)*ln(p/q) is non-negative, frozen to integer micro units per bin
+# (t14's micro-nat discipline), and SUMMED AS INTEGERS — so the
+# per-column PSI is associative and engine-identical.  Drift flag at
+# the classic 0.2 threshold (200 000 micro).
+_V05_THRESH = 200000
+
+
+def _v05_monitored_sql() -> list[tuple[str, str, str]]:
+    """(col_name, spark bin expr, duckdb bin expr) per monitored dim."""
+    return [
+        ("event_type", "event_type", "event_type"),
+        (
+            "value_bin",
+            "CAST(CAST(least(9, floor(value / 50)) AS INT) AS STRING)",
+            "CAST(CAST(least(9, floor(value / 50)) AS INTEGER) AS VARCHAR)",
+        ),
+        (
+            "hour",
+            "CAST(hour(ts) AS STRING)",
+            "CAST(date_part('hour', ts) AS VARCHAR)",
+        ),
+        (
+            "dow",
+            "CAST(dayofweek(ts) - 1 AS STRING)",
+            "CAST(date_part('dow', ts) AS VARCHAR)",
+        ),
+    ]
+
+
+_V05_PSI_NUM = (
+    "(({b} + 1) / CAST(n_base + k AS DOUBLE)"
+    " - ({c} + 1) / CAST(n_curr + k AS DOUBLE))"
+    " * ln((({b} + 1) / CAST(n_base + k AS DOUBLE))"
+    " / (({c} + 1) / CAST(n_curr + k AS DOUBLE))) * 1000000"
+)
+
+_V05_ORACLE = f"""
+WITH e AS (
+  SELECT CASE WHEN date_part('day', ts) <= 15 THEN 0 ELSE 1 END AS cur,
+         {", ".join(f"{d} AS {n}" for n, _, d in _v05_monitored_sql())}
+  FROM events
+),
+m AS (
+  {" UNION ALL ".join(
+      f"SELECT '{n}' AS col_name, {n} AS bin, cur FROM e"
+      for n, _, _ in _v05_monitored_sql()
+  )}
+),
+c AS (
+  SELECT col_name, bin,
+         CAST(count(*) FILTER (cur = 0) AS BIGINT) AS nb,
+         CAST(count(*) FILTER (cur = 1) AS BIGINT) AS nc
+  FROM m GROUP BY col_name, bin
+),
+tot AS (
+  SELECT col_name, nb, nc,
+         sum(nb) OVER (PARTITION BY col_name) AS n_base,
+         sum(nc) OVER (PARTITION BY col_name) AS n_curr,
+         count(*) OVER (PARTITION BY col_name) AS k
+  FROM c
+),
+contrib AS (
+  SELECT col_name, n_base, n_curr, k,
+         CAST(round({_V05_PSI_NUM.format(b="nb", c="nc")}) AS BIGINT)
+           AS cm
+  FROM tot
+)
+SELECT col_name, CAST(max(k) AS BIGINT) AS n_bins,
+       CAST(max(n_base) AS BIGINT) AS n_base,
+       CAST(max(n_curr) AS BIGINT) AS n_curr,
+       CAST(sum(cm) AS BIGINT) AS psi_micro,
+       (sum(cm) > {_V05_THRESH}) AS drifted
+FROM contrib GROUP BY col_name
+"""
+
+
+@q("v05_drift_psi", oracle=_V05_ORACLE)
+def v05(spark, sf):
+    """PSI drift report between the baseline (days 1-15) and current
+    (days 16+) event windows: one row per monitored column with the
+    smoothed-integer PSI and the 0.2-threshold drift verdict.
+
+    Scale shape: the monitored dimensions explode from ONE scan into a
+    4-struct array (scan-local), then a single (col, bin) shuffle with
+    map-side partial counts; everything after runs on the bin relation
+    (|monitored dims| x |bins| rows — ~46 here, bounded at any corpus
+    size), so at 100 TB the job costs one pass + one tiny shuffle.
+    Per-bin contributions freeze to integer micro units before the
+    per-column sum, keeping the report bit-identical under any
+    partitioning."""
+    from pyspark.sql import Window as W, functions as F
+
+    e = t(spark, sf, "events")
+    mon = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("col_name"),
+                F.expr(s).alias("bin"),
+            )
+            for n, s, _ in _v05_monitored_sql()
+        ]
+    )
+    rows = e.select(
+        (F.dayofmonth("ts") > 15).cast("int").alias("cur"),
+        F.explode(mon).alias("m"),
+    )
+    c = rows.groupBy(
+        F.col("m.col_name").alias("col_name"), F.col("m.bin").alias("bin")
+    ).agg(
+        F.sum(1 - F.col("cur")).alias("nb"),
+        F.sum("cur").alias("nc"),
+    )
+    wc = W.partitionBy("col_name")
+    tot = c.select(
+        "col_name",
+        "nb",
+        "nc",
+        F.sum("nb").over(wc).alias("n_base"),
+        F.sum("nc").over(wc).alias("n_curr"),
+        F.count("*").over(wc).alias("k"),
+    )
+    contrib = tot.select(
+        "col_name",
+        "n_base",
+        "n_curr",
+        "k",
+        F.round(F.expr(_V05_PSI_NUM.format(b="nb", c="nc")))
+        .cast("long")
+        .alias("cm"),
+    )
+    return contrib.groupBy("col_name").agg(
+        F.max("k").cast("long").alias("n_bins"),
+        F.max("n_base").cast("long").alias("n_base"),
+        F.max("n_curr").cast("long").alias("n_curr"),
+        F.sum("cm").alias("psi_micro"),
+        (F.sum("cm") > _V05_THRESH).alias("drifted"),
+    )

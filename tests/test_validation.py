@@ -68,3 +68,87 @@ def test_histogram(spark, df):
         "lang.not_null": 1,
         "n_chars.min": 1,
     }
+
+
+def test_v05_psi_matches_python_reference_and_flags_drift(spark, tmp_path):
+    """v05: injected event-type drift (mix flips between halves) is
+    flagged, stable dimensions are not, and every PSI value matches a
+    pure-Python reference with identical smoothing + micro rounding."""
+    import math
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    n = 3000
+    rows = []
+    for i in range(n):
+        base = i < n // 2
+        day = (i * 7) % 15 + (1 if base else 16)
+        ts = datetime(2024, 1, day, hour=(i * 11) % 24) + timedelta(
+            minutes=i % 60
+        )
+        # drifted: event mix flips from click-heavy to error-heavy
+        if base:
+            et = ["click", "click", "click", "view", "error"][i % 5]
+        else:
+            et = ["error", "error", "error", "view", "click"][i % 5]
+        rows.append(
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": i % 37,
+                "event_type": et,
+                "value": float((i * 13) % 500) + 0.5,
+                "props": "",
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    def bins_of(r, name):
+        if name == "event_type":
+            return r["event_type"]
+        if name == "value_bin":
+            return str(min(9, int(r["value"] // 50)))
+        if name == "hour":
+            return str(r["ts"].hour)
+        if name == "dow":
+            return str((r["ts"].weekday() + 1) % 7)  # Sunday=0
+        raise AssertionError(name)
+
+    expected = {}
+    for name in ("event_type", "value_bin", "hour", "dow"):
+        nb = Counter(
+            bins_of(r, name) for r in rows if r["ts"].day <= 15
+        )
+        nc = Counter(bins_of(r, name) for r in rows if r["ts"].day > 15)
+        keys = sorted(set(nb) | set(nc))
+        k = len(keys)
+        n_base, n_curr = sum(nb.values()), sum(nc.values())
+        tot = 0
+        for key in keys:
+            p = (nb[key] + 1) / (n_base + k)
+            q = (nc[key] + 1) / (n_curr + k)
+            tot += round((p - q) * math.log(p / q) * 1000000)
+        expected[name] = (k, n_base, n_curr, tot)
+
+    from pdf_ocr_spark.queries.validation_q import QUERIES
+
+    got = {
+        r["col_name"]: r
+        for r in QUERIES["v05_drift_psi"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(expected)
+    for name, (k, n_base, n_curr, tot) in expected.items():
+        r = got[name]
+        assert (r["n_bins"], r["n_base"], r["n_curr"]) == (
+            k,
+            n_base,
+            n_curr,
+        ), name
+        assert r["psi_micro"] == tot, name
+        assert r["drifted"] == (tot > 200000), name
+    assert got["event_type"]["drifted"] is True
+    assert got["value_bin"]["drifted"] is False
