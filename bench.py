@@ -85,6 +85,7 @@ HEADLINE = [
     "q39_number_format",
     "t24_bpe_encode",
     "v05_drift_psi",
+    "s12_hybrid_rrf",
     "p01_metadata_patterns",
     "x01_extract_documents",
     "x16_contract_e2e",

@@ -1156,3 +1156,121 @@ def s11(spark, sf):
         .cast("int")
         .alias("rk"),
     )
+
+
+# ---------------------------------------------------------------- s12
+# Hybrid retrieval — Reciprocal Rank Fusion of a lexical ranker (t16's
+# BM25 against the fixed query terms) and a vector ranker (s01's cosine
+# against vec 0's embedding): the standard two-tower search stack
+# (Cormack/Clarke/Buettcher 2009 RRF, k=60).  The two retrieved sets
+# are top-100 capped and FULL-OUTER fused, so a document ranked by only
+# one arm still scores — exactly the production posture where the
+# vector index covers a subset of the corpus (true here at sf0.1:
+# embeddings cover 2k of 5k docs).
+#
+# Determinism: each arm's rank is a row_number with a (score DESC, id)
+# tie-break; each rank's RRF contribution 1e6/(60+rank) freezes to
+# integer micro units before the two-arm sum.  Query doc 0 is excluded
+# from both arms.
+_S12_RRF_K = 60
+_S12_TOP = 100
+
+
+def _s12_rrf_sql(rank: str) -> str:
+    return (
+        f"COALESCE(CAST(round(1000000.0 / ({_S12_RRF_K} + {rank})) "
+        f"AS BIGINT), 0)"
+    )
+
+
+def _s12_oracle() -> str:
+    from . import textstats
+
+    bm25 = "(\n" + textstats.ORACLE["t16_bm25_score"].strip() + "\n)"
+    return f"""
+WITH bm AS {bm25},
+lex AS (
+  SELECT doc_id, lr FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+    FROM bm WHERE bm25 > 0 AND doc_id <> 0
+  ) WHERE lr <= {_S12_TOP}
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], qv.v) AS cos
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+),
+vec AS (
+  SELECT doc_id, vr FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS vr
+    FROM sc
+  ) WHERE vr <= {_S12_TOP}
+)
+SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+       CAST(COALESCE(lr, -1) AS INTEGER) AS lex_rank,
+       CAST(COALESCE(vr, -1) AS INTEGER) AS vec_rank,
+       {_s12_rrf_sql("lr")} + {_s12_rrf_sql("vr")} AS rrf_micro
+FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+ORDER BY rrf_micro DESC, doc_id
+LIMIT 10
+"""
+
+
+@q("s12_hybrid_rrf", oracle=_s12_oracle())
+def s12(spark, sf):
+    """Hybrid BM25 + cosine retrieval fused with RRF (k={k}): top-10
+    documents with each arm's rank (-1 = not retrieved by that arm)
+    and the integer-micro fused score.
+
+    Scale shape: the lexical arm is t16's zero-shuffle scoring pass;
+    the vector arm is s01's broadcast-query scan; each arm ranks its
+    candidate set (top-{top} capped — production rankers emit bounded
+    result sets; at corpus scale the global row_number becomes s09's
+    two-phase partition-local top-k merge, same output).  The fusion
+    join touches 2x{top} rows — driver-trivial at any corpus size."""
+    from pyspark.sql import Window as W
+
+    from . import textstats
+
+    bm = textstats.QUERIES["t16_bm25_score"](spark, sf)
+    lex = (
+        bm.filter((F.col("bm25") > 0) & (F.col("doc_id") != 0))
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .alias("lr"),
+        )
+        .filter(F.col("lr") <= _S12_TOP)
+    )
+    e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    vec = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), _cos("v", "qv").alias("cos"))
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cos"), F.asc("doc_id")))
+            .alias("vr"),
+        )
+        .filter(F.col("vr") <= _S12_TOP)
+    )
+    rrf = F.expr(_s12_rrf_sql("lr")) + F.expr(_s12_rrf_sql("vr"))
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lr", F.lit(-1)).cast("int").alias("lex_rank"),
+            F.coalesce("vr", F.lit(-1)).cast("int").alias("vec_rank"),
+            rrf.alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+s12.__doc__ = s12.__doc__.format(k=_S12_RRF_K, top=_S12_TOP)

@@ -344,3 +344,66 @@ def test_s11_ivfpq_matches_numpy_reference(spark, tmp_path):
     got = {r["vec_id"]: r["adc"] for r in rows}
     for i in want:
         assert abs(got[i] - adc[i]) < 1e-5, i
+
+
+def test_s12_hybrid_rrf_matches_python_reference(spark, tmp_path):
+    """s12: on a constructed corpus with unambiguous per-arm rankings,
+    the fused top-10 (ranks, -1 sentinels for single-arm docs, integer
+    RRF) matches a pure-Python reference; docs retrieved by only one
+    arm still fuse."""
+    import numpy as np
+    import pandas as pd
+
+    n = 14
+    # lexical arm: doc i repeats 'spark' (a t16 query term) n-i times,
+    # padded to equal length -> bm25 strictly decreasing in i; docs
+    # 10+ contain no query term (not retrieved lexically)
+    texts = []
+    for i in range(n):
+        hits = max(0, 10 - i)
+        texts.append(" ".join(["spark"] * hits + ["pad"] * (20 - hits)))
+    pd.DataFrame(
+        {"doc_id": range(n), "lang": ["en"] * n, "text": texts}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    # vector arm: only even doc ids have embeddings (partial coverage);
+    # cosine to vec 0 strictly decreasing in id via well-separated
+    # angles in 2D (padded to 4 dims)
+    ids = [i for i in range(n) if i % 2 == 0]
+    angs = np.linspace(0.0, 1.2, len(ids))
+    emb = [
+        np.array([np.cos(a), np.sin(a), 0.0, 0.0], dtype=np.float32)
+        for a in angs
+    ]
+    pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [list(map(float, v)) for v in emb],
+            "label": [0] * len(ids),
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"))
+
+    # --- pure-Python reference ---------------------------------------
+    lex_rank = {i: i for i in range(1, 10)}  # doc 0 excluded, 9 hits
+    vec_rank = {
+        i: r + 1 for r, i in enumerate(ids[1:])  # vec 0 excluded
+    }
+    fused = {}
+    for d in set(lex_rank) | set(vec_rank):
+        s = 0
+        for rk in (lex_rank.get(d), vec_rank.get(d)):
+            if rk is not None:
+                s += round(1000000.0 / (60 + rk))
+        fused[d] = s
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    from pdf_ocr_spark.queries.similarity import QUERIES
+
+    rows = QUERIES["s12_hybrid_rrf"](spark, str(tmp_path)).collect()
+    assert [(r["doc_id"], r["rrf_micro"]) for r in rows] == top
+    for r in rows:
+        assert r["lex_rank"] == lex_rank.get(r["doc_id"], -1)
+        assert r["vec_rank"] == vec_rank.get(r["doc_id"], -1)
+    # both single-arm shapes actually occur in the fused top-10
+    assert any(r["lex_rank"] == -1 for r in rows)
+    assert any(r["vec_rank"] == -1 for r in rows)
