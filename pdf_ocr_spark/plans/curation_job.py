@@ -4,10 +4,16 @@ as ONE composed Spark job over the public operator API.
 Pipeline (the fixed production order; each stage is an oracle-green
 operator from queries/):
 
-  quality (t02) -> entropy (t22) -> C4/Gopher content rules (t11) ->
+  quality (t02) -> entropy (t22) -> C4 content rules (t11.c4_keep) ->
   URL blocklist (t12) -> domain mixture (t15) -> exact dedup keeper
   (d01) -> fuzzy dedup survivor (d12) -> per-language sequence packing
   -> partitioned shard write
+
+The c4 stage applies t11's C4 half only: t11 also computes the full
+Gopher rule set, but Gopher's 50-word floor rejects this synthetic
+corpus outright (every doc is shorter), so the funnel would be empty.
+A production corpus swaps the stage flag to `c4_keep AND gopher_keep`
+— one expression, same plan.
 
 Every stage contributes a boolean flag on the doc grain; the funnel
 verdict ANDs them in order, and the per-stage survivor counts come
@@ -48,11 +54,14 @@ STAGES = (
 def curation_flags(spark, sf_dir: str):
     """Doc-grain relation (doc_id, lang, n_tok, <stage flags...>):
     every funnel stage's verdict for every document."""
+    # the content key is null-safed to '' on BOTH sides of the d01 join
+    # so a NULL-text doc still flows through the funnel (and fails its
+    # stages) instead of silently vanishing from the inner hash join
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
-        norm_hash().alias("_nh"),
+        F.coalesce(norm_hash(), F.lit("")).alias("_nh"),
     )
     q2 = text_q.QUERIES["t02_quality_score"](spark, sf_dir).select(
         "doc_id", (F.col("keep") == 1).alias("quality")
@@ -70,7 +79,7 @@ def curation_flags(spark, sf_dir: str):
         "doc_id", F.col("mix_keep").alias("mixture")
     )
     d01 = dedup_q.QUERIES["d01_exact_dedup"](spark, sf_dir).select(
-        F.col("norm_hash").alias("_nh"),
+        F.coalesce(F.col("norm_hash"), F.lit("")).alias("_nh"),
         F.col("keeper_doc_id").alias("_keeper"),
     )
     d12 = dedup_q.QUERIES["d12_fuzzy_dedup_funnel"](spark, sf_dir).select(
@@ -82,7 +91,7 @@ def curation_flags(spark, sf_dir: str):
         .join(q11, "doc_id")
         .join(q12, "doc_id")
         .join(q15, "doc_id")
-        .join(F.broadcast(d01), "_nh")
+        .join(d01, "_nh")
         .withColumn("exact_dedup", F.col("doc_id") == F.col("_keeper"))
         .join(d12, "doc_id")
         .drop("_nh", "_keeper")
@@ -135,12 +144,15 @@ def curate(
         F.sum(F.when(acc, F.col("n_tok"))).alias("out_tokens"),
     ).collect()[0]
 
-    packed = pack_survivors(flags, bin_tokens)
+    # persist packed: the shard count and the write would otherwise
+    # each replay the survivors filter + per-language cumsum window
+    packed = pack_survivors(flags, bin_tokens).persist()
     n_shards = packed.select("lang", "bin").distinct().count()
     if output_dir is not None:
         packed.write.mode("overwrite").partitionBy("lang", "bin").parquet(
             output_dir
         )
+    packed.unpersist()
     flags.unpersist()
     report = {"n_in": rep["n_in"]}
     for s in STAGES:

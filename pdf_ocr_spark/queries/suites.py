@@ -1517,7 +1517,7 @@ docs AS (
   SELECT doc_id, lang,
          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
            AS n_tok,
-         {_SQL_NH.format(col="text")} AS nh
+         COALESCE({_SQL_NH.format(col="text")}, '') AS nh
   FROM documents
 ),
 surv AS (
@@ -1528,7 +1528,7 @@ surv AS (
   JOIN q11 ON q11.doc_id = d.doc_id
   JOIN q12 ON q12.doc_id = d.doc_id
   JOIN q15 ON q15.doc_id = d.doc_id
-  JOIN d01 ON d01.norm_hash = d.nh
+  JOIN d01 ON COALESCE(d01.norm_hash, '') = d.nh
   JOIN d12 ON d12.doc_id = d.doc_id
   WHERE q2.keep = 1 AND q22.entropy_keep AND q11.c4_keep = 1
     AND q12.url_keep = 1 AND q15.mix_keep

@@ -393,7 +393,8 @@ def test_s12_hybrid_rrf_matches_python_reference(spark, tmp_path):
         s = 0
         for rk in (lex_rank.get(d), vec_rank.get(d)):
             if rk is not None:
-                s += round(1000000.0 / (60 + rk))
+                # HALF_UP like both engines (not Python's half-to-even)
+                s += int(1000000.0 / (60 + rk) + 0.5)
         fused[d] = s
     top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
 
