@@ -86,6 +86,7 @@ HEADLINE = [
     "t24_bpe_encode",
     "v05_drift_psi",
     "s12_hybrid_rrf",
+    "q48_zorder_layout",
     "p01_metadata_patterns",
     "x01_extract_documents",
     "x16_contract_e2e",

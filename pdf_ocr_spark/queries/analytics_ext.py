@@ -429,3 +429,79 @@ def q46(spark, sf):
             ).alias("lift_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------- q48
+# Z-order (Morton) layout clustering — the lakehouse data-layout
+# optimization (Delta OPTIMIZE ZORDER / Iceberg sort-order): interleave
+# the bits of two scan dimensions so one sort key clusters BOTH, and
+# every file's min/max column stats prune range predicates on either
+# dimension.  The query computes the 16-bit Morton key over two 8-bit
+# dimensions of orders and reports, per 256-z-value layout bucket (the
+# "file"), the row count and the covered (x, y) rectangle — the
+# locality contract that makes the layout prune: a z-contiguous bucket
+# covers a bounded 16x16 rectangle, never a full-width stripe.
+#
+# All math is integer bit arithmetic (shift/mask/or) — bit-identical in
+# any engine, under any partitioning.
+_Q48_BITS = 8
+
+
+def _q48_morton(x: str, y: str, shift: str, lshift: str) -> str:
+    """Morton interleave as an engine-neutral expression template."""
+    terms = []
+    for i in range(_Q48_BITS):
+        terms.append(lshift.format(v=f"({shift.format(v=x, n=i)} & 1)", n=2 * i))
+        terms.append(
+            lshift.format(v=f"({shift.format(v=y, n=i)} & 1)", n=2 * i + 1)
+        )
+    return " + ".join(terms)
+
+
+_Q48_SPARK_Z = _q48_morton(
+    "x", "y", shift="shiftright({v}, {n})", lshift="shiftleft({v}, {n})"
+)
+_Q48_SQL_Z = _q48_morton("x", "y", shift="({v} >> {n})", lshift="({v} << {n})")
+
+_Q48_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(o_custkey % 256 AS INTEGER) AS x,
+         CAST(o_orderkey % 256 AS INTEGER) AS y
+  FROM orders
+),
+z AS (SELECT x, y, {_Q48_SQL_Z} AS zkey FROM pts)
+SELECT CAST(zkey // 256 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS INTEGER) AS min_x, CAST(max(x) AS INTEGER) AS max_x,
+       CAST(min(y) AS INTEGER) AS min_y, CAST(max(y) AS INTEGER) AS max_y
+FROM z GROUP BY 1
+"""
+
+
+@q("q48_zorder_layout", oracle=_Q48_ORACLE)
+def q48(spark, sf):
+    """Morton-key layout buckets over orders: per 256-z-value bucket,
+    the row count and covered (x, y) rectangle (always within one
+    16x16 tile — the pruning guarantee z-ordering exists for).
+
+    Scale shape: the z-key is a scan-local integer expression
+    (WholeStageCodegen); at production the writer sorts by it
+    (repartitionByRange(zkey) + sortWithinPartitions), after which
+    parquet min/max stats prune range predicates on BOTH dimensions —
+    the layout step is one range shuffle, amortized over every later
+    scan.  The audit here is one map-side-combined aggregate on the
+    bucket key."""
+    pts = t(spark, sf, "orders").select(
+        (F.col("o_custkey") % 256).cast("int").alias("x"),
+        (F.col("o_orderkey") % 256).cast("int").alias("y"),
+    )
+    z = pts.select("x", "y", F.expr(_Q48_SPARK_Z).alias("zkey"))
+    return z.groupBy(
+        F.expr("zkey div 256").cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )

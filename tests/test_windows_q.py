@@ -154,3 +154,45 @@ def test_q44_funnel_property(spark, rows):
                 else dt.datetime(1970, 1, 1)
             )
             assert got[u][col] == exp, (u, col, rows)
+
+
+def test_q48_zorder_locality_contract(spark):
+    """q48: every 256-z-value bucket covers exactly one 16x16 tile —
+    the two-dimensional pruning guarantee — and a pure-Python Morton
+    reference reproduces every bucket's count and rectangle."""
+    from collections import defaultdict
+
+    from pdf_ocr_spark.queries.analytics_ext import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["q48_zorder_layout"](spark, sf).collect()
+
+    import duckdb
+
+    pts = duckdb.sql(
+        f"SELECT CAST(o_custkey % 256 AS INTEGER),"
+        f" CAST(o_orderkey % 256 AS INTEGER)"
+        f" FROM '{sf}/orders.parquet'"
+    ).fetchall()
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    ref = defaultdict(list)
+    for x, y in pts:
+        ref[morton(x, y) // 256].append((x, y))
+    assert len(rows) == len(ref)
+    for r in rows:
+        got = ref[r["bucket"]]
+        assert r["n_rows"] == len(got)
+        xs = [p[0] for p in got]
+        ys = [p[1] for p in got]
+        assert (r["min_x"], r["max_x"]) == (min(xs), max(xs))
+        assert (r["min_y"], r["max_y"]) == (min(ys), max(ys))
+        # locality: the bucket's rectangle stays inside one 16x16 tile
+        assert r["max_x"] - r["min_x"] < 16 and r["min_x"] // 16 == r["max_x"] // 16
+        assert r["max_y"] - r["min_y"] < 16 and r["min_y"] // 16 == r["max_y"] // 16
