@@ -130,30 +130,31 @@ def curate(
     the fixed funnel order), output size, token totals, and shard
     count."""
     flags = curation_flags(spark, sf_dir).persist()
-
-    # per-stage survivor counts from ONE aggregation: survivors_k =
-    # docs passing stages 1..k (first-fail semantics)
-    chained = []
-    acc = F.lit(True)
-    for s in STAGES:
-        acc = acc & F.col(s)
-        chained.append(F.sum(acc.cast("long")).alias(f"after_{s}"))
-    rep = flags.agg(
-        F.count("*").alias("n_in"),
-        *chained,
-        F.sum(F.when(acc, F.col("n_tok"))).alias("out_tokens"),
-    ).collect()[0]
-
     # persist packed: the shard count and the write would otherwise
     # each replay the survivors filter + per-language cumsum window
     packed = pack_survivors(flags, bin_tokens).persist()
-    n_shards = packed.select("lang", "bin").distinct().count()
-    if output_dir is not None:
-        packed.write.mode("overwrite").partitionBy("lang", "bin").parquet(
-            output_dir
-        )
-    packed.unpersist()
-    flags.unpersist()
+    try:
+        # per-stage survivor counts from ONE aggregation: survivors_k =
+        # docs passing stages 1..k (first-fail semantics)
+        chained = []
+        acc = F.lit(True)
+        for s in STAGES:
+            acc = acc & F.col(s)
+            chained.append(F.sum(acc.cast("long")).alias(f"after_{s}"))
+        rep = flags.agg(
+            F.count("*").alias("n_in"),
+            *chained,
+            F.sum(F.when(acc, F.col("n_tok"))).alias("out_tokens"),
+        ).collect()[0]
+
+        n_shards = packed.select("lang", "bin").distinct().count()
+        if output_dir is not None:
+            packed.write.mode("overwrite").partitionBy(
+                "lang", "bin"
+            ).parquet(output_dir)
+    finally:
+        packed.unpersist()
+        flags.unpersist()
     report = {"n_in": rep["n_in"]}
     for s in STAGES:
         report[f"after_{s}"] = rep[f"after_{s}"]

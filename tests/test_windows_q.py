@@ -1,6 +1,7 @@
-"""Literal-frame edge cases for the temporal operators: q41's atomic
+"""Literal-frame edge cases for the temporal operators — q41's atomic
 (ts, value) pairing on NULL-value purchases (the shipped corpus has
-none) and q44's strict stage ordering on out-of-order arrivals."""
+none) and q44's strict stage ordering on out-of-order arrivals — plus
+the q48 z-order locality contract (analytics_ext)."""
 
 from __future__ import annotations
 
