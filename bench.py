@@ -87,6 +87,7 @@ HEADLINE = [
     "v05_drift_psi",
     "s12_hybrid_rrf",
     "q48_zorder_layout",
+    "t25_readability",
     "p01_metadata_patterns",
     "x01_extract_documents",
     "x16_contract_e2e",

@@ -2143,3 +2143,100 @@ def t24(spark, sf):
 
 
 t24.__doc__ = t24.__doc__.format(n=len(_T24_MERGES))
+
+
+# ------------------------------------------------------------- t25
+# Readability scoring — the classic Flesch-Kincaid grade level (public
+# formula: 0.39*words/sentences + 11.8*syllables/words - 15.59), the
+# third member of the standard quality-scorer trio (t02 heuristics,
+# t14 LM perplexity, FK readability).  Syllables are approximated as
+# vowel groups ([aeiouy]+) with a 1-per-word floor — the standard
+# cheap estimator.
+#
+# Scale shape: ZERO Exchange — every count is a scan-local regex/HOF
+# expression and the grade is a per-doc scalar; the whole job is a
+# narrow map at scan speed.  The grade freezes to integer micro units
+# per doc (t14 discipline — no aggregation ever touches the double).
+_T25_BAND = (5_000_000, 12_000_000)  # readable: grade 5..12
+
+
+def _t25_exprs(engine: str) -> dict[str, str]:
+    if engine == "spark":
+        words = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+        vg = "size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+        novowel = (
+            f"size(filter({words}, w -> w NOT RLIKE '[aeiouy]'))"
+        )
+        sents = "size(regexp_extract_all(text, '[.!?]+', 0))"
+    else:
+        words = "regexp_extract_all(lower(text), '[a-z]+')"
+        vg = "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+        novowel = (
+            f"len(list_filter({words},"
+            " w -> NOT regexp_matches(w, '[aeiouy]')))"
+        )
+        sents = "len(regexp_extract_all(text, '[.!?]+'))"
+    n = "size" if engine == "spark" else "len"
+    return {
+        "n_words": f"{n}({words})",
+        "n_sents": f"greatest(1, {sents})",
+        "n_syll": f"{vg} + {novowel}",
+    }
+
+
+# the n_words denominator is floored to 1 so the expression is total
+# (ANSI Spark evaluates both sides of AND/when branches); the n_words=0
+# case is still pinned to (0, false) by the outer gates
+_T25_FK = (
+    "CAST(round((0.39 * (CAST(n_words AS DOUBLE) / n_sents)"
+    " + 11.8 * (CAST(n_syll AS DOUBLE) / greatest(n_words, 1))"
+    " - 15.59) * 1000000) AS BIGINT)"
+)
+
+_T25_SQL = _t25_exprs("duckdb")
+_T25_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST({_T25_SQL["n_words"]} AS BIGINT) AS n_words,
+         CAST({_T25_SQL["n_sents"]} AS BIGINT) AS n_sents,
+         CAST({_T25_SQL["n_syll"]} AS BIGINT) AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       CASE WHEN n_words = 0 THEN 0 ELSE {_T25_FK} END AS fk_micro,
+       (n_words > 0 AND {_T25_FK} BETWEEN {_T25_BAND[0]}
+          AND {_T25_BAND[1]}) AS readable
+FROM c
+"""
+
+
+@q("t25_readability", oracle=_T25_ORACLE)
+def t25(spark, sf):
+    """Flesch-Kincaid readability per document: word/sentence/syllable
+    counts, the grade in integer micro units, and the grade-5..12
+    readable band (the corpus-filter form).
+
+    Scale shape: ZERO Exchange — scan-local regex + HOF counts and a
+    per-doc scalar grade; linear in executors at any corpus size.
+    spread() fans the small test scan out (no-op at scale)."""
+    ex = _t25_exprs("spark")
+    c = spread(t(spark, sf, "documents")).select(
+        "doc_id",
+        F.expr(ex["n_words"]).cast("long").alias("n_words"),
+        F.expr(ex["n_sents"]).cast("long").alias("n_sents"),
+        F.expr(ex["n_syll"]).cast("long").alias("n_syll"),
+    )
+    fk = F.expr(_T25_FK)
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.when(F.col("n_words") == 0, F.lit(0).cast("long"))
+        .otherwise(fk)
+        .alias("fk_micro"),
+        (
+            (F.col("n_words") > 0)
+            & fk.between(_T25_BAND[0], _T25_BAND[1])
+        ).alias("readable"),
+    )

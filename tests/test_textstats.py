@@ -1052,3 +1052,52 @@ def test_t24_bpe_encode_matches_python_reference(spark, tmp_path):
         assert got[i]["n_distinct_tok"] == len(set(toks)), i
     # the merge table actually compresses: fewer tokens than chars+words
     assert got[0]["n_tokens"] < got[0]["n_chars"] + got[0]["n_words"]
+
+
+def test_t25_readability_matches_python_reference(spark, tmp_path):
+    """t25: counts and the micro-frozen FK grade match a pure-Python
+    implementation of the same estimator, including vowel-less words,
+    missing sentence punctuation, and empty text."""
+    import re
+
+    import pandas as pd
+
+    texts = [
+        "The cat sat on the mat. It was happy!",
+        "The weather today is quite pleasant and many people "
+        "enjoy walking outside.",
+        "dr js xy",  # vowel-less words: 1-syllable floor each
+        "no punctuation here at all",  # sentence floor = 1
+        "",  # empty: fk pinned to 0, not readable
+    ]
+    pd.DataFrame(
+        {"doc_id": range(len(texts)), "lang": ["en"] * len(texts),
+         "text": texts}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    def ref(t_):
+        words = re.findall(r"[a-z]+", t_.lower())
+        nw = len(words)
+        ns = max(1, len(re.findall(r"[.!?]+", t_)))
+        syl = sum(
+            max(1, len(re.findall(r"[aeiouy]+", w))) for w in words
+        )
+        if nw == 0:
+            return nw, ns, syl, 0, False
+        fk = round((0.39 * nw / ns + 11.8 * syl / nw - 15.59) * 1e6)
+        return nw, ns, syl, fk, 5_000_000 <= fk <= 12_000_000
+
+    from pdf_ocr_spark.queries.textstats import QUERIES
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["t25_readability"](spark, str(tmp_path)).collect()
+    }
+    for i, t_ in enumerate(texts):
+        nw, ns, syl, fk, keep = ref(t_)
+        r = got[i]
+        assert (r["n_words"], r["n_sents"], r["n_syll"]) == (nw, ns, syl), i
+        assert r["fk_micro"] == fk, i
+        assert r["readable"] == keep, i
+    assert got[0]["readable"] is False  # grade < 5: too simple
+    assert got[1]["readable"] is True
