@@ -498,6 +498,10 @@ FROM {_sub(similarity, "s10_product_quantize")} _j
 UNION ALL
 SELECT 'ivfpq', vec_id, CAST(label AS BIGINT), CAST(rk AS BIGINT), adc
 FROM {_sub(similarity, "s11_ivfpq_search")} _k
+UNION ALL
+SELECT 'hybrid', doc_id, CAST(lex_rank AS BIGINT),
+       CAST(vec_rank AS BIGINT), CAST(rrf_micro AS DOUBLE)
+FROM {_sub(similarity, "s12_hybrid_rrf")} _l
 """,
 )
 def s01_suite(spark, sf):
@@ -515,7 +519,10 @@ def s01_suite(spark, sf):
     (s10: aux1 = the packed 4x4-bit code, score = asymmetric distance
     to the sample query; recon error rides the fine-grained twin), and
     the composed IVF-PQ search path (s11: coarse-route then ADC-rank
-    the routed cell only; aux1 = cell label, aux2 = rank) —
+    the routed cell only; aux1 = cell label, aux2 = rank), and hybrid
+    BM25+vector retrieval fused by Reciprocal Rank Fusion (s12: aux1 =
+    lexical rank, aux2 = vector rank, -1 = not retrieved by that arm,
+    score = integer-micro RRF) —
     tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -597,11 +604,18 @@ def s01_suite(spark, sf):
         F.col("rk").cast("long").alias("aux2"),
         F.col("adc").alias("score"),
     )
+    ll = similarity.QUERIES["s12_hybrid_rrf"](spark, sf).select(
+        F.lit("hybrid").alias("fam"),
+        F.col("doc_id").alias("id"),
+        F.col("lex_rank").cast("long").alias("aux1"),
+        F.col("vec_rank").cast("long").alias("aux2"),
+        F.col("rrf_micro").cast("double").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
         .unionByName(h).unionByName(i).unionByName(j)
-        .unionByName(k)
+        .unionByName(k).unionByName(ll)
     )
 
 
@@ -751,6 +765,9 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t19.split, t19.n_splits, t19.leaked,
        t21.host, t21.rank2_nano AS host_rank_nano,
        t22.n_distinct_chars, t22.micro_entropy, t22.entropy_keep,
+       t24.n_tokens AS enc_tokens, t24.n_distinct_tok AS enc_distinct,
+       t25.n_sents AS fk_sents, t25.n_syll AS fk_syll, t25.fk_micro,
+       t25.readable,
        (t2.n_chars > t18.p50) AS above_median_len,
        (t2.keep = 1 AND t22.entropy_keep AND t11.c4_keep = 1
         AND t12.url_keep = 1 AND t15.mix_keep) AS curation_keep,
@@ -788,6 +805,8 @@ JOIN {_sub(textstats, "t18_length_quantiles")} t18
 JOIN {_sub(textstats, "t19_split_leakage")} t19 ON t19.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t21_host_rank")} t21 ON t21.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t22_char_entropy")} t22 ON t22.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t24_bpe_encode")} t24 ON t24.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t25_readability")} t25 ON t25.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -820,7 +839,9 @@ def t01_suite(spark, sf):
     n_splits, leaked), the host-graph PageRank source-quality prior
     (t21: host, host_rank_nano — exact integer nano-unit ranks), the
     character-entropy gibberish profile (t22: distinct chars,
-    micro-nat entropy, keep verdict), and the composed curation funnel
+    micro-nat entropy, keep verdict), the fixed-merge-table BPE encode
+    (t24: enc_tokens/enc_distinct), Flesch-Kincaid readability (t25:
+    fk_sents/fk_syll/fk_micro/readable), and the composed curation funnel
     verdict (curation_keep = every filter
     stage passes;
     first_fail = the first stage that rejects, in the fixed pipeline
@@ -865,6 +886,18 @@ def t01_suite(spark, sf):
         F.col("rank2_nano").alias("host_rank_nano"),
     )
     t22 = textstats.QUERIES["t22_char_entropy"](spark, sf)
+    t24 = textstats.QUERIES["t24_bpe_encode"](spark, sf).select(
+        "doc_id",
+        F.col("n_tokens").alias("enc_tokens"),
+        F.col("n_distinct_tok").alias("enc_distinct"),
+    )
+    t25 = textstats.QUERIES["t25_readability"](spark, sf).select(
+        "doc_id",
+        F.col("n_sents").alias("fk_sents"),
+        F.col("n_syll").alias("fk_syll"),
+        "fk_micro",
+        "readable",
+    )
     t17 = (
         textstats.QUERIES["t17_chunk_overlap"](spark, sf)
         .groupBy("doc_id")
@@ -912,6 +945,8 @@ def t01_suite(spark, sf):
         .join(t19, "doc_id")
         .join(t21, "doc_id")
         .join(t22, "doc_id")
+        .join(t24, "doc_id")
+        .join(t25, "doc_id")
         .withColumn("above_median_len", F.col("n_chars") > F.col("len_p50"))
         .withColumn(
             "curation_keep",
@@ -1022,6 +1057,67 @@ def m01_suite(spark, sf):
     )
 
 
+# ===================================================== curation capstone
+# x17: the composed end-to-end curation job (plans/curation_job.py) as
+# a registered fine-grained twin — quality -> entropy -> C4 -> URL ->
+# mixture -> exact-dedup keeper -> fuzzy-dedup survivor -> per-language
+# token-bin packing.  The oracle composes the MEMBER oracles (each
+# independently hash-green) through the identical flag algebra, so the
+# whole funnel is value-hash-pinned end to end.  Driver-gate coverage
+# rides the v01_validation_suite's 'x17_shard' arm (registry stays at
+# 50); the standalone entry serves tests and bench.
+from ..queries.base import SQL_NORM_HASH as _SQL_NH  # noqa: E402
+
+_X17_ORACLE = f"""
+WITH q2 AS {_sub(textstats, "t02_quality_score")},
+q22 AS {_sub(textstats, "t22_char_entropy")},
+q11 AS {_sub(textstats, "t11_gopher_rules")},
+q12 AS {_sub(textstats, "t12_url_filter")},
+q15 AS {_sub(textstats, "t15_domain_mixture")},
+d01 AS {_sub(dedup, "d01_exact_dedup")},
+d12 AS {_sub(dedup, "d12_fuzzy_dedup_funnel")},
+docs AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+           AS n_tok,
+         COALESCE({_SQL_NH.format(col="text")}, '') AS nh
+  FROM documents
+),
+surv AS (
+  SELECT d.doc_id, d.lang, d.n_tok
+  FROM docs d
+  JOIN q2 ON q2.doc_id = d.doc_id
+  JOIN q22 ON q22.doc_id = d.doc_id
+  JOIN q11 ON q11.doc_id = d.doc_id
+  JOIN q12 ON q12.doc_id = d.doc_id
+  JOIN q15 ON q15.doc_id = d.doc_id
+  JOIN d01 ON COALESCE(d01.norm_hash, '') = d.nh
+  JOIN d12 ON d12.doc_id = d.doc_id
+  WHERE q2.keep = 1 AND q22.entropy_keep AND q11.c4_keep = 1
+    AND q12.url_keep = 1 AND q15.mix_keep
+    AND d01.keeper_doc_id = d.doc_id AND d12.keep
+)
+SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok) // 512
+            AS INTEGER) AS bin
+FROM surv
+"""
+
+
+@q("x17_curation_shards", oracle=_X17_ORACLE)
+def x17(spark, sf):
+    """The full curation funnel + shard packing as one query (see
+    plans/curation_job.py for the job wrapper with the stage report
+    and the partitioned write)."""
+    from ..plans.curation_job import curation_flags, pack_survivors
+
+    packed = pack_survivors(curation_flags(spark, sf), 512)
+    return packed.select(
+        "doc_id", "lang", F.col("n_tok").cast("long").alias("n_tok"), "bin"
+    )
+
+
 # ========================================================== validation
 @q(
     "v01_validation_suite",
@@ -1041,6 +1137,23 @@ SELECT 'v04_profile', col_name,
          || min_s || '#' || max_s,
        n_rows, n_null = 0
 FROM {_sub(validation_q, "v04_data_profile")} _d
+UNION ALL
+SELECT 'v05_drift', col_name,
+       n_bins || '#' || n_base || '#' || n_curr,
+       psi_micro, NOT drifted
+FROM {_sub(validation_q, "v05_drift_psi")} _e
+UNION ALL
+SELECT 'q48_layout', CAST(bucket AS VARCHAR),
+       min_x || '#' || max_x || '#' || min_y || '#' || max_y,
+       n_rows,
+       (min_x // 16 = max_x // 16 AND min_y // 16 = max_y // 16)
+FROM {_sub(analytics_ext, "q48_zorder_layout")} _f
+UNION ALL
+SELECT 'x17_shard', CAST(doc_id AS VARCHAR),
+       lang || '#' || bin, n_tok, true
+FROM (
+{_X17_ORACLE}
+) _g
 """,
 )
 def v01_suite(spark, sf):
@@ -1050,7 +1163,13 @@ def v01_suite(spark, sf):
     metadata required-field gate over the composed quick_scan chain
     (p04, docpact retrieval.py:340-366) + the Deequ-style column
     profiler (v04: key = column, info = null/distinct/completeness/
-    min/max, ok = null-free)."""
+    min/max, ok = null-free) + PSI snapshot-drift detection (v05:
+    key = monitored dim, info = bins/base/current sizes, n = micro
+    PSI, ok = below the 0.2 drift threshold) + the z-order layout
+    audit (q48: key = layout bucket, info = covered rectangle, ok =
+    the 16x16 tile-containment pruning guarantee) + the composed
+    curation capstone's packed shards (x17: key = surviving doc,
+    info = lang#bin, n = tokens)."""
     a = validation_q.QUERIES["v01_contract_validation"](spark, sf).select(
         F.lit("v01_doc").alias("fam"),
         F.col("doc_id").cast("string").alias("key"),
@@ -1082,7 +1201,36 @@ def v01_suite(spark, sf):
         F.col("n_rows").alias("n"),
         (F.col("n_null") == 0).alias("ok"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    e = validation_q.QUERIES["v05_drift_psi"](spark, sf).select(
+        F.lit("v05_drift").alias("fam"),
+        F.col("col_name").alias("key"),
+        F.concat_ws("#", "n_bins", "n_base", "n_curr").alias("info"),
+        F.col("psi_micro").alias("n"),
+        (~F.col("drifted")).alias("ok"),
+    )
+    f = analytics_ext.QUERIES["q48_zorder_layout"](spark, sf).select(
+        F.lit("q48_layout").alias("fam"),
+        F.col("bucket").cast("string").alias("key"),
+        F.concat_ws("#", "min_x", "max_x", "min_y", "max_y").alias(
+            "info"
+        ),
+        F.col("n_rows").alias("n"),
+        (
+            (F.expr("min_x div 16") == F.expr("max_x div 16"))
+            & (F.expr("min_y div 16") == F.expr("max_y div 16"))
+        ).alias("ok"),
+    )
+    g = QUERIES["x17_curation_shards"](spark, sf).select(
+        F.lit("x17_shard").alias("fam"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.concat_ws("#", "lang", "bin").alias("info"),
+        F.col("n_tok").alias("n"),
+        F.lit(True).alias("ok"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .unionByName(e).unionByName(f).unionByName(g)
+    )
 
 
 @q(
@@ -1493,63 +1641,3 @@ def t06_term_mining_suite(spark, sf):
         (F.col("df") == 1).alias("flag"),
     )
     return a.unionByName(b).unionByName(c)
-
-
-# ===================================================== curation capstone
-# x17: the composed end-to-end curation job (plans/curation_job.py) as
-# a registered fine-grained twin — quality -> entropy -> C4 -> URL ->
-# mixture -> exact-dedup keeper -> fuzzy-dedup survivor -> per-language
-# token-bin packing.  The oracle composes the MEMBER oracles (each
-# independently hash-green) through the identical flag algebra, so the
-# whole funnel is value-hash-pinned end to end.  NOT in the driver
-# registry (kept at 50); rides FULL_QUERIES for tests and bench.
-from ..queries.base import SQL_NORM_HASH as _SQL_NH  # noqa: E402
-
-_X17_ORACLE = f"""
-WITH q2 AS {_sub(textstats, "t02_quality_score")},
-q22 AS {_sub(textstats, "t22_char_entropy")},
-q11 AS {_sub(textstats, "t11_gopher_rules")},
-q12 AS {_sub(textstats, "t12_url_filter")},
-q15 AS {_sub(textstats, "t15_domain_mixture")},
-d01 AS {_sub(dedup, "d01_exact_dedup")},
-d12 AS {_sub(dedup, "d12_fuzzy_dedup_funnel")},
-docs AS (
-  SELECT doc_id, lang,
-         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
-           AS n_tok,
-         COALESCE({_SQL_NH.format(col="text")}, '') AS nh
-  FROM documents
-),
-surv AS (
-  SELECT d.doc_id, d.lang, d.n_tok
-  FROM docs d
-  JOIN q2 ON q2.doc_id = d.doc_id
-  JOIN q22 ON q22.doc_id = d.doc_id
-  JOIN q11 ON q11.doc_id = d.doc_id
-  JOIN q12 ON q12.doc_id = d.doc_id
-  JOIN q15 ON q15.doc_id = d.doc_id
-  JOIN d01 ON COALESCE(d01.norm_hash, '') = d.nh
-  JOIN d12 ON d12.doc_id = d.doc_id
-  WHERE q2.keep = 1 AND q22.entropy_keep AND q11.c4_keep = 1
-    AND q12.url_keep = 1 AND q15.mix_keep
-    AND d01.keeper_doc_id = d.doc_id AND d12.keep
-)
-SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
-       CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-                              ROWS UNBOUNDED PRECEDING) - n_tok) // 512
-            AS INTEGER) AS bin
-FROM surv
-"""
-
-
-@q("x17_curation_shards", oracle=_X17_ORACLE)
-def x17(spark, sf):
-    """The full curation funnel + shard packing as one query (see
-    plans/curation_job.py for the job wrapper with the stage report
-    and the partitioned write)."""
-    from ..plans.curation_job import curation_flags, pack_survivors
-
-    packed = pack_survivors(curation_flags(spark, sf), 512)
-    return packed.select(
-        "doc_id", "lang", F.col("n_tok").cast("long").alias("n_tok"), "bin"
-    )
