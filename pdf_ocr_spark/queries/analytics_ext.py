@@ -505,3 +505,81 @@ def q48(spark, sf):
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+# ---------------------------------------------------------------- q49
+# Salted skew join — the explicit hot-key mitigation (the technique AQE
+# skew-join automates, spelled out as a plan the builder controls): a
+# synthetic 70%-hot key would pin one reducer with 0.7N rows in a plain
+# hash join; salting splits the fact side's hot key across `_Q49_SALTS`
+# sub-partitions and replicates the (tiny) dim side once per salt, so
+# the join key becomes (key, salt) and no partition exceeds ~max(hot/S,
+# uniform) rows.  The salt never reaches the output, so the result is
+# provably the plain join's — and the DuckDB oracle IS the plain join:
+# two different physical strategies, value-hash-identical results.
+_Q49_SALTS = 8
+
+_Q49_ORACLE = """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+              ELSE CAST(l_orderkey % 1000 AS BIGINT) END AS skew_key,
+         l_quantity
+  FROM lineitem
+),
+dim AS (
+  SELECT CAST(range AS BIGINT) AS skew_key,
+         CAST(range * 7 % 100 AS INTEGER) AS attr
+  FROM range(0, 1000)
+)
+SELECT f.skew_key, d.attr,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM fact f JOIN dim d ON d.skew_key = f.skew_key
+GROUP BY f.skew_key, d.attr
+"""
+
+
+@q("q49_salted_skew_join", oracle=_Q49_ORACLE)
+def q49(spark, sf):
+    """Salted fact-dim join under a deterministic 70%-hot key, rolled
+    up to key grain: (skew_key, attr, n_items, qty).
+
+    Scale shape: the fact side salts with a row-local expression and
+    shuffles ONCE on (key, salt) — the hot key spreads over
+    {salts} sub-partitions instead of pinning one reducer; the dim side
+    replicates x{salts} BEFORE its (tiny) broadcast/shuffle, the
+    classic fragment-replicate trade.  The rollup re-aggregates the
+    (key, salt) partials to key grain — map-side combined, exactly the
+    partial-agg shape.  The DuckDB oracle runs the UNSALTED join, so
+    the salt's result-neutrality is value-hash-pinned, and the unit
+    test asserts the salted executed plan joins on the composite
+    (key, salt) key."""
+    li = t(spark, sf, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0).cast("long"))
+        .otherwise((F.col("l_orderkey") % 1000).cast("long"))
+        .alias("skew_key"),
+        "l_quantity",
+        # row-local salt: anything deterministic per row works — the
+        # salt never reaches the output
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % _Q49_SALTS)
+        .cast("int")
+        .alias("salt"),
+    )
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("skew_key"),
+        (F.col("id") * 7 % 100).cast("int").alias("attr"),
+    )
+    dim_salted = dim.crossJoin(
+        spark.range(0, _Q49_SALTS).select(F.col("id").cast("int").alias("salt"))
+    )
+    joined = fact.join(dim_salted, ["skew_key", "salt"])
+    return joined.groupBy("skew_key", "attr").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("qty"),
+    )
+
+
+q49.__doc__ = q49.__doc__.format(salts=_Q49_SALTS)

@@ -110,11 +110,17 @@ SELECT 'q07_brand_price', p_brand, avg_price, n FROM {_sub(tpch, "q07_brand_pric
 UNION ALL
 SELECT 'q09_shipped_parts', p_brand, 0.0, n_parts
 FROM {_sub(tpch, "q09_shipped_parts")} _c
+UNION ALL
+SELECT 'q49_salted', skew_key || '#' || attr, qty, n_items
+FROM {_sub(analytics_ext, "q49_salted_skew_join")} _d
 """,
 )
 def q05_suite(spark, sf):
     """q05 multi-dim broadcast join + q07 brand averages + q09 shipped
-    parts semi-join, tagged-unioned."""
+    parts semi-join + the salted skew join rolled to key grain (q49:
+    k = skew_key#attr, v = exact-decimal quantity, n = items — the
+    DuckDB side runs the UNSALTED join, pinning salt neutrality),
+    tagged-unioned."""
     a = tpch.QUERIES["q05_local_supplier"](spark, sf).select(
         F.lit("q05_asia_revenue").alias("fam"),
         F.col("n_name").alias("k"),
@@ -133,7 +139,13 @@ def q05_suite(spark, sf):
         F.lit(0.0).alias("v"),
         F.col("n_parts").alias("n"),
     )
-    return a.unionByName(b).unionByName(c)
+    d = analytics_ext.QUERIES["q49_salted_skew_join"](spark, sf).select(
+        F.lit("q49_salted").alias("fam"),
+        F.concat_ws("#", "skew_key", "attr").alias("k"),
+        F.col("qty").alias("v"),
+        F.col("n_items").alias("n"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 # ============================================================= windows

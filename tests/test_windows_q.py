@@ -197,3 +197,59 @@ def test_q48_zorder_locality_contract(spark):
         # locality: the bucket's rectangle stays inside one 16x16 tile
         assert r["max_x"] - r["min_x"] < 16 and r["min_x"] // 16 == r["max_x"] // 16
         assert r["max_y"] - r["min_y"] < 16 and r["min_y"] // 16 == r["max_y"] // 16
+
+
+def test_q49_salted_join_equals_plain_and_salts_the_key(spark):
+    """q49: the salted plan's join key is the composite (skew_key,
+    salt) — the hot key spreads across sub-partitions — while the
+    result is row-identical to the plain unsalted Spark join."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_spark.queries.analytics_ext import QUERIES, _Q49_SALTS
+
+    sf = "/root/testdata/sf0.001"
+    salted = QUERIES["q49_salted_skew_join"](spark, sf)
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan, plan  # composite join/partition key in use
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0).cast("long"))
+        .otherwise((F.col("l_orderkey") % 1000).cast("long"))
+        .alias("skew_key"),
+        "l_quantity",
+    )
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("skew_key"),
+        (F.col("id") * 7 % 100).cast("int").alias("attr"),
+    )
+    plain = (
+        fact.join(dim, "skew_key")
+        .groupBy("skew_key", "attr")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+        )
+    )
+    key = lambda r: r["skew_key"]  # noqa: E731
+    got = sorted(salted.collect(), key=key)
+    exp = sorted(plain.collect(), key=key)
+    assert [r.asDict() for r in got] == [r.asDict() for r in exp]
+    # the hot key really is hot (70% of rows) and really is salted:
+    # every salt value appears on the hot key's fact side
+    hot = [r for r in got if r["skew_key"] == 0]
+    assert len(hot) == 1
+    n_total = sum(r["n_items"] for r in got)
+    assert hot[0]["n_items"] > 0.6 * n_total
+    li_salts = (
+        li.select(
+            ((F.col("l_orderkey") + F.col("l_linenumber")) % _Q49_SALTS)
+            .alias("salt")
+        )
+        .distinct()
+        .count()
+    )
+    assert li_salts == _Q49_SALTS
