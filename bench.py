@@ -88,6 +88,7 @@ HEADLINE = [
     "s12_hybrid_rrf",
     "q48_zorder_layout",
     "t25_readability",
+    "t26_quality_classifier",
     "q49_salted_skew_join",
     "p01_metadata_patterns",
     "x01_extract_documents",

@@ -780,6 +780,8 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t24.n_tokens AS enc_tokens, t24.n_distinct_tok AS enc_distinct,
        t25.n_sents AS fk_sents, t25.n_syll AS fk_syll, t25.fk_micro,
        t25.readable,
+       t26.y_label AS clf_label, t26.score_micro AS clf_score,
+       t26.pred_keep AS clf_keep, t26.w_uniq AS clf_w_uniq,
        (t2.n_chars > t18.p50) AS above_median_len,
        (t2.keep = 1 AND t22.entropy_keep AND t11.c4_keep = 1
         AND t12.url_keep = 1 AND t15.mix_keep) AS curation_keep,
@@ -819,6 +821,8 @@ JOIN {_sub(textstats, "t21_host_rank")} t21 ON t21.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t22_char_entropy")} t22 ON t22.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t24_bpe_encode")} t24 ON t24.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t25_readability")} t25 ON t25.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t26_quality_classifier")} t26
+  ON t26.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -853,7 +857,10 @@ def t01_suite(spark, sf):
     character-entropy gibberish profile (t22: distinct chars,
     micro-nat entropy, keep verdict), the fixed-merge-table BPE encode
     (t24: enc_tokens/enc_distinct), Flesch-Kincaid readability (t25:
-    fk_sents/fk_syll/fk_micro/readable), and the composed curation funnel
+    fk_sents/fk_syll/fk_micro/readable), the trained quality classifier
+    (t26: bootstrap label, learned score, keep prediction, and the
+    pinned w_uniq weight — the whole 2-epoch GD trajectory rides the
+    value hash), and the composed curation funnel
     verdict (curation_keep = every filter
     stage passes;
     first_fail = the first stage that rejects, in the fixed pipeline
@@ -910,6 +917,13 @@ def t01_suite(spark, sf):
         "fk_micro",
         "readable",
     )
+    t26 = textstats.QUERIES["t26_quality_classifier"](spark, sf).select(
+        "doc_id",
+        F.col("y_label").alias("clf_label"),
+        F.col("score_micro").alias("clf_score"),
+        F.col("pred_keep").alias("clf_keep"),
+        F.col("w_uniq").alias("clf_w_uniq"),
+    )
     t17 = (
         textstats.QUERIES["t17_chunk_overlap"](spark, sf)
         .groupBy("doc_id")
@@ -959,6 +973,7 @@ def t01_suite(spark, sf):
         .join(t22, "doc_id")
         .join(t24, "doc_id")
         .join(t25, "doc_id")
+        .join(t26, "doc_id")
         .withColumn("above_median_len", F.col("n_chars") > F.col("len_p50"))
         .withColumn(
             "curation_keep",

