@@ -89,6 +89,7 @@ HEADLINE = [
     "q48_zorder_layout",
     "t25_readability",
     "t26_quality_classifier",
+    "t27_mojibake_repair",
     "q49_salted_skew_join",
     "p01_metadata_patterns",
     "x01_extract_documents",

@@ -782,6 +782,8 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t25.readable,
        t26.y_label AS clf_label, t26.score_micro AS clf_score,
        t26.pred_keep AS clf_keep, t26.w_uniq AS clf_w_uniq,
+       t27.n_mojibake AS moj_n, t27.n_kinds AS moj_kinds,
+       t27.clean AS moj_clean,
        (t2.n_chars > t18.p50) AS above_median_len,
        (t2.keep = 1 AND t22.entropy_keep AND t11.c4_keep = 1
         AND t12.url_keep = 1 AND t15.mix_keep) AS curation_keep,
@@ -823,6 +825,7 @@ JOIN {_sub(textstats, "t24_bpe_encode")} t24 ON t24.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t25_readability")} t25 ON t25.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t26_quality_classifier")} t26
   ON t26.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t27_mojibake_repair")} t27 ON t27.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -860,7 +863,9 @@ def t01_suite(spark, sf):
     fk_sents/fk_syll/fk_micro/readable), the trained quality classifier
     (t26: bootstrap label, learned score, keep prediction, and the
     pinned w_uniq weight — the whole 2-epoch GD trajectory rides the
-    value hash), and the composed curation funnel
+    value hash), mojibake detection/repair (t27: artifact and kind
+    counts + the clean flag over the deterministic cp1252 injection),
+    and the composed curation funnel
     verdict (curation_keep = every filter
     stage passes;
     first_fail = the first stage that rejects, in the fixed pipeline
@@ -924,6 +929,12 @@ def t01_suite(spark, sf):
         F.col("pred_keep").alias("clf_keep"),
         F.col("w_uniq").alias("clf_w_uniq"),
     )
+    t27 = textstats.QUERIES["t27_mojibake_repair"](spark, sf).select(
+        "doc_id",
+        F.col("n_mojibake").alias("moj_n"),
+        F.col("n_kinds").alias("moj_kinds"),
+        F.col("clean").alias("moj_clean"),
+    )
     t17 = (
         textstats.QUERIES["t17_chunk_overlap"](spark, sf)
         .groupBy("doc_id")
@@ -974,6 +985,7 @@ def t01_suite(spark, sf):
         .join(t24, "doc_id")
         .join(t25, "doc_id")
         .join(t26, "doc_id")
+        .join(t27, "doc_id")
         .withColumn("above_median_len", F.col("n_chars") > F.col("len_p50"))
         .withColumn(
             "curation_keep",

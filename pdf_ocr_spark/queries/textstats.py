@@ -2542,3 +2542,109 @@ def t26(spark, sf):
 
 
 t26.__doc__ = t26.__doc__.format(lr=_T26_LR)
+
+
+# ------------------------------------------------------------- t27
+# Encoding-artifact (mojibake) detection & repair — the classic
+# UTF-8-decoded-as-Windows-1252 damage every web crawl carries (cf.
+# the public ftfy fix table): 'Ã©' for 'é', 'â€™' for a curly
+# apostrophe, 'Â«' for a guillemet, and so on.  The confusion table is
+# COMPUTED, not hand-typed: for each intended character, the mojibake
+# form is its UTF-8 bytes re-decoded as cp1252 — exactly the damage
+# process, so the table cannot drift from the spec.  Repair is the
+# fixed table applied as chained literal replaces; detection counts
+# each artifact kind on the ORIGINAL text (kinds are prefix-grouped
+# but pairwise non-overlapping, so counts are order-independent).
+#
+# The synthetic corpus is clean, so docs are decorated
+# deterministically (the t10 pattern — documented synthetic injection,
+# identical on both engines): doc_id % 3 == 1 gets accent-class
+# artifacts, % 3 == 2 gets punctuation-class artifacts, % 3 == 0 stays
+# clean so the clean flag is exercised on every third row.
+_T27_CHARS = ("é", "ï", "ü", "ñ", "’", "“", "–", "«", "»")
+_T27_FIXES = tuple(
+    (c.encode("utf-8").decode("cp1252"), c) for c in _T27_CHARS
+)
+_T27_TAIL_A = " café naïve résumé señor münchen".encode("utf-8").decode(
+    "cp1252"
+)
+_T27_TAIL_B = (
+    " “quote–dash’s «guillemets»".encode("utf-8").decode(
+        "cp1252"
+    )
+)
+
+
+def _t27_sqlq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _t27_decor() -> str:
+    return (
+        "text || CASE CAST(doc_id % 3 AS INTEGER)"
+        f" WHEN 1 THEN '{_t27_sqlq(_T27_TAIL_A)}'"
+        f" WHEN 2 THEN '{_t27_sqlq(_T27_TAIL_B)}'"
+        " ELSE '' END"
+    )
+
+
+def _t27_repair(col: str) -> str:
+    e = col
+    for bad, good in _T27_FIXES:
+        e = f"replace({e}, '{_t27_sqlq(bad)}', '{_t27_sqlq(good)}')"
+    return e
+
+
+def _t27_counts(engine: str) -> tuple[str, str]:
+    """(n_mojibake, n_kinds) count expressions over decorated col d."""
+    if engine == "spark":
+        ks = [f"regexp_count(d, '{_t27_sqlq(b)}')" for b, _ in _T27_FIXES]
+    else:
+        ks = [
+            f"len(regexp_extract_all(d, '{_t27_sqlq(b)}'))"
+            for b, _ in _T27_FIXES
+        ]
+    total = " + ".join(ks)
+    kinds = " + ".join(f"CASE WHEN {k} > 0 THEN 1 ELSE 0 END" for k in ks)
+    return total, kinds
+
+
+_T27_DUCK_TOTAL, _T27_DUCK_KINDS = _t27_counts("duckdb")
+_T27_ORACLE = f"""
+WITH dec AS (SELECT doc_id, {_t27_decor()} AS d FROM documents)
+SELECT doc_id,
+       CAST({_T27_DUCK_TOTAL} AS INTEGER) AS n_mojibake,
+       CAST({_T27_DUCK_KINDS} AS INTEGER) AS n_kinds,
+       ({_T27_DUCK_TOTAL} = 0) AS clean,
+       {_t27_repair("d")} AS repaired
+FROM dec
+"""
+
+
+@q("t27_mojibake_repair", oracle=_T27_ORACLE)
+def t27(spark, sf):
+    """Detect and repair encoding artifacts (UTF-8 read as
+    Windows-1252 mojibake) with a fixed {n}-entry computed confusion
+    table: per-doc artifact count, distinct-kind count, a clean flag,
+    and the repaired text.
+
+    Scale shape: ZERO Exchange — a narrow scan-local map (literal
+    regexp_count detection + a chained native replace repair, all
+    JVM-side in WholeStageCodegen); linear in executors at 100 TB and
+    the repaired column is the same width class as the input.  The
+    fix table is prefix-grouped but pairwise non-overlapping, so both
+    the counts and the replace chain are order-independent."""
+    total, kinds = _t27_counts("spark")
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.expr(_t27_decor()).alias("d")
+    )
+    return d.select(
+        "doc_id",
+        F.expr(total).cast("int").alias("n_mojibake"),
+        F.expr(kinds).cast("int").alias("n_kinds"),
+        F.expr(f"({total}) = 0").alias("clean"),
+        F.expr(_t27_repair("d")).alias("repaired"),
+    )
+
+
+t27.__doc__ = t27.__doc__.format(n=len(_T27_FIXES))

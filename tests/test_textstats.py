@@ -1216,3 +1216,53 @@ def test_t26_quality_classifier_matches_python_reference(spark, tmp_path):
         ) == tuple(w), "trained weights diverge"
         assert r["score_micro"] == scores[i], i
         assert r["pred_keep"] == (scores[i] >= 500000), i
+
+
+def test_t27_mojibake_repair_roundtrip(spark, tmp_path):
+    """t27: the computed confusion table repairs exactly the damage
+    the cp1252 mis-decode process creates — encode(utf8) ->
+    decode(cp1252) -> t27 repair is the identity on covered text —
+    and counts/kinds/clean match a pure-Python reference."""
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.textstats import (
+        _T27_FIXES,
+        _T27_TAIL_A,
+        _T27_TAIL_B,
+        QUERIES,
+    )
+
+    clean_a = " café naïve résumé señor münchen"
+    assert clean_a.encode("utf-8").decode("cp1252") == _T27_TAIL_A
+
+    texts = ["plain ascii only", "another clean doc", "third doc here"]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "lang": ["en"] * len(texts),
+            "text": texts,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["t27_mojibake_repair"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # doc 0: % 3 == 0 -> stays clean
+    assert rows[0]["clean"] and rows[0]["n_mojibake"] == 0
+    assert rows[0]["repaired"] == texts[0]
+    # doc 1: accent tail injected, repair restores the intended text
+    assert not rows[1]["clean"]
+    assert rows[1]["repaired"] == texts[1] + clean_a
+    # doc 2: punctuation tail
+    assert not rows[2]["clean"]
+    assert rows[2]["repaired"] == texts[2] + " “quote–dash’s «guillemets»"
+
+    # pure-Python counts on the decorated text
+    for i, tail in ((1, _T27_TAIL_A), (2, _T27_TAIL_B)):
+        d = texts[i] + tail
+        per_kind = [d.count(bad) for bad, _ in _T27_FIXES]
+        assert rows[i]["n_mojibake"] == sum(per_kind), i
+        assert rows[i]["n_kinds"] == sum(1 for k in per_kind if k), i
