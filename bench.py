@@ -75,6 +75,7 @@ HEADLINE = [
     "s09_ann_recall",
     "s10_product_quantize",
     "s11_ivfpq_search",
+    "s13_kcenter_coreset",
     "m01_media_decode",
     "m06_scene_segments",
     "m07_image_phash_dedup",

@@ -1274,3 +1274,128 @@ def s12(spark, sf):
 
 
 s12.__doc__ = s12.__doc__.format(k=_S12_RRF_K, top=_S12_TOP)
+
+
+# ---------------------------------------------------------------- s13
+# Greedy k-center coreset selection — the classic data-efficient
+# training-subset picker (Gonzalez 2-approximation, public; cf. coreset
+# selection for active learning / dataset distillation): seed with one
+# point, then repeatedly add the point FARTHEST from the current
+# selected set.  The complement of s06's SemDeDup (drop near-dups) —
+# k-center keeps the maximally-diverse representatives and reports the
+# coverage radius the subset achieves.
+#
+# Float discipline: pure s08 — every pairwise squared-L2 distance is a
+# fixed-order IEEE fold frozen to integer micro units immediately;
+# dmin updates are BIGINT least(); the argmax is an exact
+# (key, -vec_id) struct max.  NO libm anywhere (only * and +), so
+# cross-engine parity is unconditional, stronger than the t14/t26
+# sigmoid/ln precedent.
+_S13_M = 6  # selection rounds after the seed -> 7 centers
+
+
+def _s13_dist_spark(v: str, c: str) -> str:
+    return (
+        f"CAST(round(aggregate(zip_with({v}, {c}, "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+        " * 1000000) AS BIGINT)"
+    )
+
+
+def _s13_dist_duck(v: str, c: str) -> str:
+    return (
+        f"CAST(round({_S08_SQL_DIST.format(v=v, c=c)}"
+        " * 1000000) AS BIGINT)"
+    )
+
+
+def _s13_oracle() -> str:
+    steps = []
+    for i in range(1, _S13_M + 1):
+        steps.append(
+            f"s{i} AS (SELECT vec_id AS sid, v AS sv FROM d{i - 1}\n"
+            "  ORDER BY CASE WHEN sel_round = -1 THEN dmin ELSE -1 END"
+            " DESC, vec_id LIMIT 1),\n"
+            f"d{i} AS (SELECT d.vec_id, d.v,\n"
+            f"  least(d.dmin, {_s13_dist_duck('d.v', 's.sv')}) AS dmin,\n"
+            f"  CASE WHEN d.vec_id = s.sid THEN {i}"
+            " ELSE d.sel_round END AS sel_round\n"
+            f"  FROM d{i - 1} d, s{i} s)"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s0 AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id = 0),
+d0 AS (SELECT e.vec_id, e.v, {_s13_dist_duck('e.v', 's.sv')} AS dmin,
+       CASE WHEN e.vec_id = 0 THEN 0 ELSE -1 END AS sel_round
+       FROM e, s0 s),
+{chain},
+r AS (SELECT max(dmin) AS radius FROM d{_S13_M})
+SELECT d.vec_id, CAST(d.sel_round AS INTEGER) AS sel_round,
+       d.dmin AS dmin_micro, r.radius AS radius_micro
+FROM d{_S13_M} d, r
+"""
+
+
+@q("s13_kcenter_coreset", oracle=_s13_oracle())
+def s13(spark, sf):
+    """Greedy k-center coreset: seed at vec_id 0, then {m} unrolled
+    farthest-point selection rounds; per vector the round it was
+    selected in (-1 = not selected), its final distance to the
+    selected set, and the global coverage radius (the k-center
+    objective) as a pinned constant column.
+
+    Scale shape: the farthest-point loop is m allreduce rounds — each
+    round ONE max-struct aggregation to a single row (map-side
+    partials; the winning vector rides the struct as payload so no
+    second lookup join) broadcast back for a scan-local dmin update.
+    The vector table never shuffles; state (vec_id, v, dmin,
+    sel_round) is persisted per round exactly like x05's iterative
+    label propagation — at production scale the persist becomes a
+    checkpointed table and each round stays one scan + one tiny
+    allreduce, linear in executors.  Selected points keep dmin = 0 and
+    are masked out of the argmax key, so duplicates of a selected
+    point can never be re-selected (sel_round stays unique)."""
+    e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
+    seed = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("sid"), F.col("v").alias("sv")
+    )
+    st = e.crossJoin(F.broadcast(seed)).select(
+        "vec_id",
+        "v",
+        F.expr(_s13_dist_spark("v", "sv")).alias("dmin"),
+        F.expr("IF(vec_id = 0, 0, -1)").alias("sel_round"),
+    )
+    for i in range(1, _S13_M + 1):
+        st = st.persist()
+        best = st.agg(
+            F.max(
+                F.struct(
+                    F.expr("IF(sel_round = -1, dmin, -1L)").alias("key"),
+                    (-F.col("vec_id")).alias("nv"),
+                    F.col("v"),
+                )
+            ).alias("b")
+        ).select(
+            (-F.col("b.nv")).alias("sid"), F.col("b.v").alias("sv")
+        )
+        st = st.crossJoin(F.broadcast(best)).select(
+            "vec_id",
+            "v",
+            F.expr(
+                f"least(dmin, {_s13_dist_spark('v', 'sv')})"
+            ).alias("dmin"),
+            F.expr(f"IF(vec_id = sid, {i}, sel_round)").alias(
+                "sel_round"
+            ),
+        )
+    radius = st.agg(F.max("dmin").alias("radius_micro"))
+    return st.crossJoin(F.broadcast(radius)).select(
+        "vec_id",
+        F.col("sel_round").cast("int").alias("sel_round"),
+        F.col("dmin").alias("dmin_micro"),
+        "radius_micro",
+    )
+
+
+s13.__doc__ = s13.__doc__.format(m=_S13_M)

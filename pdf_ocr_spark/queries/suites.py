@@ -514,6 +514,10 @@ UNION ALL
 SELECT 'hybrid', doc_id, CAST(lex_rank AS BIGINT),
        CAST(vec_rank AS BIGINT), CAST(rrf_micro AS DOUBLE)
 FROM {_sub(similarity, "s12_hybrid_rrf")} _l
+UNION ALL
+SELECT 'kcenter', vec_id, CAST(sel_round AS BIGINT),
+       radius_micro, CAST(dmin_micro AS DOUBLE)
+FROM {_sub(similarity, "s13_kcenter_coreset")} _m
 """,
 )
 def s01_suite(spark, sf):
@@ -534,7 +538,10 @@ def s01_suite(spark, sf):
     the routed cell only; aux1 = cell label, aux2 = rank), and hybrid
     BM25+vector retrieval fused by Reciprocal Rank Fusion (s12: aux1 =
     lexical rank, aux2 = vector rank, -1 = not retrieved by that arm,
-    score = integer-micro RRF) —
+    score = integer-micro RRF), and greedy k-center coreset selection
+    (s13: aux1 = selection round or -1, aux2 = the pinned global
+    coverage radius, score = final micro distance to the selected
+    set) —
     tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -623,11 +630,18 @@ def s01_suite(spark, sf):
         F.col("vec_rank").cast("long").alias("aux2"),
         F.col("rrf_micro").cast("double").alias("score"),
     )
+    m = similarity.QUERIES["s13_kcenter_coreset"](spark, sf).select(
+        F.lit("kcenter").alias("fam"),
+        F.col("vec_id").alias("id"),
+        F.col("sel_round").cast("long").alias("aux1"),
+        F.col("radius_micro").alias("aux2"),
+        F.col("dmin_micro").cast("double").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
         .unionByName(h).unionByName(i).unionByName(j)
-        .unionByName(k).unionByName(ll)
+        .unionByName(k).unionByName(ll).unionByName(m)
     )
 
 

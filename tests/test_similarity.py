@@ -408,3 +408,85 @@ def test_s12_hybrid_rrf_matches_python_reference(spark, tmp_path):
     # both single-arm shapes actually occur in the fused top-10
     assert any(r["lex_rank"] == -1 for r in rows)
     assert any(r["vec_rank"] == -1 for r in rows)
+
+
+def test_s13_kcenter_matches_greedy_reference(spark, tmp_path):
+    """s13: the unrolled farthest-point rounds match a pure-Python
+    greedy k-center with the identical integer chain, and on a
+    3-cluster fixture the first selections cover all clusters (the
+    diversity property k-center exists for)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_spark.queries.similarity import _S13_M, QUERIES
+
+    rng = np.random.RandomState(7)
+    # three tight, well-separated clusters around distant anchors
+    anchors = np.array(
+        [[0.0] * 6, [10.0] * 6, [-10.0, 10.0] * 3], dtype=np.float64
+    )
+    n_per = 12
+    vecs = np.concatenate(
+        [
+            a + rng.uniform(-0.2, 0.2, size=(n_per, 6))
+            for a in anchors
+        ]
+    ).astype(np.float32)
+    n = len(vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i // n_per for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    # pure-Python reference: identical fold order + integer chain
+    V = [[float(x) for x in v] for v in vecs.astype(np.float64)]
+
+    def dmic(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return round(acc * 1000000)
+
+    dmin = [dmic(v, V[0]) for v in V]
+    sel_round = [0] + [-1] * (n - 1)
+    for i in range(1, _S13_M + 1):
+        key = [
+            (dmin[j] if sel_round[j] == -1 else -1, -j)
+            for j in range(n)
+        ]
+        sid = -max(key)[1]
+        sel_round[sid] = i
+        dmin = [
+            min(dmin[j], dmic(V[j], V[sid])) for j in range(n)
+        ]
+    radius = max(dmin)
+
+    out = {
+        r["vec_id"]: r
+        for r in QUERIES["s13_kcenter_coreset"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == n
+    for j in range(n):
+        assert out[j]["sel_round"] == sel_round[j], j
+        assert out[j]["dmin_micro"] == dmin[j], j
+        assert out[j]["radius_micro"] == radius, j
+    # diversity: the seed + first two selections hit all 3 clusters
+    first3 = sorted(
+        j for j in range(n) if 0 <= sel_round[j] <= 2
+    )
+    assert {j // n_per for j in first3} == {0, 1, 2}
+    # coverage radius is cluster-diameter scale, not anchor scale
+    assert radius < dmic(list(anchors[0]), list(anchors[1]))
+    assert math.isfinite(radius)
