@@ -1,0 +1,106 @@
+"""Executed-plan contracts: the scale shapes PLANS.md claims must hold
+in the plans Spark actually builds, not just in docstrings.
+
+Each test renders ``executedPlan().toString()`` (the AQE initial plan —
+exchange placement is decided before runtime re-optimization) and
+asserts the presence/absence of the operators that define the shape:
+Exchange kinds, broadcast builds, pushed filters, pruned read schemas,
+and the join strategies that must never appear (CartesianProduct /
+BroadcastNestedLoopJoin on corpus-sized relations).
+"""
+
+from __future__ import annotations
+
+import re
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> list[str]:
+    # one entry per Exchange node, e.g. 'hashpartitioning', 'SinglePartition',
+    # 'roundrobin'; BroadcastExchange is counted separately
+    return re.findall(r"\bExchange (\w+)", plan)
+
+
+def test_t24_encode_is_scan_local(spark):
+    """t24 claims ZERO Exchange beyond spread()'s fan-out: the only
+    Exchange must be the round-robin spread, never a hash shuffle."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["t24_bpe_encode"](spark, SF))
+    kinds = _exchanges(plan)
+    assert all(k.lower().startswith("roundrobin") for k in kinds), kinds
+    assert "CartesianProduct" not in plan
+
+
+def test_t27_mojibake_is_scan_local(spark):
+    """t27 claims ZERO Exchange: a pure narrow map over the scan."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["t27_mojibake_repair"](spark, SF))
+    assert _exchanges(plan) == [], _exchanges(plan)
+    assert "BroadcastExchange" not in plan
+
+
+def test_q02_filter_reaches_the_scan(spark):
+    """Predicate pushdown + column pruning: the parquet scan must carry
+    PushedFilters and read a pruned schema, not the full table."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["q02_filter_project"](spark, SF))
+    # toString() truncates long bracket lists, so match leniently: at
+    # least one concrete pushed filter must be named
+    assert re.search(r"PushedFilters: \[\w+\(", plan), "nothing pushed"
+    # the scan's output column list (lineitem has 16 columns; the
+    # projection must prune most of them)
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m is not None, "no FileScan in plan"
+    assert 0 < m.group(1).count("#") <= 8, m.group(1)
+
+
+def test_d02_lsh_never_goes_all_pairs(spark):
+    """d02's candidate generation is a banded equi-join: the plan must
+    contain no CartesianProduct and no BroadcastNestedLoopJoin."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["d02_minhash_lsh_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t26_training_never_shuffles_documents(spark):
+    """t26's claim: the document table never shuffles — gradient
+    aggregations reduce to single rows (SinglePartition exchanges are
+    the allreduce) and stats/weights come back as broadcasts; no
+    hashpartitioning Exchange anywhere."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["t26_quality_classifier"](spark, SF))
+    kinds = _exchanges(plan)
+    assert not any("hashpartitioning" in k for k in kinds), kinds
+    assert "BroadcastExchange" in plan  # weights return as broadcasts
+
+
+def test_s13_kcenter_never_shuffles_vectors(spark):
+    """s13's claim: the vector table never shuffles — farthest-point
+    rounds are single-row allreduces plus broadcast joins."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["s13_kcenter_coreset"](spark, SF))
+    kinds = _exchanges(plan)
+    assert not any("hashpartitioning" in k for k in kinds), kinds
+    assert "BroadcastExchange" in plan
+
+
+def test_q05_dim_joins_broadcast_the_small_side(spark):
+    """The TPC-H dim joins must build broadcast hash joins, not
+    shuffle both sides (region/nation/supplier are dim-sized)."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["q05_local_supplier"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
