@@ -104,3 +104,39 @@ def test_q05_dim_joins_broadcast_the_small_side(spark):
     plan = _plan(FULL_QUERIES["q05_local_supplier"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Catalyst's runtime Bloom-filter injection (the semi-join
+    reduction that matters at 100 TB: the big fact scan is pre-filtered
+    by a bloom built from the selective dim side before the shuffle)
+    fires on the engine's session settings once the size thresholds
+    are met — pinned here with toy thresholds."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1",
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = _plan(j)
+        assert "might_contain" in plan, "no runtime bloom filter injected"
+        assert "bloom_filter_agg" in plan
+        # the filter must sit on the FACT side scan (l_orderkey probe)
+        assert re.search(r"might_contain.*l_orderkey", plan)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
