@@ -71,6 +71,7 @@ HEADLINE = [
     "t22_char_entropy",
     "t23_inverted_index",
     "v04_data_profile",
+    "v06_fk_audit",
     "d12_fuzzy_dedup_funnel",
     "s09_ann_recall",
     "s10_product_quantize",

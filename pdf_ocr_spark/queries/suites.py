@@ -1196,6 +1196,10 @@ SELECT 'v05_drift', col_name,
        psi_micro, NOT drifted
 FROM {_sub(validation_q, "v05_drift_psi")} _e
 UNION ALL
+SELECT 'v06_fk', edge, CAST(n_rows AS VARCHAR) || '#' ||
+       CAST(orphan_rate_micro AS VARCHAR), n_orphans, ok
+FROM {_sub(validation_q, "v06_fk_audit")} _v6
+UNION ALL
 SELECT 'q48_layout', CAST(bucket AS VARCHAR),
        min_x || '#' || max_x || '#' || min_y || '#' || max_y,
        n_rows,
@@ -1218,7 +1222,10 @@ def v01_suite(spark, sf):
     profiler (v04: key = column, info = null/distinct/completeness/
     min/max, ok = null-free) + PSI snapshot-drift detection (v05:
     key = monitored dim, info = bins/base/current sizes, n = micro
-    PSI, ok = below the 0.2 drift threshold) + the z-order layout
+    PSI, ok = below the 0.2 drift threshold) + the referential-
+    integrity audit (v06: key = FK edge, info = rows#orphan-rate,
+    n = orphans, ok = intact; one deterministically-damaged edge keeps
+    the orphan branch live) + the z-order layout
     audit (q48: key = layout bucket, info = covered rectangle, ok =
     the 16x16 tile-containment pruning guarantee) + the composed
     curation capstone's packed shards (x17: key = surviving doc,
@@ -1261,6 +1268,17 @@ def v01_suite(spark, sf):
         F.col("psi_micro").alias("n"),
         (~F.col("drifted")).alias("ok"),
     )
+    v6 = validation_q.QUERIES["v06_fk_audit"](spark, sf).select(
+        F.lit("v06_fk").alias("fam"),
+        F.col("edge").alias("key"),
+        F.concat_ws(
+            "#",
+            F.col("n_rows").cast("string"),
+            F.col("orphan_rate_micro").cast("string"),
+        ).alias("info"),
+        F.col("n_orphans").alias("n"),
+        F.col("ok"),
+    )
     f = analytics_ext.QUERIES["q48_zorder_layout"](spark, sf).select(
         F.lit("q48_layout").alias("fam"),
         F.col("bucket").cast("string").alias("key"),
@@ -1282,7 +1300,7 @@ def v01_suite(spark, sf):
     )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
-        .unionByName(e).unionByName(f).unionByName(g)
+        .unionByName(e).unionByName(v6).unionByName(f).unionByName(g)
     )
 
 

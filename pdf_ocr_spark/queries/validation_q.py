@@ -507,3 +507,98 @@ def v05(spark, sf):
         F.sum("cm").alias("psi_micro"),
         (F.sum("cm") > _V05_THRESH).alias("drifted"),
     )
+
+
+# ------------------------------------------------------------- v06
+# Referential-integrity audit — the Deequ/Great-Expectations FK
+# constraint family: for every foreign-key edge in the star schema,
+# count child rows whose key has no parent (orphans) and report a
+# per-edge pass verdict.  The synthetic TPC-H-ish tables are
+# referentially intact, so a DAMAGED edge is audited alongside the
+# real ones (the t10/t27 deterministic-injection pattern: parents with
+# key % 97 == 0 are treated as deleted), exercising the orphan branch
+# on every run.
+_V06_EDGES = (
+    # (edge name, child table, child key, parent table, parent key)
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+     "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation",
+     "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+_V06_DAMAGED = (
+    "orders->customer~damaged", "orders", "o_custkey", "customer",
+    "c_custkey",
+)
+
+
+def _v06_oracle() -> str:
+    arms = []
+    for name, child, ck, parent, pk in _V06_EDGES + (_V06_DAMAGED,):
+        dmg = name.endswith("~damaged")
+        pfilter = f"WHERE {pk} % 97 <> 0" if dmg else ""
+        arms.append(f"""
+SELECT '{name}' AS edge,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM {child} c
+LEFT JOIN (SELECT {pk} FROM {parent} {pfilter}) p ON c.{ck} = p.{pk}
+""")
+    u = "UNION ALL".join(arms)
+    return f"""
+SELECT edge, n_rows, n_orphans,
+       (n_orphans * 1000000) // n_rows AS orphan_rate_micro,
+       (n_orphans = 0) AS ok
+FROM ({u})
+"""
+
+
+@q("v06_fk_audit", oracle=_v06_oracle())
+def v06(spark, sf):
+    """Referential-integrity audit over every FK edge of the star
+    schema: per edge the child row count, orphan count, integer-micro
+    orphan rate, and a pass verdict; one edge is deterministically
+    damaged (parents with key % 97 == 0 dropped) so the orphan branch
+    is live on every run.
+
+    Scale shape: each edge is ONE left join + ONE map-side-combined
+    count aggregation.  True dims (region/nation/customer/part/
+    supplier at their TPC-H ratios) broadcast; the lineitem->orders
+    edge is the only genuinely fact-to-fact check and shuffles on the
+    join key exactly once — on a bucketed lakehouse table even that
+    exchange disappears.  The orphan count rides the join as a
+    null-parent sum, so no second pass over the child."""
+    from pyspark.sql import functions as F
+
+    outs = []
+    for name, child, ck, parent, pk in _V06_EDGES + (_V06_DAMAGED,):
+        c = t(spark, sf, child).select(F.col(ck).alias("k"))
+        p = t(spark, sf, parent).select(F.col(pk).alias("pk_"))
+        if name.endswith("~damaged"):
+            p = p.filter(F.col("pk_") % 97 != 0)
+        j = c.join(p, c.k == p.pk_, "left")
+        outs.append(
+            j.agg(
+                F.lit(name).alias("edge"),
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("pk_").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "edge",
+        "n_rows",
+        "n_orphans",
+        F.expr("(n_orphans * 1000000L) div n_rows").alias(
+            "orphan_rate_micro"
+        ),
+        (F.col("n_orphans") == 0).alias("ok"),
+    )

@@ -152,3 +152,35 @@ def test_v05_psi_matches_python_reference_and_flags_drift(spark, tmp_path):
         assert r["drifted"] == (tot > 200000), name
     assert got["event_type"]["drifted"] is True
     assert got["value_bin"]["drifted"] is False
+
+
+def test_v06_fk_audit_counts_orphans_exactly(spark):
+    """v06: the damaged edge's orphan count equals the exact number of
+    orders whose customer key is divisible by 97, the intact edges
+    report zero orphans, and the micro rate is the floor division."""
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.validation_q import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["edge"]: r
+        for r in QUERIES["v06_fk_audit"](spark, sf).collect()
+    }
+    assert len(rows) == 7
+    for edge, r in rows.items():
+        if edge.endswith("~damaged"):
+            continue
+        assert r["n_orphans"] == 0 and r["ok"], edge
+
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    removed = set(cust.c_custkey[cust.c_custkey % 97 == 0])
+    expected = int(orders.o_custkey.isin(removed).sum())
+    dmg = rows["orders->customer~damaged"]
+    assert dmg["n_orphans"] == expected > 0
+    assert not dmg["ok"]
+    assert (
+        dmg["orphan_rate_micro"]
+        == (expected * 1000000) // len(orders)
+    )
