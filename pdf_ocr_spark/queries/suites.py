@@ -1677,6 +1677,10 @@ UNION ALL
 SELECT 'index', df, term || '#' || postings_digest, CAST(cf AS DOUBLE),
        CAST(idf_micro AS INTEGER), df = 1
 FROM {_sub(textstats, "t23_inverted_index")} _c
+UNION ALL
+SELECT 'pmi', c_xy, w1 || ' ' || w2, CAST(pmi_milli AS DOUBLE),
+       CAST(least(c_x, c_y) AS INTEGER), is_collocation
+FROM {_sub(textstats, "t28_pmi_collocations")} _d
 """,
 )
 def t06_term_mining_suite(spark, sf):
@@ -1686,7 +1690,11 @@ def t06_term_mining_suite(spark, sf):
     corpus pair count, flag = the pair merged that iteration), and the
     inverted-index build (t23: id = document frequency, term carries
     the order-pinned posting digest, score = collection frequency,
-    rk = integer micro-nat IDF, flag = hapax)."""
+    rk = integer micro-nat IDF, flag = hapax), and PMI collocation
+    mining (t28: id = bigram count, term = 'w1 w2', score = the exact
+    milli-unit association ratio — monotone in PMI, integer on both
+    engines — rk = the rarer word's count, flag = collocation
+    verdict)."""
     a = textstats.QUERIES["t06_tfidf_top_terms"](spark, sf).select(
         F.lit("tfidf").alias("fam"),
         F.col("doc_id").alias("id"),
@@ -1711,4 +1719,12 @@ def t06_term_mining_suite(spark, sf):
         F.col("idf_micro").cast("int").alias("rk"),
         (F.col("df") == 1).alias("flag"),
     )
-    return a.unionByName(b).unionByName(c)
+    d = textstats.QUERIES["t28_pmi_collocations"](spark, sf).select(
+        F.lit("pmi").alias("fam"),
+        F.col("c_xy").alias("id"),
+        F.concat_ws(" ", "w1", "w2").alias("term"),
+        F.col("pmi_milli").cast("double").alias("score"),
+        F.least("c_x", "c_y").cast("int").alias("rk"),
+        F.col("is_collocation").alias("flag"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)

@@ -2648,3 +2648,103 @@ def t27(spark, sf):
 
 
 t27.__doc__ = t27.__doc__.format(n=len(_T27_FIXES))
+
+
+# ---------------------------------------------------------------- t28
+# PMI collocation mining (corpus-grain).  Classic phrase/term mining
+# for tokenizer vocab seeding and quality analysis (Church & Hanks
+# 1990, public).  PMI = log(p(x,y) / (p(x)p(y))) is monotone in the
+# integer ratio c_xy * N / (c_x * c_y), so the score is carried as an
+# EXACT milli-unit integer (ratio * 1000, truncating division) and the
+# log never has to be evaluated -- ranking and thresholding on the
+# milli score are identical to ranking on PMI, and the value is
+# bit-equal across engines (no float in the pipeline).
+_T28_MIN_C = 5  # bigram support floor (rare-pair PMI is noise)
+_T28_KEEP_MILLI = 2_000  # ratio > 2.0 => flagged collocation
+
+_T28_ORACLE = f"""
+WITH toks AS (SELECT {SQL_TOKENS} AS toks FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM toks WHERE len(toks) >= 2
+),
+bc AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         count(*) AS c_xy
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= {_T28_MIN_C}
+),
+uni AS (
+  SELECT tok AS w, count(*) AS c
+  FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY 1
+),
+tot AS (SELECT sum(c)::HUGEINT AS n FROM uni)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+       CAST(u1.c AS BIGINT) AS c_x, CAST(u2.c AS BIGINT) AS c_y,
+       CAST((1000 * c_xy * n) // (u1.c * u2.c) AS BIGINT) AS pmi_milli,
+       ((1000 * c_xy * n) // (u1.c * u2.c)) >= {_T28_KEEP_MILLI}
+         AS is_collocation
+FROM bc
+JOIN uni u1 ON u1.w = bc.w1
+JOIN uni u2 ON u2.w = bc.w2, tot
+"""
+
+
+@q("t28_pmi_collocations", oracle=_T28_ORACLE)
+def t28(spark, sf):
+    """PMI collocation mining: adjacent-token bigrams with support >=
+    {min_c}, scored by the exact milli-unit association ratio
+    c_xy * N / (c_x * c_y) (monotone in PMI; see block comment) and
+    flagged as collocations above ratio {keep}.
+
+    Scale shape (100 TB): two partial-aggregated Exchanges -- bigram
+    counts keyed (w1, w2) and unigram counts keyed w -- both
+    vocabulary-sized after the map-side combine (Heaps'-law sublinear
+    in corpus size), then two equi-joins of the bigram relation
+    against the unigram relation (AQE broadcasts the dictionary-sized
+    build side at runtime) and a single-row broadcast cross join for
+    the corpus total.  The milli score multiplies through DECIMAL(38)
+    so c_xy * N never overflows at any corpus size; the truncating
+    `div` matches DuckDB's `//` exactly on non-negative operands."""
+    toks = t(spark, sf, "documents").select(_tokens().alias("toks"))
+    bc = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= _T28_MIN_C)
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("decimal(38,0)").alias("n"))
+    milli = "(CAST(1000 AS DECIMAL(38,0)) * c_xy * n) div (c_x * c_y)"
+    return (
+        bc.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")),
+                "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")),
+              "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("c_x").cast("long").alias("c_x"),
+            F.col("c_y").cast("long").alias("c_y"),
+            F.expr(milli).cast("long").alias("pmi_milli"),
+            (F.expr(milli) >= _T28_KEEP_MILLI).alias("is_collocation"),
+        )
+    )
+
+
+t28.__doc__ = t28.__doc__.format(min_c=_T28_MIN_C, keep=_T28_KEEP_MILLI / 1000)

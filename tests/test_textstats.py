@@ -1266,3 +1266,57 @@ def test_t27_mojibake_repair_roundtrip(spark, tmp_path):
         per_kind = [d.count(bad) for bad, _ in _T27_FIXES]
         assert rows[i]["n_mojibake"] == sum(per_kind), i
         assert rows[i]["n_kinds"] == sum(1 for k in per_kind if k), i
+
+
+def test_t28_pmi_matches_counter_reference(spark, tmp_path):
+    """t28: bigram/unigram counts and the exact milli-ratio PMI score
+    match a Counter-based Python reference, including the support
+    floor and the collocation flag."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.textstats import QUERIES, _T28_MIN_C
+
+    # 'new york' always adjacent (high PMI); 'the of' adjacent but both
+    # words are everywhere (low PMI); singleton bigrams fall below the
+    # support floor.
+    texts = [
+        "the new york times of the new york city of",
+        "new york is the city of the state of new york",
+        "the of the of the of new york new york rare pair",
+    ]
+    pd.DataFrame(
+        {"doc_id": range(len(texts)), "lang": ["en"] * len(texts),
+         "text": texts}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    uni, big = Counter(), Counter()
+    for s in texts:
+        ws = s.split()
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    n = sum(uni.values())
+    exp = {
+        (w1, w2): (
+            c,
+            1000 * c * n // (uni[w1] * uni[w2]),
+        )
+        for (w1, w2), c in big.items()
+        if c >= _T28_MIN_C
+    }
+    assert exp, "fixture must clear the support floor"
+
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in QUERIES["t28_pmi_collocations"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == set(exp)
+    for k, (c, milli) in exp.items():
+        r = rows[k]
+        assert r["c_xy"] == c
+        assert r["c_x"] == uni[k[0]] and r["c_y"] == uni[k[1]]
+        assert r["pmi_milli"] == milli, k
+        assert r["is_collocation"] == (milli >= 2000), k
