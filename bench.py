@@ -92,6 +92,7 @@ HEADLINE = [
     "t25_readability",
     "t26_quality_classifier",
     "t27_mojibake_repair",
+    "t28_pmi_collocations",
     "q49_salted_skew_join",
     "p01_metadata_patterns",
     "x01_extract_documents",
