@@ -72,6 +72,7 @@ HEADLINE = [
     "t23_inverted_index",
     "v04_data_profile",
     "v06_fk_audit",
+    "v07_snapshot_diff",
     "d12_fuzzy_dedup_funnel",
     "s09_ann_recall",
     "s10_product_quantize",

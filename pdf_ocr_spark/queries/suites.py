@@ -1200,6 +1200,11 @@ SELECT 'v06_fk', edge, CAST(n_rows AS VARCHAR) || '#' ||
        CAST(orphan_rate_micro AS VARCHAR), n_orphans, ok
 FROM {_sub(validation_q, "v06_fk_audit")} _v6
 UNION ALL
+SELECT 'v07_cdc', op, changed_cols, CAST(count(*) AS BIGINT),
+       count(*) > 0
+FROM {_sub(validation_q, "v07_snapshot_diff")} _v7
+GROUP BY op, changed_cols
+UNION ALL
 SELECT 'q48_layout', CAST(bucket AS VARCHAR),
        min_x || '#' || max_x || '#' || min_y || '#' || max_y,
        n_rows,
@@ -1225,7 +1230,10 @@ def v01_suite(spark, sf):
     PSI, ok = below the 0.2 drift threshold) + the referential-
     integrity audit (v06: key = FK edge, info = rows#orphan-rate,
     n = orphans, ok = intact; one deterministically-damaged edge keeps
-    the orphan branch live) + the z-order layout
+    the orphan branch live) + the CDC snapshot diff condensed to
+    (op, changed-column-set) counts (v07: key = I/D/U, info = the
+    changed-cols CSV, n = changelog rows in that class; the per-key
+    changelog itself is the fine-grained twin) + the z-order layout
     audit (q48: key = layout bucket, info = covered rectangle, ok =
     the 16x16 tile-containment pruning guarantee) + the composed
     curation capstone's packed shards (x17: key = surviving doc,
@@ -1279,6 +1287,18 @@ def v01_suite(spark, sf):
         F.col("n_orphans").alias("n"),
         F.col("ok"),
     )
+    v7 = (
+        validation_q.QUERIES["v07_snapshot_diff"](spark, sf)
+        .groupBy("op", "changed_cols")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("v07_cdc").alias("fam"),
+            F.col("op").alias("key"),
+            F.col("changed_cols").alias("info"),
+            "n",
+            (F.col("n") > 0).alias("ok"),
+        )
+    )
     f = analytics_ext.QUERIES["q48_zorder_layout"](spark, sf).select(
         F.lit("q48_layout").alias("fam"),
         F.col("bucket").cast("string").alias("key"),
@@ -1300,7 +1320,8 @@ def v01_suite(spark, sf):
     )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
-        .unionByName(e).unionByName(v6).unionByName(f).unionByName(g)
+        .unionByName(e).unionByName(v6).unionByName(v7)
+        .unionByName(f).unionByName(g)
     )
 
 

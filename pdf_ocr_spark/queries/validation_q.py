@@ -602,3 +602,117 @@ def v06(spark, sf):
         ),
         (F.col("n_orphans") == 0).alias("ok"),
     )
+
+
+# ------------------------------------------------------------- v07
+# CDC snapshot diff — the lakehouse changelog operator (Delta CDF /
+# Iceberg changelog semantics, public): given two snapshots of a keyed
+# table, emit one row per changed key with the op (I/D/U) and the
+# exact set of changed columns.  The two snapshots are derived
+# deterministically from ``orders`` (the t10/t27/v06 injection
+# pattern): keys % 101 == 0 are missing from OLD (later inserts),
+# keys % 103 == 0 are missing from NEW (deletes), and NEW mutates
+# o_orderpriority on keys % 7 == 0 and o_orderstatus on keys % 11 == 0
+# (string mutations -- no float arithmetic anywhere near the hash).
+_V07_OLD_MOD, _V07_NEW_MOD = 101, 103
+
+_V07_ORACLE = f"""
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % {_V07_OLD_MOD} <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN '9-SYNTH'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % {_V07_NEW_MOD} <> 0
+),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NULL AS ins, n.o_orderkey IS NULL AS del,
+         o.o_orderstatus AS old_status, n.o_orderstatus AS new_status,
+         o.o_orderpriority AS old_priority,
+         n.o_orderpriority AS new_priority
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN ins THEN 'I' WHEN del THEN 'D' ELSE 'U' END AS op,
+       CASE WHEN ins OR del THEN '' ELSE concat_ws(',',
+         CASE WHEN old_status IS DISTINCT FROM new_status
+              THEN 'o_orderstatus' END,
+         CASE WHEN old_priority IS DISTINCT FROM new_priority
+              THEN 'o_orderpriority' END) END AS changed_cols,
+       old_status, new_status, old_priority, new_priority
+FROM j
+WHERE ins OR del
+   OR old_status IS DISTINCT FROM new_status
+   OR old_priority IS DISTINCT FROM new_priority
+"""
+
+
+@q("v07_snapshot_diff", oracle=_V07_ORACLE)
+def v07(spark, sf):
+    """CDC snapshot diff between two deterministic snapshots of the
+    orders table: changelog-grain output — one row per inserted (I),
+    deleted (D), or updated (U) key, updates carrying the exact CSV of
+    changed columns plus old/new values of the mutated columns.
+
+    Scale shape: ONE full-outer sort-merge join on the primary key —
+    the canonical snapshot-diff plan; on bucketed/partitioned
+    lakehouse tables both exchanges disappear and the diff is a
+    zipper-merge per bucket.  Change detection rides the join as
+    null-safe column comparisons (no second pass), and the output is
+    changelog-grain — sink volume is proportional to churn, not to
+    table size, which is what makes the operator viable on a 100 TB
+    dimension snapshot with 0.1% daily drift."""
+    from pyspark.sql import functions as F
+
+    base = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    old = base.where(F.col("o_orderkey") % _V07_OLD_MOD != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.col("o_orderpriority").alias("old_priority"),
+    )
+    new = (
+        base.where(F.col("o_orderkey") % _V07_NEW_MOD != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("new_status"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("9-SYNTH"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("new_priority"),
+        )
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer"
+    )
+    ins = F.col("o.k").isNull()
+    dele = F.col("n.k").isNull()
+    st_chg = ~F.col("old_status").eqNullSafe(F.col("new_status"))
+    pr_chg = ~F.col("old_priority").eqNullSafe(F.col("new_priority"))
+    return (
+        j.where(ins | dele | st_chg | pr_chg)
+        .select(
+            F.coalesce("o.k", "n.k").alias("o_orderkey"),
+            F.when(ins, "I").when(dele, "D").otherwise("U").alias("op"),
+            F.when(ins | dele, "")
+            .otherwise(
+                F.concat_ws(
+                    ",",
+                    F.when(st_chg, "o_orderstatus"),
+                    F.when(pr_chg, "o_orderpriority"),
+                )
+            )
+            .alias("changed_cols"),
+            "old_status",
+            "new_status",
+            "old_priority",
+            "new_priority",
+        )
+    )

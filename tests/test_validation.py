@@ -184,3 +184,54 @@ def test_v06_fk_audit_counts_orphans_exactly(spark):
         dmg["orphan_rate_micro"]
         == (expected * 1000000) // len(orders)
     )
+
+
+def test_v07_snapshot_diff_matches_dict_reference(spark):
+    """v07: the CDC changelog (op, changed-cols, old/new values) matches
+    a plain-Python dict diff of the same two derived snapshots."""
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.validation_q import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+
+    old = {
+        int(r.o_orderkey): (r.o_orderstatus, r.o_orderpriority)
+        for r in orders.itertuples()
+        if r.o_orderkey % 101 != 0
+    }
+    new = {
+        int(r.o_orderkey): (
+            "X" if r.o_orderkey % 11 == 0 else r.o_orderstatus,
+            "9-SYNTH" if r.o_orderkey % 7 == 0 else r.o_orderpriority,
+        )
+        for r in orders.itertuples()
+        if r.o_orderkey % 103 != 0
+    }
+    exp = {}
+    for k in old.keys() | new.keys():
+        if k not in old:
+            exp[k] = ("I", "")
+        elif k not in new:
+            exp[k] = ("D", "")
+        elif old[k] != new[k]:
+            cols = []
+            if old[k][0] != new[k][0]:
+                cols.append("o_orderstatus")
+            if old[k][1] != new[k][1]:
+                cols.append("o_orderpriority")
+            exp[k] = ("U", ",".join(cols))
+    assert {op for op, _ in exp.values()} == {"I", "D", "U"}
+
+    rows = {
+        r["o_orderkey"]: r
+        for r in QUERIES["v07_snapshot_diff"](spark, sf).collect()
+    }
+    assert set(rows) == set(exp)
+    for k, (op, cols) in exp.items():
+        r = rows[k]
+        assert (r["op"], r["changed_cols"]) == (op, cols), k
+        if op == "U":
+            assert (r["old_status"], r["old_priority"]) == old[k]
+            assert (r["new_status"], r["new_priority"]) == new[k]
