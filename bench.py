@@ -73,6 +73,7 @@ HEADLINE = [
     "v04_data_profile",
     "v06_fk_audit",
     "v07_snapshot_diff",
+    "v08_cdc_apply",
     "d12_fuzzy_dedup_funnel",
     "s09_ann_recall",
     "s10_product_quantize",

@@ -1205,6 +1205,11 @@ SELECT 'v07_cdc', op, changed_cols, CAST(count(*) AS BIGINT),
 FROM {_sub(validation_q, "v07_snapshot_diff")} _v7
 GROUP BY op, changed_cols
 UNION ALL
+SELECT 'v08_apply', o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT), count(*) > 0
+FROM {_sub(validation_q, "v08_cdc_apply")} _v8
+GROUP BY o_orderstatus, o_orderpriority
+UNION ALL
 SELECT 'q48_layout', CAST(bucket AS VARCHAR),
        min_x || '#' || max_x || '#' || min_y || '#' || max_y,
        n_rows,
@@ -1233,7 +1238,10 @@ def v01_suite(spark, sf):
     the orphan branch live) + the CDC snapshot diff condensed to
     (op, changed-column-set) counts (v07: key = I/D/U, info = the
     changed-cols CSV, n = changelog rows in that class; the per-key
-    changelog itself is the fine-grained twin) + the z-order layout
+    changelog itself is the fine-grained twin) + the CDC merge-apply
+    round trip condensed to (status, priority) class counts (v08: the
+    fine-grained twin hash-pins apply(old, diff(old, new)) == new
+    row-for-row against the NEW snapshot itself) + the z-order layout
     audit (q48: key = layout bucket, info = covered rectangle, ok =
     the 16x16 tile-containment pruning guarantee) + the composed
     curation capstone's packed shards (x17: key = surviving doc,
@@ -1299,6 +1307,18 @@ def v01_suite(spark, sf):
             (F.col("n") > 0).alias("ok"),
         )
     )
+    v8 = (
+        validation_q.QUERIES["v08_cdc_apply"](spark, sf)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("v08_apply").alias("fam"),
+            F.col("o_orderstatus").alias("key"),
+            F.col("o_orderpriority").alias("info"),
+            "n",
+            (F.col("n") > 0).alias("ok"),
+        )
+    )
     f = analytics_ext.QUERIES["q48_zorder_layout"](spark, sf).select(
         F.lit("q48_layout").alias("fam"),
         F.col("bucket").cast("string").alias("key"),
@@ -1321,7 +1341,7 @@ def v01_suite(spark, sf):
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(v6).unionByName(v7)
-        .unionByName(f).unionByName(g)
+        .unionByName(v8).unionByName(f).unionByName(g)
     )
 
 

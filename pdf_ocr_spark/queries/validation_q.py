@@ -716,3 +716,55 @@ def v07(spark, sf):
             "new_priority",
         )
     )
+
+
+# ------------------------------------------------------------- v08
+# CDC merge-apply — the other half of v07: apply the changelog to the
+# OLD snapshot with MERGE semantics (delete D keys, upsert U/I rows)
+# and emit the reconstructed table.  The oracle is simply the NEW
+# snapshot itself, so the whole apply path — anti-join the deletes,
+# overwrite the updates, append the inserts — is hash-pinned
+# end-to-end as an exact round trip (apply(old, diff(old, new)) ==
+# new), the property a lakehouse MERGE INTO must satisfy.
+_V08_ORACLE = f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+            ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 7 = 0 THEN '9-SYNTH'
+            ELSE o_orderpriority END AS o_orderpriority
+FROM orders WHERE o_orderkey % {_V07_NEW_MOD} <> 0
+"""
+
+
+@q("v08_cdc_apply", oracle=_V08_ORACLE)
+def v08(spark, sf):
+    """Apply v07's changelog to the OLD snapshot with MERGE semantics
+    and return the reconstructed table; the oracle is the NEW snapshot
+    directly, hash-pinning the diff→apply round trip.
+
+    Scale shape: the changelog is churn-sized (v07's output), so the
+    delete/update arm is a LEFT ANTI join of the 100 TB base against a
+    small relation — AQE broadcasts it — followed by a union with the
+    upserted rows (update new-values + inserts), which never touches
+    the base at all.  One broadcast anti-join + one append: exactly
+    the physical plan Delta/Iceberg MERGE compiles to when the source
+    is small relative to the target, with no full-table shuffle
+    anywhere."""
+    from pyspark.sql import functions as F
+
+    old = (
+        t(spark, sf, "orders")
+        .where(F.col("o_orderkey") % _V07_OLD_MOD != 0)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+    log = QUERIES["v07_snapshot_diff"](spark, sf)
+    # D + U keys leave the base (U rows re-enter with new values).
+    touched = log.where(F.col("op") != "I").select("o_orderkey")
+    upserts = log.where(F.col("op") != "D").select(
+        "o_orderkey",
+        F.col("new_status").alias("o_orderstatus"),
+        F.col("new_priority").alias("o_orderpriority"),
+    )
+    return old.join(touched, "o_orderkey", "left_anti").unionByName(
+        upserts
+    )

@@ -235,3 +235,27 @@ def test_v07_snapshot_diff_matches_dict_reference(spark):
         if op == "U":
             assert (r["old_status"], r["old_priority"]) == old[k]
             assert (r["new_status"], r["new_priority"]) == new[k]
+
+
+def test_v08_apply_roundtrip_equals_new_snapshot(spark):
+    """v08: applying v07's changelog to OLD reconstructs NEW exactly
+    (row-for-row, including keys absent from both snapshots)."""
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.validation_q import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    exp = {
+        int(r.o_orderkey): (
+            "X" if r.o_orderkey % 11 == 0 else r.o_orderstatus,
+            "9-SYNTH" if r.o_orderkey % 7 == 0 else r.o_orderpriority,
+        )
+        for r in orders.itertuples()
+        if r.o_orderkey % 103 != 0
+    }
+    got = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_orderpriority"])
+        for r in QUERIES["v08_cdc_apply"](spark, sf).collect()
+    }
+    assert got == exp
