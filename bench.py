@@ -95,6 +95,7 @@ HEADLINE = [
     "t26_quality_classifier",
     "t27_mojibake_repair",
     "t28_pmi_collocations",
+    "t29_shingle_novelty",
     "q49_salted_skew_join",
     "p01_metadata_patterns",
     "x01_extract_documents",

@@ -798,6 +798,11 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t26.pred_keep AS clf_keep, t26.w_uniq AS clf_w_uniq,
        t27.n_mojibake AS moj_n, t27.n_kinds AS moj_kinds,
        t27.clean AS moj_clean,
+       CAST(COALESCE(t29.n_shingles, 0) AS BIGINT) AS nov_shingles,
+       CAST(COALESCE(t29.n_novel, 0) AS BIGINT) AS nov_novel,
+       CAST(COALESCE(t29.novelty_ppm, 1000000) AS BIGINT)
+         AS novelty_ppm,
+       COALESCE(t29.boilerplate, FALSE) AS nov_boiler,
        (t2.n_chars > t18.p50) AS above_median_len,
        (t2.keep = 1 AND t22.entropy_keep AND t11.c4_keep = 1
         AND t12.url_keep = 1 AND t15.mix_keep) AS curation_keep,
@@ -840,6 +845,8 @@ JOIN {_sub(textstats, "t25_readability")} t25 ON t25.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t26_quality_classifier")} t26
   ON t26.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t27_mojibake_repair")} t27 ON t27.doc_id = t1.doc_id
+LEFT JOIN {_sub(textstats, "t29_shingle_novelty")} t29
+  ON t29.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -879,6 +886,9 @@ def t01_suite(spark, sf):
     pinned w_uniq weight — the whole 2-epoch GD trajectory rides the
     value hash), mojibake detection/repair (t27: artifact and kind
     counts + the clean flag over the deterministic cp1252 injection),
+    duplicate-shingle novelty (t29: distinct/corpus-unique shingle
+    counts + exact ppm ratio + boilerplate verdict; shingle-less docs
+    coalesced to trivially-novel on both engines),
     and the composed curation funnel
     verdict (curation_keep = every filter
     stage passes;
@@ -949,6 +959,13 @@ def t01_suite(spark, sf):
         F.col("n_kinds").alias("moj_kinds"),
         F.col("clean").alias("moj_clean"),
     )
+    t29 = textstats.QUERIES["t29_shingle_novelty"](spark, sf).select(
+        "doc_id",
+        F.col("n_shingles").alias("nov_shingles"),
+        F.col("n_novel").alias("nov_novel"),
+        "novelty_ppm",
+        F.col("boilerplate").alias("nov_boiler"),
+    )
     t17 = (
         textstats.QUERIES["t17_chunk_overlap"](spark, sf)
         .groupBy("doc_id")
@@ -1000,6 +1017,19 @@ def t01_suite(spark, sf):
         .join(t25, "doc_id")
         .join(t26, "doc_id")
         .join(t27, "doc_id")
+        .join(t29, "doc_id", "left")
+        .withColumn(
+            "nov_shingles",
+            F.coalesce("nov_shingles", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "nov_novel", F.coalesce("nov_novel", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.coalesce("novelty_ppm", F.lit(1_000_000)).cast("long"),
+        )
+        .withColumn("nov_boiler", F.coalesce("nov_boiler", F.lit(False)))
         .withColumn("above_median_len", F.col("n_chars") > F.col("len_p50"))
         .withColumn(
             "curation_keep",

@@ -2748,3 +2748,73 @@ def t28(spark, sf):
 
 
 t28.__doc__ = t28.__doc__.format(min_c=_T28_MIN_C, keep=_T28_KEEP_MILLI / 1000)
+
+
+# ---------------------------------------------------------------- t29
+# Duplicate-shingle novelty — the RefinedWeb/Dolma "duplicate n-gram
+# fraction" quality signal (public): per document, the fraction of its
+# distinct word-3-gram shingles that appear in NO other document.
+# Low novelty = boilerplate/template text that exact- and near-dedup
+# both miss (the doc as a whole is unique, its content is not).
+from .dedup import SQL_DOC_SHINGLES, _doc_shingles  # noqa: E402
+
+_T29_BOILER_PPM = 200_000  # < 20% novel shingles => boilerplate
+
+_T29_ORACLE = f"""
+WITH doc_sh AS ({SQL_DOC_SHINGLES}),
+df AS (SELECT sh, count(*) AS df FROM doc_sh GROUP BY sh)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       (sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
+         AS novelty_ppm,
+       ((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000) // count(*))
+         < {_T29_BOILER_PPM} AS boilerplate
+FROM doc_sh JOIN df USING (sh)
+GROUP BY doc_id
+"""
+
+
+@q("t29_shingle_novelty", oracle=_T29_ORACLE)
+def t29(spark, sf):
+    """Duplicate-shingle novelty score: per document the count of
+    distinct word-3-gram shingles, how many are corpus-unique
+    (document frequency 1), the exact ppm novelty ratio, and a
+    boilerplate verdict below {thr}% novelty.  Grain = documents with
+    at least one shingle (>= 3 tokens); the suite fold coalesces
+    shingle-less docs to trivially-novel.
+
+    Scale shape (100 TB): the exploded distinct (doc_id, shingle)
+    relation is persisted and feeds both branches (d02/d04's pattern —
+    a production run materializes it once for the whole dedup+quality
+    pass); document frequency is ONE partial-aggregated Exchange on
+    the shingle, the join back is shingle-keyed (no all-pairs
+    anywhere), and the per-doc rollup is ONE Exchange on doc_id.
+    Integer ppm via truncating div matches DuckDB `//` exactly."""
+    doc_sh = _doc_shingles(spark, sf).drop("lang").persist()
+    df = doc_sh.groupBy("sh").agg(F.count("*").alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        doc_sh.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.expr("(n_novel * 1000000L) div n_shingles").alias(
+                "novelty_ppm"
+            ),
+            (
+                F.expr("(n_novel * 1000000L) div n_shingles")
+                < _T29_BOILER_PPM
+            ).alias("boilerplate"),
+        )
+    )
+
+
+t29.__doc__ = t29.__doc__.format(thr=_T29_BOILER_PPM // 10_000)

@@ -1320,3 +1320,49 @@ def test_t28_pmi_matches_counter_reference(spark, tmp_path):
         assert r["c_x"] == uni[k[0]] and r["c_y"] == uni[k[1]]
         assert r["pmi_milli"] == milli, k
         assert r["is_collocation"] == (milli >= 2000), k
+
+
+def test_t29_novelty_matches_counter_reference(spark, tmp_path):
+    """t29: shingle df, novelty ratio, and the boilerplate verdict
+    match a Counter-based reference; a doc under 3 tokens drops out."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.textstats import QUERIES
+
+    texts = {
+        0: "alpha beta gamma delta epsilon",        # shares a prefix
+        1: "alpha beta gamma zeta eta theta",       # with doc 0
+        2: "alpha beta gamma delta epsilon",        # exact dup of 0
+        3: "totally fresh unique words here now",   # all novel
+        4: "too short",                             # no shingles
+    }
+    pd.DataFrame(
+        {"doc_id": list(texts), "lang": ["en"] * len(texts),
+         "text": list(texts.values())}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    sh = {
+        d: {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        for d, s in texts.items()
+        for ws in [s.split()]
+        if len(ws) >= 3
+    }
+    df = Counter(g for gs in sh.values() for g in gs)
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["t29_shingle_novelty"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == set(sh)
+    for d, gs in sh.items():
+        novel = sum(1 for g in gs if df[g] == 1)
+        r = rows[d]
+        assert r["n_shingles"] == len(gs)
+        assert r["n_novel"] == novel, d
+        assert r["novelty_ppm"] == novel * 1_000_000 // len(gs)
+        assert r["boilerplate"] == (r["novelty_ppm"] < 200_000), d
+    assert rows[0]["n_novel"] == 0 and rows[0]["boilerplate"]
+    assert rows[3]["novelty_ppm"] == 1_000_000
