@@ -79,6 +79,7 @@ HEADLINE = [
     "s10_product_quantize",
     "s11_ivfpq_search",
     "s13_kcenter_coreset",
+    "s14_mrl_rerank",
     "m01_media_decode",
     "m06_scene_segments",
     "m07_image_phash_dedup",

@@ -1399,3 +1399,78 @@ def s13(spark, sf):
 
 
 s13.__doc__ = s13.__doc__.format(m=_S13_M)
+
+
+# ---------------------------------------------------------------- s14
+# Matryoshka (MRL) two-stage search: embeddings trained with
+# matryoshka losses rank usefully under PREFIX truncation, so stage 1
+# scores only the first {p} of 64 dims (a 4x compute/IO cut on the
+# corpus-wide pass -- with vectors stored column-chunked, the scan
+# reads 1/4 of the vector bytes) and stage 2 re-ranks the small
+# shortlist with full-dimension cosine.  Kusupati et al. 2022
+# (public); the production pattern behind "adaptive retrieval".
+_S14_PREFIX = 16
+_S14_SHORTLIST = 50
+
+_S14_ORACLE = f"""
+WITH qv AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0
+),
+shortlist AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         list_cosine_similarity(
+           (e.embedding::DOUBLE[])[1:{_S14_PREFIX}],
+           qv.v[1:{_S14_PREFIX}]) AS coarse
+  FROM embeddings e, qv
+  WHERE e.vec_id <> 0
+  ORDER BY coarse DESC, e.vec_id
+  LIMIT {_S14_SHORTLIST}
+)
+SELECT s.vec_id, s.coarse,
+       list_cosine_similarity(s.v, qv.v) AS cosine
+FROM shortlist s, qv
+ORDER BY cosine DESC, s.vec_id
+LIMIT 10
+"""
+
+
+@q("s14_mrl_rerank", oracle=_S14_ORACLE)
+def s14(spark, sf):
+    """Matryoshka two-stage ANN: corpus-wide coarse pass over the
+    first {p} dims -> top-{m} shortlist -> full-dimension cosine
+    re-rank -> top-10.
+
+    Scale shape (100 TB): the coarse pass is a narrow scan touching
+    1/4 of the vector payload, and its top-{m} is a
+    TakeOrderedAndProject -- per-partition heaps merged at the driver,
+    NO corpus shuffle (the same physical shape as s01's baseline but
+    on quarter-width vectors).  Stage 2 touches exactly {m} rows.
+    Both stages broadcast the single query vector; ties break on
+    vec_id so the shortlist boundary is deterministic."""
+    e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"),
+        F.expr(f"slice(v, 1, {_S14_PREFIX})").alias("qp"),
+    )
+    shortlist = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "v",
+            "qv",
+            _cos(f"slice(v, 1, {_S14_PREFIX})", "qp").alias("coarse"),
+        )
+        .orderBy(F.desc("coarse"), F.asc("vec_id"))
+        .limit(_S14_SHORTLIST)
+    )
+    return (
+        shortlist.select(
+            "vec_id", "coarse", _cos("v", "qv").alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+s14.__doc__ = s14.__doc__.format(p=_S14_PREFIX, m=_S14_SHORTLIST)

@@ -518,6 +518,9 @@ UNION ALL
 SELECT 'kcenter', vec_id, CAST(sel_round AS BIGINT),
        radius_micro, CAST(dmin_micro AS DOUBLE)
 FROM {_sub(similarity, "s13_kcenter_coreset")} _m
+UNION ALL
+SELECT 'mrl', vec_id, 0, 0, cosine
+FROM {_sub(similarity, "s14_mrl_rerank")} _n
 """,
 )
 def s01_suite(spark, sf):
@@ -541,7 +544,9 @@ def s01_suite(spark, sf):
     score = integer-micro RRF), and greedy k-center coreset selection
     (s13: aux1 = selection round or -1, aux2 = the pinned global
     coverage radius, score = final micro distance to the selected
-    set) —
+    set), and Matryoshka two-stage search (s14: prefix-dim coarse
+    pass -> shortlist -> full-dim re-rank; score = final cosine; the
+    coarse score rides the fine-grained twin) —
     tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -637,11 +642,19 @@ def s01_suite(spark, sf):
         F.col("radius_micro").alias("aux2"),
         F.col("dmin_micro").cast("double").alias("score"),
     )
+    n = similarity.QUERIES["s14_mrl_rerank"](spark, sf).select(
+        F.lit("mrl").alias("fam"),
+        F.col("vec_id").alias("id"),
+        F.lit(0).cast("long").alias("aux1"),
+        F.lit(0).cast("long").alias("aux2"),
+        F.col("cosine").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
         .unionByName(h).unionByName(i).unionByName(j)
         .unionByName(k).unionByName(ll).unionByName(m)
+        .unionByName(n)
     )
 
 

@@ -490,3 +490,58 @@ def test_s13_kcenter_matches_greedy_reference(spark, tmp_path):
     # coverage radius is cluster-diameter scale, not anchor scale
     assert radius < dmic(list(anchors[0]), list(anchors[1]))
     assert math.isfinite(radius)
+
+
+def test_s14_mrl_matches_numpy_reference(spark, tmp_path):
+    """s14: the prefix-dim shortlist and the full-dim re-ranked top-10
+    match a NumPy two-stage reference, including a vector that ranks
+    high on the prefix but falls out on the full re-rank."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_spark.queries.similarity import (
+        _S14_PREFIX,
+        _S14_SHORTLIST,
+        DIM,
+        QUERIES,
+    )
+
+    rng = np.random.RandomState(41)
+    n, d, p = 120, DIM, _S14_PREFIX
+    vecs = rng.uniform(-1, 1, size=(n, d)).astype(np.float32)
+    # vec 1: prefix aligned with the query, tail anti-aligned -> must
+    # enter the shortlist on coarse but sink on the full re-rank.
+    vecs[1, :p] = vecs[0, :p]
+    vecs[1, p:] = -vecs[0, p:]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    V = vecs.astype(np.float64)
+    q = V[0]
+
+    def cos(a, b):
+        return (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    coarse = {i: cos(V[i, :p], q[:p]) for i in range(1, n)}
+    short = sorted(coarse, key=lambda i: (-coarse[i], i))[:_S14_SHORTLIST]
+    full = {i: cos(V[i], q) for i in short}
+    top10 = sorted(full, key=lambda i: (-full[i], i))[:10]
+
+    rows = QUERIES["s14_mrl_rerank"](spark, str(tmp_path)).collect()
+    assert [r["vec_id"] for r in sorted(
+        rows, key=lambda r: (-r["cosine"], r["vec_id"])
+    )] == top10
+    for r in rows:
+        assert abs(r["coarse"] - coarse[r["vec_id"]]) < 1e-9
+        assert abs(r["cosine"] - full[r["vec_id"]]) < 1e-9
+    assert 1 in short and 1 not in top10
