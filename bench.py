@@ -74,6 +74,7 @@ HEADLINE = [
     "v06_fk_audit",
     "v07_snapshot_diff",
     "v08_cdc_apply",
+    "v09_scd2_history",
     "d12_fuzzy_dedup_funnel",
     "s09_ann_recall",
     "s10_product_quantize",

@@ -1253,6 +1253,13 @@ SELECT 'v08_apply', o_orderstatus, o_orderpriority,
 FROM {_sub(validation_q, "v08_cdc_apply")} _v8
 GROUP BY o_orderstatus, o_orderpriority
 UNION ALL
+SELECT 'v09_scd2',
+       CAST(ver_from AS VARCHAR) || '>' || CAST(ver_to AS VARCHAR),
+       CASE WHEN is_current THEN 'open' ELSE 'closed' END,
+       CAST(count(*) AS BIGINT), count(*) > 0
+FROM {_sub(validation_q, "v09_scd2_history")} _v9
+GROUP BY ver_from, ver_to, is_current
+UNION ALL
 SELECT 'q48_layout', CAST(bucket AS VARCHAR),
        min_x || '#' || max_x || '#' || min_y || '#' || max_y,
        n_rows,
@@ -1284,7 +1291,10 @@ def v01_suite(spark, sf):
     changelog itself is the fine-grained twin) + the CDC merge-apply
     round trip condensed to (status, priority) class counts (v08: the
     fine-grained twin hash-pins apply(old, diff(old, new)) == new
-    row-for-row against the NEW snapshot itself) + the z-order layout
+    row-for-row against the NEW snapshot itself) + the SCD Type-2
+    history condensed to version-span classes (v09: key =
+    ver_from>ver_to, info = open/closed; the per-key history is the
+    fine-grained twin) + the z-order layout
     audit (q48: key = layout bucket, info = covered rectangle, ok =
     the 16x16 tile-containment pruning guarantee) + the composed
     curation capstone's packed shards (x17: key = surviving doc,
@@ -1362,6 +1372,24 @@ def v01_suite(spark, sf):
             (F.col("n") > 0).alias("ok"),
         )
     )
+    v9 = (
+        validation_q.QUERIES["v09_scd2_history"](spark, sf)
+        .groupBy("ver_from", "ver_to", "is_current")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("v09_scd2").alias("fam"),
+            F.concat_ws(
+                ">",
+                F.col("ver_from").cast("string"),
+                F.col("ver_to").cast("string"),
+            ).alias("key"),
+            F.when(F.col("is_current"), "open")
+            .otherwise("closed")
+            .alias("info"),
+            "n",
+            (F.col("n") > 0).alias("ok"),
+        )
+    )
     f = analytics_ext.QUERIES["q48_zorder_layout"](spark, sf).select(
         F.lit("q48_layout").alias("fam"),
         F.col("bucket").cast("string").alias("key"),
@@ -1384,7 +1412,8 @@ def v01_suite(spark, sf):
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(v6).unionByName(v7)
-        .unionByName(v8).unionByName(f).unionByName(g)
+        .unionByName(v8).unionByName(v9)
+        .unionByName(f).unionByName(g)
     )
 
 

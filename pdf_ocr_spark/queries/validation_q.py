@@ -768,3 +768,133 @@ def v08(spark, sf):
     return old.join(touched, "o_orderkey", "left_anti").unionByName(
         upserts
     )
+
+
+# ------------------------------------------------------------- v09
+# SCD Type-2 dimension history — the warehouse operator the v07/v08
+# pair feeds: fold the two snapshots into a versioned history table
+# (Kimball slowly-changing-dimension type 2, public).  Version ids are
+# the snapshot ordinals (1 = OLD, 2 = NEW); an open row carries
+# ver_to = 0 (sentinel for "no successor
+# version"; NULL round-trips as NaN through the pandas comparator) +
+# is_current = true.  Unchanged keys keep ONE open
+# row anchored at v1; changed keys close the v1 row at v2 and open a
+# v2 row; deletes close at v2 with no successor; inserts open at v2.
+_V09_ORACLE = f"""
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % {_V07_OLD_MOD} <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN '9-SYNTH'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % {_V07_NEW_MOD} <> 0
+),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         o.o_orderstatus AS os, o.o_orderpriority AS op_,
+         n.o_orderstatus AS ns, n.o_orderpriority AS np,
+         (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+          AND (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+               OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority))
+           AS changed
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT k AS o_orderkey, os AS o_orderstatus, op_ AS o_orderpriority,
+       1 AS ver_from,
+       CASE WHEN changed OR NOT in_new THEN 2 ELSE 0 END AS ver_to,
+       (NOT changed AND in_new) AS is_current
+FROM j WHERE in_old
+UNION ALL
+SELECT k, ns, np, 2, 0, TRUE
+FROM j WHERE in_new AND (changed OR NOT in_old)
+"""
+
+
+@q("v09_scd2_history", oracle=_V09_ORACLE)
+def v09(spark, sf):
+    """SCD Type-2 history build over the v07 snapshot pair: one
+    history row per (key, version span) — unchanged keys stay open at
+    v1, changed keys close v1 and open v2, deletes close v1 with no
+    successor, inserts open at v2; ver_to 0 + is_current mark the
+    open row (0, not NULL: see the block comment).
+
+    Scale shape: the SAME single full-outer primary-key join as v07
+    (zero extra exchanges — the history rows are two scan-local
+    projections of the join, unioned), so building the type-2 history
+    costs exactly one snapshot diff at any scale; on
+    bucketed/partitioned lakehouse tables the join is a per-bucket
+    zipper merge.  At N snapshots the operator folds pairwise
+    (each day's diff appends to the history), which is how a
+    production SCD2 table is maintained — never by re-scanning all
+    history."""
+    from pyspark.sql import functions as F
+
+    base = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    old = base.where(F.col("o_orderkey") % _V07_OLD_MOD != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("os"),
+        F.col("o_orderpriority").alias("op_"),
+    )
+    new = (
+        base.where(F.col("o_orderkey") % _V07_NEW_MOD != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("ns"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("9-SYNTH"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("np"),
+        )
+    )
+    j = (
+        old.alias("o")
+        .join(new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer")
+        .select(
+            F.coalesce("o.k", "n.k").alias("k"),
+            F.col("o.k").isNotNull().alias("in_old"),
+            F.col("n.k").isNotNull().alias("in_new"),
+            "os",
+            "op_",
+            "ns",
+            "np",
+            (
+                F.col("o.k").isNotNull()
+                & F.col("n.k").isNotNull()
+                & (
+                    ~F.col("os").eqNullSafe(F.col("ns"))
+                    | ~F.col("op_").eqNullSafe(F.col("np"))
+                )
+            ).alias("changed"),
+        )
+    )
+    hist_old = j.where("in_old").select(
+        F.col("k").alias("o_orderkey"),
+        F.col("os").alias("o_orderstatus"),
+        F.col("op_").alias("o_orderpriority"),
+        F.lit(1).alias("ver_from"),
+        F.when(F.col("changed") | ~F.col("in_new"), 2)
+        .otherwise(0)
+        .cast("int")
+        .alias("ver_to"),
+        (~F.col("changed") & F.col("in_new")).alias("is_current"),
+    )
+    hist_new = j.where(
+        F.col("in_new") & (F.col("changed") | ~F.col("in_old"))
+    ).select(
+        F.col("k").alias("o_orderkey"),
+        F.col("ns").alias("o_orderstatus"),
+        F.col("np").alias("o_orderpriority"),
+        F.lit(2).alias("ver_from"),
+        F.lit(0).cast("int").alias("ver_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return hist_old.unionByName(hist_new)

@@ -259,3 +259,52 @@ def test_v08_apply_roundtrip_equals_new_snapshot(spark):
         for r in QUERIES["v08_cdc_apply"](spark, sf).collect()
     }
     assert got == exp
+
+
+def test_v09_scd2_matches_dict_reference(spark):
+    """v09: the type-2 history matches a dict-based reference and
+    satisfies the SCD2 invariants (exactly one open row per live key,
+    closed rows end at the next version)."""
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.validation_q import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    old = {
+        int(r.o_orderkey): (r.o_orderstatus, r.o_orderpriority)
+        for r in orders.itertuples()
+        if r.o_orderkey % 101 != 0
+    }
+    new = {
+        int(r.o_orderkey): (
+            "X" if r.o_orderkey % 11 == 0 else r.o_orderstatus,
+            "9-SYNTH" if r.o_orderkey % 7 == 0 else r.o_orderpriority,
+        )
+        for r in orders.itertuples()
+        if r.o_orderkey % 103 != 0
+    }
+    exp = set()
+    for k in old.keys() | new.keys():
+        if k in old and k in new and old[k] == new[k]:
+            exp.add((k, *old[k], 1, 0, True))
+        elif k in old and k in new:
+            exp.add((k, *old[k], 1, 2, False))
+            exp.add((k, *new[k], 2, 0, True))
+        elif k in old:
+            exp.add((k, *old[k], 1, 2, False))
+        else:
+            exp.add((k, *new[k], 2, 0, True))
+
+    rows = QUERIES["v09_scd2_history"](spark, sf).collect()
+    got = {
+        (r["o_orderkey"], r["o_orderstatus"], r["o_orderpriority"],
+         r["ver_from"], r["ver_to"], r["is_current"])
+        for r in rows
+    }
+    assert got == exp
+    # invariants: one open row per live key; open <=> ver_to sentinel
+    open_keys = [r["o_orderkey"] for r in rows if r["is_current"]]
+    assert sorted(open_keys) == sorted(new)
+    for r in rows:
+        assert r["is_current"] == (r["ver_to"] == 0)
