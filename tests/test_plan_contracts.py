@@ -140,3 +140,53 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_s14_coarse_pass_never_shuffles_the_corpus(spark):
+    """s14 claims the coarse top-50 is a TakeOrderedAndProject over
+    per-partition heaps: the plan must contain TakeOrderedAndProject
+    and NO hash/range Exchange of the embeddings relation (only the
+    query-vector broadcast)."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["s14_mrl_rerank"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    kinds = [k for k in _exchanges(plan) if "hash" in k.lower()
+             or "range" in k.lower()]
+    assert kinds == [], kinds
+    assert "CartesianProduct" not in plan
+
+
+def test_v07_diff_is_one_full_outer_join(spark):
+    """v07 claims ONE full-outer sort-merge join on the primary key:
+    exactly one FullOuter join node, no broadcast-nested-loop, and no
+    second pass (one join total)."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["v07_snapshot_diff"](spark, SF))
+    assert plan.count("FullOuter") >= 1
+    assert len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)) == 1, (
+        re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_v09_history_narrows_the_outer_join_per_arm(spark):
+    """v09 writes ONE full outer join, but each union arm filters on
+    in_old / in_new — Catalyst's outer-join elimination must narrow
+    the per-arm join to LeftOuter/RightOuter (never a full outer per
+    arm, never nested-loop), which is what unlocks broadcast/bucketed
+    strategies at scale."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["v09_scd2_history"](spark, SF))
+    joins = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+        r" [^\n]*?(FullOuter|LeftOuter|RightOuter|Inner)",
+        plan,
+    )
+    assert 1 <= len(joins) <= 2, plan
+    assert "FullOuter" not in joins, joins
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
