@@ -75,6 +75,7 @@ HEADLINE = [
     "v07_snapshot_diff",
     "v08_cdc_apply",
     "v09_scd2_history",
+    "v10_ivm_counts",
     "d12_fuzzy_dedup_funnel",
     "s09_ann_recall",
     "s10_product_quantize",

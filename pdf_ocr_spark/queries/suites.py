@@ -1260,6 +1260,9 @@ SELECT 'v09_scd2',
 FROM {_sub(validation_q, "v09_scd2_history")} _v9
 GROUP BY ver_from, ver_to, is_current
 UNION ALL
+SELECT 'v10_ivm', o_orderpriority, '', n, n > 0
+FROM {_sub(validation_q, "v10_ivm_counts")} _v10
+UNION ALL
 SELECT 'q48_layout', CAST(bucket AS VARCHAR),
        min_x || '#' || max_x || '#' || min_y || '#' || max_y,
        n_rows,
@@ -1294,7 +1297,10 @@ def v01_suite(spark, sf):
     row-for-row against the NEW snapshot itself) + the SCD Type-2
     history condensed to version-span classes (v09: key =
     ver_from>ver_to, info = open/closed; the per-key history is the
-    fine-grained twin) + the z-order layout
+    fine-grained twin) + the incrementally-maintained count view
+    (v10: key = group, n = old aggregate merged with exact changelog
+    deltas; its oracle recomputes on the NEW snapshot, pinning the
+    delta algebra) + the z-order layout
     audit (q48: key = layout bucket, info = covered rectangle, ok =
     the 16x16 tile-containment pruning guarantee) + the composed
     curation capstone's packed shards (x17: key = surviving doc,
@@ -1390,6 +1396,13 @@ def v01_suite(spark, sf):
             (F.col("n") > 0).alias("ok"),
         )
     )
+    v10 = validation_q.QUERIES["v10_ivm_counts"](spark, sf).select(
+        F.lit("v10_ivm").alias("fam"),
+        F.col("o_orderpriority").alias("key"),
+        F.lit("").alias("info"),
+        "n",
+        (F.col("n") > 0).alias("ok"),
+    )
     f = analytics_ext.QUERIES["q48_zorder_layout"](spark, sf).select(
         F.lit("q48_layout").alias("fam"),
         F.col("bucket").cast("string").alias("key"),
@@ -1412,7 +1425,7 @@ def v01_suite(spark, sf):
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(v6).unionByName(v7)
-        .unionByName(v8).unionByName(v9)
+        .unionByName(v8).unionByName(v9).unionByName(v10)
         .unionByName(f).unionByName(g)
     )
 

@@ -898,3 +898,84 @@ def v09(spark, sf):
         F.lit(True).alias("is_current"),
     )
     return hist_old.unionByName(hist_new)
+
+
+# ------------------------------------------------------------- v10
+# Incremental view maintenance — the materialized-view delta-update
+# the CDC family exists to feed: maintain a grouped COUNT aggregate
+# under the v07 changelog WITHOUT rescanning the base.  Each op
+# contributes exact group deltas (I: +1 new group; D: -1 old group;
+# U: -1 old group, +1 new group — a no-op when the group key didn't
+# change), merged into the OLD aggregate.  The oracle is the DIRECT
+# GROUP BY over the NEW snapshot, so the delta algebra is hash-pinned
+# against full recomputation.
+_V10_ORACLE = f"""
+SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-SYNTH'
+            ELSE o_orderpriority END AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_orderkey % {_V07_NEW_MOD} <> 0
+GROUP BY 1
+"""
+
+
+@q("v10_ivm_counts", oracle=_V10_ORACLE)
+def v10(spark, sf):
+    """Incrementally maintain per-priority counts under the v07
+    changelog: old aggregate + exact per-op group deltas; the oracle
+    recomputes the aggregate directly on the NEW snapshot, pinning
+    the delta algebra against full recomputation.
+
+    Scale shape: the base table is scanned ONCE at view creation (the
+    OLD aggregate — here one partial-aggregated Exchange); every
+    refresh afterwards touches only the churn-sized changelog (explode
+    each op into ±1 group deltas scan-local, ONE tiny Exchange on the
+    group key, outer-merge with the dictionary-sized old aggregate).
+    Refresh cost is O(churn + |groups|) independent of base size —
+    the property that makes materialized views viable on a 100 TB
+    fact table."""
+    from pyspark.sql import functions as F
+
+    old_agg = (
+        t(spark, sf, "orders")
+        .where(F.col("o_orderkey") % _V07_OLD_MOD != 0)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_old"))
+    )
+    log = QUERIES["v07_snapshot_diff"](spark, sf)
+    # each op -> array of (group, ±1) deltas, exploded scan-local
+    deltas = log.select(
+        F.explode(
+            F.when(
+                F.col("op") == "I",
+                F.array(F.struct(F.col("new_priority").alias("g"),
+                                 F.lit(1).alias("d"))),
+            )
+            .when(
+                F.col("op") == "D",
+                F.array(F.struct(F.col("old_priority").alias("g"),
+                                 F.lit(-1).alias("d"))),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(F.col("old_priority").alias("g"),
+                             F.lit(-1).alias("d")),
+                    F.struct(F.col("new_priority").alias("g"),
+                             F.lit(1).alias("d")),
+                )
+            )
+        ).alias("x")
+    ).select("x.*")
+    dsum = deltas.groupBy(F.col("g").alias("o_orderpriority")).agg(
+        F.sum("d").alias("dn")
+    )
+    return (
+        old_agg.join(dsum, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce("n_old", F.lit(0))
+                + F.coalesce("dn", F.lit(0))
+            ).cast("long").alias("n"),
+        )
+        .where(F.col("n") > 0)
+    )

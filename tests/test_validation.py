@@ -308,3 +308,32 @@ def test_v09_scd2_matches_dict_reference(spark):
     assert sorted(open_keys) == sorted(new)
     for r in rows:
         assert r["is_current"] == (r["ver_to"] == 0)
+
+
+def test_v10_ivm_equals_direct_aggregate(spark):
+    """v10: the delta-maintained count view equals the direct GROUP BY
+    on the NEW snapshot, and every changelog op class contributes (at
+    least one group actually changes its count between snapshots)."""
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.validation_q import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    new = orders[orders.o_orderkey % 103 != 0].copy()
+    new["o_orderpriority"] = new.apply(
+        lambda r: "9-SYNTH" if r.o_orderkey % 7 == 0
+        else r.o_orderpriority, axis=1
+    )
+    exp = new.groupby("o_orderpriority").size().to_dict()
+
+    got = {
+        r["o_orderpriority"]: r["n"]
+        for r in QUERIES["v10_ivm_counts"](spark, sf).collect()
+    }
+    assert got == exp
+    # the synthetic group only exists post-update: deltas must have
+    # created it from nothing (no row in the OLD aggregate)
+    old = orders[orders.o_orderkey % 101 != 0]
+    assert "9-SYNTH" not in set(old.o_orderpriority)
+    assert got["9-SYNTH"] > 0
