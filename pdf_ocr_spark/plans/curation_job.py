@@ -5,9 +5,10 @@ Pipeline (the fixed production order; each stage is an oracle-green
 operator from queries/):
 
   quality (t02) -> entropy (t22) -> C4 content rules (t11.c4_keep) ->
-  URL blocklist (t12) -> domain mixture (t15) -> exact dedup keeper
-  (d01) -> fuzzy dedup survivor (d12) -> per-language sequence packing
-  -> partitioned shard write
+  URL blocklist (t12) -> shingle novelty (t29: boilerplate out; docs
+  too short to shingle pass trivially) -> domain mixture (t15) ->
+  exact dedup keeper (d01) -> fuzzy dedup survivor (d12) ->
+  per-language sequence packing -> partitioned shard write
 
 The c4 stage applies t11's C4 half only: t11 also computes the full
 Gopher rule set, but Gopher's 50-word floor rejects this synthetic
@@ -45,6 +46,7 @@ STAGES = (
     "entropy",
     "c4",
     "url",
+    "novelty",
     "mixture",
     "exact_dedup",
     "fuzzy_dedup",
@@ -78,6 +80,11 @@ def curation_flags(spark, sf_dir: str):
     q15 = text_q.QUERIES["t15_domain_mixture"](spark, sf_dir).select(
         "doc_id", F.col("mix_keep").alias("mixture")
     )
+    # left join: shingle-less docs (< 3 tokens) have no t29 row and
+    # pass the stage trivially (they can't be boilerplate-by-repetition)
+    q29 = text_q.QUERIES["t29_shingle_novelty"](spark, sf_dir).select(
+        "doc_id", (~F.col("boilerplate")).alias("novelty")
+    )
     d01 = dedup_q.QUERIES["d01_exact_dedup"](spark, sf_dir).select(
         F.coalesce(F.col("norm_hash"), F.lit("")).alias("_nh"),
         F.col("keeper_doc_id").alias("_keeper"),
@@ -90,6 +97,8 @@ def curation_flags(spark, sf_dir: str):
         .join(q22, "doc_id")
         .join(q11, "doc_id")
         .join(q12, "doc_id")
+        .join(q29, "doc_id", "left")
+        .withColumn("novelty", F.coalesce("novelty", F.lit(True)))
         .join(q15, "doc_id")
         .join(d01, "_nh")
         .withColumn("exact_dedup", F.col("doc_id") == F.col("_keeper"))

@@ -818,11 +818,13 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        COALESCE(t29.boilerplate, FALSE) AS nov_boiler,
        (t2.n_chars > t18.p50) AS above_median_len,
        (t2.keep = 1 AND t22.entropy_keep AND t11.c4_keep = 1
-        AND t12.url_keep = 1 AND t15.mix_keep) AS curation_keep,
+        AND t12.url_keep = 1 AND NOT COALESCE(t29.boilerplate, FALSE)
+        AND t15.mix_keep) AS curation_keep,
        CASE WHEN t2.keep = 0 THEN 'quality'
             WHEN NOT t22.entropy_keep THEN 'entropy'
             WHEN t11.c4_keep = 0 THEN 'c4'
             WHEN t12.url_keep = 0 THEN 'url'
+            WHEN COALESCE(t29.boilerplate, FALSE) THEN 'novelty'
             WHEN NOT t15.mix_keep THEN 'mixture'
             ELSE '' END AS first_fail
 FROM {_sub(textstats, "t01_language_id")} t1
@@ -906,7 +908,8 @@ def t01_suite(spark, sf):
     verdict (curation_keep = every filter
     stage passes;
     first_fail = the first stage that rejects, in the fixed pipeline
-    order quality -> entropy -> c4 -> url -> mixture). The Gopher absolute
+    order quality -> entropy -> c4 -> url -> novelty -> mixture). The
+    Gopher absolute
     floors (t11) stay a reported column but sit outside the composed
     verdict: their 50-word minimum targets web pages and rejects
     every short synthetic table fragment, which would pin the funnel
@@ -1050,6 +1053,7 @@ def t01_suite(spark, sf):
             & F.col("entropy_keep")
             & (F.col("c4_keep") == 1)
             & (F.col("url_keep") == 1)
+            & ~F.col("nov_boiler")
             & F.col("mix_keep"),
         )
         .withColumn(
@@ -1058,6 +1062,7 @@ def t01_suite(spark, sf):
             .when(~F.col("entropy_keep"), "entropy")
             .when(F.col("c4_keep") == 0, "c4")
             .when(F.col("url_keep") == 0, "url")
+            .when(F.col("nov_boiler"), "novelty")
             .when(~F.col("mix_keep"), "mixture")
             .otherwise(""),
         )
@@ -1170,6 +1175,7 @@ q22 AS {_sub(textstats, "t22_char_entropy")},
 q11 AS {_sub(textstats, "t11_gopher_rules")},
 q12 AS {_sub(textstats, "t12_url_filter")},
 q15 AS {_sub(textstats, "t15_domain_mixture")},
+q29n AS {_sub(textstats, "t29_shingle_novelty")},
 d01 AS {_sub(dedup, "d01_exact_dedup")},
 d12 AS {_sub(dedup, "d12_fuzzy_dedup_funnel")},
 docs AS (
@@ -1186,11 +1192,13 @@ surv AS (
   JOIN q22 ON q22.doc_id = d.doc_id
   JOIN q11 ON q11.doc_id = d.doc_id
   JOIN q12 ON q12.doc_id = d.doc_id
+  LEFT JOIN q29n ON q29n.doc_id = d.doc_id
   JOIN q15 ON q15.doc_id = d.doc_id
   JOIN d01 ON COALESCE(d01.norm_hash, '') = d.nh
   JOIN d12 ON d12.doc_id = d.doc_id
   WHERE q2.keep = 1 AND q22.entropy_keep AND q11.c4_keep = 1
-    AND q12.url_keep = 1 AND q15.mix_keep
+    AND q12.url_keep = 1
+    AND COALESCE(NOT q29n.boilerplate, TRUE) AND q15.mix_keep
     AND d01.keeper_doc_id = d.doc_id AND d12.keep
 )
 SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
