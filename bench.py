@@ -76,6 +76,7 @@ HEADLINE = [
     "v08_cdc_apply",
     "v09_scd2_history",
     "v10_ivm_counts",
+    "v11_time_travel",
     "d12_fuzzy_dedup_funnel",
     "s09_ann_recall",
     "s10_product_quantize",

@@ -1271,6 +1271,11 @@ UNION ALL
 SELECT 'v10_ivm', o_orderpriority, '', n, n > 0
 FROM {_sub(validation_q, "v10_ivm_counts")} _v10
 UNION ALL
+SELECT 'v11_travel', o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT), count(*) > 0
+FROM {_sub(validation_q, "v11_time_travel")} _v11
+GROUP BY o_orderstatus, o_orderpriority
+UNION ALL
 SELECT 'q48_layout', CAST(bucket AS VARCHAR),
        min_x || '#' || max_x || '#' || min_y || '#' || max_y,
        n_rows,
@@ -1308,7 +1313,10 @@ def v01_suite(spark, sf):
     fine-grained twin) + the incrementally-maintained count view
     (v10: key = group, n = old aggregate merged with exact changelog
     deltas; its oracle recomputes on the NEW snapshot, pinning the
-    delta algebra) + the z-order layout
+    delta algebra) + the AS OF time travel over the SCD2 history
+    condensed to (status, priority) class counts (v11: the
+    fine-grained twin reconstructs the OLD snapshot row-for-row) +
+    the z-order layout
     audit (q48: key = layout bucket, info = covered rectangle, ok =
     the 16x16 tile-containment pruning guarantee) + the composed
     curation capstone's packed shards (x17: key = surviving doc,
@@ -1411,6 +1419,18 @@ def v01_suite(spark, sf):
         "n",
         (F.col("n") > 0).alias("ok"),
     )
+    v11 = (
+        validation_q.QUERIES["v11_time_travel"](spark, sf)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("v11_travel").alias("fam"),
+            F.col("o_orderstatus").alias("key"),
+            F.col("o_orderpriority").alias("info"),
+            "n",
+            (F.col("n") > 0).alias("ok"),
+        )
+    )
     f = analytics_ext.QUERIES["q48_zorder_layout"](spark, sf).select(
         F.lit("q48_layout").alias("fam"),
         F.col("bucket").cast("string").alias("key"),
@@ -1434,7 +1454,7 @@ def v01_suite(spark, sf):
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(v6).unionByName(v7)
         .unionByName(v8).unionByName(v9).unionByName(v10)
-        .unionByName(f).unionByName(g)
+        .unionByName(v11).unionByName(f).unionByName(g)
     )
 
 

@@ -979,3 +979,38 @@ def v10(spark, sf):
         )
         .where(F.col("n") > 0)
     )
+
+
+# ------------------------------------------------------------- v11
+# Time travel — reconstruct the table AS OF version 1 from the v09
+# SCD Type-2 history: rows whose validity span covers the version
+# (ver_from <= 1 AND (open OR ver_to > 1)).  The oracle is the OLD
+# snapshot itself, so history-build -> time-travel round-trips
+# hash-pinned row-for-row (the complement of v08's diff -> apply pin;
+# together they close the lakehouse family: diff / apply / history /
+# incremental refresh / travel).
+_V11_ORACLE = f"""
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM orders WHERE o_orderkey % {_V07_OLD_MOD} <> 0
+"""
+
+
+@q("v11_time_travel", oracle=_V11_ORACLE)
+def v11(spark, sf):
+    """AS OF version 1 over the v09 history: keep rows whose span
+    covers v1; the oracle is the OLD snapshot directly.
+
+    Scale shape: ONE scan-local filter over the history table — no
+    join, no shuffle; on a history partitioned by ver_from (the
+    natural layout, appends go to the newest partition) the filter
+    partition-prunes to spans opened at or before the target
+    version.  This is the query shape behind `VERSION AS OF` in
+    Delta/Iceberg when the table is SCD2-modeled rather than
+    snapshot-copied."""
+    from pyspark.sql import functions as F
+
+    hist = QUERIES["v09_scd2_history"](spark, sf)
+    return hist.where(
+        (F.col("ver_from") <= 1)
+        & ((F.col("ver_to") == 0) | (F.col("ver_to") > 1))
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")

@@ -337,3 +337,24 @@ def test_v10_ivm_equals_direct_aggregate(spark):
     old = orders[orders.o_orderkey % 101 != 0]
     assert "9-SYNTH" not in set(old.o_orderpriority)
     assert got["9-SYNTH"] > 0
+
+
+def test_v11_time_travel_reconstructs_old_snapshot(spark):
+    """v11: AS OF version 1 over the SCD2 history equals the OLD
+    snapshot exactly."""
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.validation_q import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    exp = {
+        int(r.o_orderkey): (r.o_orderstatus, r.o_orderpriority)
+        for r in orders.itertuples()
+        if r.o_orderkey % 101 != 0
+    }
+    got = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_orderpriority"])
+        for r in QUERIES["v11_time_travel"](spark, sf).collect()
+    }
+    assert got == exp
