@@ -86,6 +86,8 @@ HEADLINE = [
     "m01_media_decode",
     "m06_scene_segments",
     "m07_image_phash_dedup",
+    "m08_caption_pair",
+    "m09_interleave_profile",
     "c01_keyword_classify",
     "u01_unpivot_compound_headers",
     "u02_deterministic_mapping",

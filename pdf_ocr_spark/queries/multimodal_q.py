@@ -465,3 +465,387 @@ def m07(spark, sf):
             (F.col("hamming") <= _M07_HAMMING).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------- m08
+# Media<->text caption pairing over INTERLEAVED documents — the
+# image-text pair mining pass of multimodal curation (public: MMC4
+# "Multimodal C4", Zhu et al. 2023 — bipartite image/sentence
+# assignment by CLIP score; OBELICS, Laurencon et al. 2023).  The
+# interleaved span stream is derived deterministically from each
+# document (sentences of 8 words; 1-3 media spans anchored after
+# md5-chosen sentences — the m01 fake pattern, no codecs in this
+# container), the "CLIP score" is an md5-derived integer milli-score
+# over (media_ref, sentence text) with an adjacency bonus on the
+# anchor sentence, and the assignment is MMC4's: each image picks its
+# best-scoring sentence within a +/-1 window of its anchor, then each
+# sentence keeps only its best image (one round of conflict
+# resolution).  Integer scores end-to-end — no float hash drift
+# between engines.
+_M08_WORDS = 8  # words per sentence span
+_M08_BONUS = 500  # adjacency bonus (anchor sentence), milli
+
+
+def _m08_sql_int(expr: str, n: int) -> str:
+    """DuckDB: first n md5 hex chars of expr as an integer."""
+    return f"(('0x' || substr(md5({expr}), 1, {n}))::INT)"
+
+
+_M08_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, w,
+         CAST((len(w) + {_M08_WORDS - 1}) // {_M08_WORDS} AS INTEGER)
+           AS n_sent,
+         {_m08_sql_int("CAST(doc_id AS VARCHAR)", 2)} % 3 + 1 AS n_media
+  FROM d
+),
+media AS (
+  SELECT doc_id, w, n_sent, u.k,
+         'img://' || CAST(doc_id AS VARCHAR) || '/'
+                  || CAST(u.k AS VARCHAR) AS media_ref,
+         {_m08_sql_int(
+             "CAST(doc_id AS VARCHAR) || '#' || CAST(u.k AS VARCHAR)", 4
+         )} % n_sent AS anchor
+  FROM base, unnest(generate_series(0, n_media - 1)) AS u(k)
+),
+cand AS (
+  SELECT doc_id, k, media_ref, anchor, v.cseq,
+         array_to_string(
+           list_slice(w, {_M08_WORDS} * v.cseq + 1,
+                         {_M08_WORDS} * v.cseq + {_M08_WORDS}),
+           ' ') AS sent_text
+  FROM media,
+       unnest(generate_series(greatest(anchor - 1, 0),
+                              least(anchor + 1, n_sent - 1))) AS v(cseq)
+),
+scored AS (
+  SELECT doc_id, k, media_ref, cseq, sent_text,
+         {_m08_sql_int("media_ref || '|' || sent_text", 6)} % 1000
+           + CASE WHEN cseq = anchor THEN {_M08_BONUS} ELSE 0 END
+           AS score_milli
+  FROM cand
+),
+chosen AS (
+  SELECT doc_id, k, media_ref, cseq AS sent_seq, sent_text AS caption,
+         score_milli,
+         row_number() OVER (PARTITION BY doc_id, k
+                            ORDER BY score_milli DESC, cseq) AS rn
+  FROM scored
+)
+SELECT doc_id, media_ref,
+       CAST(sent_seq AS INTEGER) AS sent_seq, caption,
+       CAST(score_milli AS INTEGER) AS score_milli,
+       row_number() OVER (PARTITION BY doc_id, sent_seq
+                          ORDER BY score_milli DESC, k) = 1 AS kept
+FROM chosen WHERE rn = 1
+"""
+
+
+@q("m08_caption_pair", oracle=_M08_ORACLE)
+def m08(spark, sf):
+    """Caption pairing on interleaved docs (MMC4-style): every media
+    span scores the sentences within +/-1 of its insertion anchor
+    (md5 milli-score + anchor bonus), picks its argmax, and each
+    sentence keeps at most one image (best score wins).
+
+    Scale shape: candidate generation is ANCHOR-RESTRICTED — at most
+    3 sentence candidates per media span, never media x all-sentences
+    — and is computed INSIDE the document row (the words array rides
+    the media explode; sentence text is a slice, no sentence-relation
+    join, zero join shuffles).  The two argmax passes are window
+    functions whose partition keys share the doc_id prefix; the
+    windowed relation is media-grain (<= 3 rows/doc), a tiny fraction
+    of corpus bytes.  With a real CLIP model only the scoring column
+    becomes an Arrow-batched pandas UDF (m01's plumbing); candidate
+    restriction and both windows are unchanged."""
+    from pyspark.sql import Window as W
+
+    nw = _M08_WORDS
+    base = t(spark, sf, "documents").select(
+        "doc_id",
+        F.split(F.coalesce("text", F.lit("")), " ").alias("w"),
+    ).select(
+        "doc_id",
+        "w",
+        F.expr(f"CAST((size(w) + {nw - 1}) div {nw} AS INT)").alias(
+            "n_sent"
+        ),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                16,
+                10,
+            ).cast("int")
+            % 3
+            + 1
+        ).alias("n_media"),
+    )
+    media = base.select(
+        "doc_id",
+        "w",
+        "n_sent",
+        F.explode(F.expr("sequence(0, n_media - 1)")).alias("k"),
+    ).select(
+        "doc_id",
+        "w",
+        "n_sent",
+        "k",
+        F.concat(
+            F.lit("img://"),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            F.col("k").cast("string"),
+        ).alias("media_ref"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("#"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % F.col("n_sent")
+        ).alias("anchor"),
+    )
+    scored = media.select(
+        "doc_id",
+        "k",
+        "media_ref",
+        "anchor",
+        F.explode(
+            F.expr(
+                "sequence(greatest(anchor - 1, 0),"
+                " least(anchor + 1, n_sent - 1))"
+            )
+        ).alias("cseq"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "k",
+        "media_ref",
+        "anchor",
+        "cseq",
+        F.expr(
+            f"array_join(slice(w, {nw} * cseq + 1, {nw}), ' ')"
+        ).alias("sent_text"),
+    ).select(
+        "doc_id",
+        "k",
+        "media_ref",
+        "cseq",
+        "sent_text",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat("media_ref", F.lit("|"), "sent_text")),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 1000
+            + F.when(F.col("cseq") == F.col("anchor"), _M08_BONUS)
+            .otherwise(0)
+        ).alias("score_milli"),
+    )
+    w1 = W.partitionBy("doc_id", "k").orderBy(
+        F.col("score_milli").desc(), "cseq"
+    )
+    chosen = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w2 = W.partitionBy("doc_id", "cseq").orderBy(
+        F.col("score_milli").desc(), "k"
+    )
+    return chosen.select(
+        "doc_id",
+        "media_ref",
+        F.col("cseq").cast("int").alias("sent_seq"),
+        F.col("sent_text").alias("caption"),
+        F.col("score_milli").cast("int"),
+        (F.row_number().over(w2) == 1).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------- m09
+# Interleave profile + document gate — the structural filter every
+# interleaved-corpus build runs before training (public: OBELICS
+# filters image-wall documents; MMC4 caps images/doc): per document
+# the media density, the longest consecutive media run, the
+# text/media alternation count, and a keep verdict.  Runs entirely
+# INSIDE the document row with array higher-order functions — a pure
+# scan-side map, zero shuffle, embarrassingly parallel at any scale.
+_M09_MAX_RUN = 2
+_M09_LO, _M09_HI = 20, 500  # keep band, media permille
+
+
+_M09_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST((len(w) + {_M08_WORDS - 1}) // {_M08_WORDS} AS INTEGER)
+           AS n_sent,
+         {_m08_sql_int("CAST(doc_id AS VARCHAR)", 2)} % 3 + 1 AS n_media
+  FROM d
+),
+anch AS (
+  SELECT doc_id, n_sent, n_media,
+         list_transform(generate_series(0, n_media - 1), k ->
+           {_m08_sql_int(
+               "CAST(doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR)", 4
+           )} % n_sent) AS anchors
+  FROM base
+),
+kinds AS (
+  SELECT doc_id, n_sent, n_media,
+         flatten(list_transform(generate_series(0, n_sent - 1), i ->
+           list_prepend('text',
+             list_transform(list_filter(anchors, a -> a = i),
+                            a -> 'media')))) AS ks
+  FROM anch
+),
+seq AS (
+  SELECT doc_id, ks[u.i] AS kind, u.i
+  FROM kinds, unnest(generate_series(1, len(ks))) AS u(i)
+),
+runs AS (
+  SELECT doc_id,
+         CAST(max(cnt) AS INTEGER) AS max_media_run
+  FROM (
+    SELECT doc_id, grp, count(*) AS cnt
+    FROM (SELECT doc_id, i,
+                 i - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY i) AS grp
+          FROM seq WHERE kind = 'media')
+    GROUP BY doc_id, grp)
+  GROUP BY doc_id
+),
+alt AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN chg THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_alternations,
+         max(CASE WHEN i = mx THEN kind END) = 'media'
+           AS ends_with_media
+  FROM (
+    SELECT doc_id, kind, i,
+           kind <> lag(kind) OVER (PARTITION BY doc_id ORDER BY i)
+             AS chg,
+           max(i) OVER (PARTITION BY doc_id) AS mx
+    FROM seq)
+  GROUP BY doc_id
+)
+SELECT k.doc_id,
+       k.n_sent AS n_text,
+       CAST(k.n_media AS INTEGER) AS n_media,
+       CAST(k.n_sent + k.n_media AS INTEGER) AS n_spans,
+       CAST(k.n_media * 1000 // (k.n_sent + k.n_media) AS INTEGER)
+         AS media_permille,
+       r.max_media_run,
+       a.n_alternations,
+       a.ends_with_media,
+       (k.n_media * 1000 // (k.n_sent + k.n_media)
+          BETWEEN {_M09_LO} AND {_M09_HI})
+         AND r.max_media_run <= {_M09_MAX_RUN} AS keep
+FROM kinds k
+JOIN runs r USING (doc_id)
+JOIN alt a USING (doc_id)
+"""
+
+
+@q("m09_interleave_profile", oracle=_M09_ORACLE)
+def m09(spark, sf):
+    """Interleave profile (OBELICS/MMC4-style structural gate): per
+    interleaved document the text/media span counts, media density
+    (integer permille), longest consecutive media run, alternation
+    count, and the keep verdict (density in band, no media wall).
+
+    Scale shape: the whole profile is computed with array
+    higher-order functions INSIDE the document row — aggregate() for
+    the run-length maximum, filter(sequence) for alternations — so
+    the physical plan is scan -> project: ZERO shuffles, no window,
+    no explode.  The DuckDB twin deliberately takes the relational
+    route (unnest + gaps-and-islands windows) so the two engines
+    cross-check each other's formulation."""
+    nw = _M08_WORDS
+    base = t(spark, sf, "documents").select(
+        "doc_id",
+        F.split(F.coalesce("text", F.lit("")), " ").alias("w"),
+    ).select(
+        "doc_id",
+        F.expr(f"CAST((size(w) + {nw - 1}) div {nw} AS INT)").alias(
+            "n_sent"
+        ),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                16,
+                10,
+            ).cast("int")
+            % 3
+            + 1
+        ).alias("n_media"),
+    )
+    anchor_expr = (
+        "transform(sequence(0, n_media - 1), k ->"
+        " CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#',"
+        " CAST(k AS STRING))), 1, 4), 16, 10) AS INT) % n_sent)"
+    )
+    kinds = base.select(
+        "doc_id",
+        "n_sent",
+        "n_media",
+        F.expr(
+            "flatten(transform(sequence(0, n_sent - 1), i ->"
+            " concat(array('text'),"
+            f" transform(filter({anchor_expr}, a -> a = i),"
+            " a -> 'media'))))"
+        ).alias("ks"),
+    )
+    run = (
+        "aggregate(ks, named_struct('run', 0, 'best', 0), (acc, x) ->"
+        " named_struct("
+        "   'run',  IF(x = 'media', acc.run + 1, 0),"
+        "   'best', greatest(acc.best, IF(x = 'media', acc.run + 1, 0))),"
+        " acc -> acc.best)"
+    )
+    # size(ks) = n_sent + n_media >= 2 always (both counts >= 1), so
+    # sequence(2, size(ks)) never descends.
+    alt = (
+        "size(filter(sequence(2, size(ks)), j ->"
+        " element_at(ks, j) != element_at(ks, j - 1)))"
+    )
+    permille = "CAST(n_media * 1000 div (n_sent + n_media) AS INT)"
+    return kinds.select(
+        "doc_id",
+        F.col("n_sent").alias("n_text"),
+        F.col("n_media").cast("int"),
+        (F.col("n_sent") + F.col("n_media")).cast("int").alias("n_spans"),
+        F.expr(permille).alias("media_permille"),
+        F.expr(run).cast("int").alias("max_media_run"),
+        F.expr(alt).cast("int").alias("n_alternations"),
+        F.expr("element_at(ks, size(ks)) = 'media'").alias(
+            "ends_with_media"
+        ),
+        F.expr(
+            f"{permille} BETWEEN {_M09_LO} AND {_M09_HI}"
+            f" AND {run} <= {_M09_MAX_RUN}"
+        ).alias("keep"),
+    )

@@ -1078,7 +1078,10 @@ SELECT a.doc_id, a.width, a.height, a.format, a.n_bytes, b.mean_byte,
        e.sample_rate, e.n_samples, e.n_frames,
        g.n_sampled, g.n_shots, g.n_cuts,
        CAST(COALESCE(p.n_cand, 0) AS INTEGER) AS n_phash_cand,
-       CAST(COALESCE(p.n_dup, 0) AS INTEGER) AS n_phash_dup
+       CAST(COALESCE(p.n_dup, 0) AS INTEGER) AS n_phash_dup,
+       cp.n_cap, cp.n_cap_kept, cp.cap_best,
+       iv.media_permille, iv.max_media_run, iv.n_alternations,
+       iv.keep AS ilv_keep
 FROM {_sub(multimodal_q, "m01_media_decode")} a
 JOIN {_sub(multimodal_q, "m02_media_feature")} b ON b.doc_id = a.doc_id
 JOIN {_sub(multimodal_q, "m04_media_resize")} c ON c.doc_id = a.doc_id
@@ -1095,6 +1098,16 @@ LEFT JOIN (
   FROM (SELECT unnest([doc_a, doc_b]) AS doc_id, is_dup
         FROM {_sub(multimodal_q, "m07_image_phash_dedup")} _p1)
   GROUP BY doc_id) p ON p.doc_id = a.doc_id
+JOIN (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_cap,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_cap_kept,
+             CAST(max(score_milli) AS INTEGER) AS cap_best
+      FROM {_sub(multimodal_q, "m08_caption_pair")} _c8
+      GROUP BY doc_id) cp ON cp.doc_id = a.doc_id
+JOIN (SELECT doc_id, media_permille, max_media_run, n_alternations,
+             keep
+      FROM {_sub(multimodal_q, "m09_interleave_profile")} _i9) iv
+  ON iv.doc_id = a.doc_id
 """,
 )
 def m01_suite(spark, sf):
@@ -1105,7 +1118,10 @@ def m01_suite(spark, sf):
     count, cut count; the frame-grain rows are the fine-grained
     twin) + the per-doc rollup of the dHash image near-dup (m07:
     candidate-pair and confirmed-dup counts; the pair grain is the
-    fine-grained twin), joined on doc_id."""
+    fine-grained twin) + the per-doc rollup of the MMC4-style caption
+    pairing (m08: pair/kept counts, best milli-score; the media grain
+    is the fine-grained twin) + the interleave profile gate (m09),
+    joined on doc_id."""
     a = multimodal_q.QUERIES["m01_media_decode"](spark, sf)
     b = multimodal_q.QUERIES["m02_media_feature"](spark, sf).select(
         "doc_id", "mean_byte"
@@ -1144,6 +1160,24 @@ def m01_suite(spark, sf):
             .alias("n_phash_dup"),
         )
     )
+    cp = (
+        multimodal_q.QUERIES["m08_caption_pair"](spark, sf)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_cap"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_cap_kept"),
+            F.max("score_milli").cast("int").alias("cap_best"),
+        )
+    )
+    iv = multimodal_q.QUERIES["m09_interleave_profile"](spark, sf).select(
+        "doc_id",
+        "media_permille",
+        "max_media_run",
+        "n_alternations",
+        F.col("keep").alias("ilv_keep"),
+    )
     return (
         a.join(b, "doc_id").join(c, "doc_id").join(e, "doc_id")
         .join(g, "doc_id")
@@ -1155,6 +1189,8 @@ def m01_suite(spark, sf):
         .withColumn(
             "n_phash_dup", F.coalesce("n_phash_dup", F.lit(0)).cast("int")
         )
+        .join(cp, "doc_id")
+        .join(iv, "doc_id")
     )
 
 

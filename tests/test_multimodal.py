@@ -155,3 +155,122 @@ def test_m06_scene_segmentation_reference(spark, tmp_path):
             shots += int(exp_b)
             assert r["shot_id"] == shots
             prev = lu
+
+
+def _md5i(s: str, n: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:n], 16)
+
+
+def _interleave_ref(doc_id: int, text: str):
+    """Independent hashlib reference for the m08/m09 deterministic
+    interleaved-span construction."""
+    words = text.split(" ")
+    n_sent = (len(words) + 7) // 8
+    n_media = _md5i(str(doc_id), 2) % 3 + 1
+    anchors = [_md5i(f"{doc_id}#{k}", 4) % n_sent for k in range(n_media)]
+    sents = [
+        " ".join(words[8 * i : 8 * i + 8]) for i in range(n_sent)
+    ]
+    return n_sent, n_media, anchors, sents
+
+
+@pytest.fixture()
+def ilv_docs(tmp_path):
+    texts = [
+        " ".join(f"w{d}x{i}" for i in range(5 + 9 * d)) for d in range(8)
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "lang": ["en"] * 8,
+            "text": texts,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path), texts
+
+
+def test_m08_caption_pairing_reference(spark, ilv_docs):
+    """m08: anchor-restricted candidates, md5 milli-score + bonus,
+    per-media argmax and per-sentence conflict resolution all match a
+    hashlib reference."""
+    sf, texts = ilv_docs
+    from pdf_ocr_spark.queries.multimodal_q import _M08_BONUS, QUERIES
+
+    rows = QUERIES["m08_caption_pair"](spark, sf).collect()
+    got = {(r["doc_id"], r["media_ref"]): r for r in rows}
+
+    n_expected = 0
+    kept_by_sent = {}
+    for d, text in enumerate(texts):
+        n_sent, n_media, anchors, sents = _interleave_ref(d, text)
+        for k in range(n_media):
+            n_expected += 1
+            a = anchors[k]
+            ref = f"img://{d}/{k}"
+            cands = range(max(a - 1, 0), min(a + 1, n_sent - 1) + 1)
+            scored = [
+                (
+                    _md5i(f"{ref}|{sents[c]}", 6) % 1000
+                    + (_M08_BONUS if c == a else 0),
+                    c,
+                )
+                for c in cands
+            ]
+            score, seq = max(scored, key=lambda t: (t[0], -t[1]))
+            r = got[(d, ref)]
+            assert (r["sent_seq"], r["caption"], r["score_milli"]) == (
+                seq,
+                sents[seq],
+                score,
+            ), (d, k)
+            kept_by_sent.setdefault((d, seq), []).append(
+                (score, k, ref)
+            )
+    assert len(rows) == n_expected
+    for (d, seq), lst in kept_by_sent.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for i, (_, _, ref) in enumerate(lst):
+            assert got[(d, ref)]["kept"] == (i == 0), (d, seq, ref)
+
+
+def test_m09_interleave_profile_reference(spark, ilv_docs):
+    """m09: kinds sequence, run-length max, alternation count and the
+    keep verdict match a hashlib reference."""
+    sf, texts = ilv_docs
+    from pdf_ocr_spark.queries.multimodal_q import (
+        _M09_HI,
+        _M09_LO,
+        _M09_MAX_RUN,
+        QUERIES,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["m09_interleave_profile"](spark, sf).collect()
+    }
+    assert len(rows) == len(texts)
+    for d, text in enumerate(texts):
+        n_sent, n_media, anchors, _ = _interleave_ref(d, text)
+        kinds = []
+        for i in range(n_sent):
+            kinds.append("text")
+            kinds.extend("media" for a in anchors if a == i)
+        best = run = 0
+        for x in kinds:
+            run = run + 1 if x == "media" else 0
+            best = max(best, run)
+        alt = sum(
+            1 for j in range(1, len(kinds)) if kinds[j] != kinds[j - 1]
+        )
+        pm = n_media * 1000 // (n_sent + n_media)
+        r = rows[d]
+        assert r["n_text"] == n_sent and r["n_media"] == n_media
+        assert r["n_spans"] == n_sent + n_media
+        assert r["media_permille"] == pm
+        assert r["max_media_run"] == best
+        assert r["n_alternations"] == alt
+        assert r["ends_with_media"] == (kinds[-1] == "media")
+        assert r["keep"] == (
+            _M09_LO <= pm <= _M09_HI and best <= _M09_MAX_RUN
+        )
