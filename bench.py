@@ -102,7 +102,9 @@ HEADLINE = [
     "t27_mojibake_repair",
     "t28_pmi_collocations",
     "t29_shingle_novelty",
+    "t30_dsir_weights",
     "q49_salted_skew_join",
+    "q50_grouping_cube",
     "p01_metadata_patterns",
     "x01_extract_documents",
     "x16_contract_e2e",

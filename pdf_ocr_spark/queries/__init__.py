@@ -100,7 +100,7 @@ DRIVER_REGISTRY = [
     "m01_media_suite",
     "m03_frame_sample",
     # extended analytics
-    "q35_rollup_revenue",
+    "q35_grouping_suite",
     "t05_winnowing_fingerprints",
     "q36_melt_part_metrics",
     "x03_dedup_survivors",

@@ -583,3 +583,57 @@ def q49(spark, sf):
 
 
 q49.__doc__ = q49.__doc__.format(salts=_Q49_SALTS)
+
+
+# ---------------------------------------------------------------- q50
+@q(
+    "q50_grouping_cube",
+    oracle=f"""
+SELECT coalesce(l_returnflag, '<all>') AS rf,
+       coalesce(l_linestatus, '<all>') AS ls,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+       {sql_dsum_expr("l_quantity", 2)} AS sum_qty,
+       {sql_dsum_expr("l_extendedprice * (1 - l_discount)")} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q50(spark, sf):
+    """CUBE aggregation with per-column GROUPING flags — the other
+    half of the grouping-sets family (q35 covers ROLLUP; CUBE emits
+    every subset of the grouping keys, and GROUPING() disambiguates a
+    real NULL key from an aggregated-away one).  Sentinel-coalesced
+    keys + integer flags keep the value hash unambiguous.
+
+    Scale shape: Spark plans CUBE as one Expand (4 grouping sets x
+    input rows) feeding a single partial-aggregated Exchange on the
+    expanded keys — the standard trade; at 100 TB with many sets you
+    would pre-aggregate on the finest grain first and cube the
+    (tiny) aggregate instead."""
+    li = t(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "g_rf",
+            "g_ls",
+            "sum_qty",
+            "revenue",
+            "n_items",
+        )
+    )

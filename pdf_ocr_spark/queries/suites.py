@@ -770,6 +770,48 @@ def d06_suite(spark, sf):
     )
 
 
+# ====================================================== grouping sets
+@q(
+    "q35_grouping_suite",
+    oracle=f"""
+SELECT 'rollup' AS fam, region AS k1, nation AS k2,
+       CAST(-1 AS INTEGER) AS g1, CAST(-1 AS INTEGER) AS g2,
+       CAST(0.0 AS DOUBLE) AS sum_qty, revenue, n_items
+FROM {_sub(analytics_ext, "q35_rollup_revenue")} _r
+UNION ALL
+SELECT 'cube' AS fam, rf AS k1, ls AS k2, g_rf AS g1, g_ls AS g2,
+       sum_qty, revenue, n_items
+FROM {_sub(analytics_ext, "q50_grouping_cube")} _c
+""",
+)
+def q35_suite(spark, sf):
+    """Grouping-sets family as one tagged union: hierarchical ROLLUP
+    revenue (q35: region -> nation -> grand total) and the full CUBE
+    with GROUPING flags (q50) on a fixed
+    (fam, k1, k2, g1, g2, sum_qty, revenue, n_items) schema."""
+    r = analytics_ext.QUERIES["q35_rollup_revenue"](spark, sf).select(
+        F.lit("rollup").alias("fam"),
+        F.col("region").alias("k1"),
+        F.col("nation").alias("k2"),
+        F.lit(-1).cast("int").alias("g1"),
+        F.lit(-1).cast("int").alias("g2"),
+        F.lit(0.0).cast("double").alias("sum_qty"),
+        "revenue",
+        "n_items",
+    )
+    c = analytics_ext.QUERIES["q50_grouping_cube"](spark, sf).select(
+        F.lit("cube").alias("fam"),
+        F.col("rf").alias("k1"),
+        F.col("ls").alias("k2"),
+        F.col("g_rf").alias("g1"),
+        F.col("g_ls").alias("g2"),
+        "sum_qty",
+        "revenue",
+        "n_items",
+    )
+    return r.unionByName(c)
+
+
 # =========================================================== textstats
 @q(
     "t01_text_analysis_suite",
@@ -816,6 +858,8 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        CAST(COALESCE(t29.novelty_ppm, 1000000) AS BIGINT)
          AS novelty_ppm,
        COALESCE(t29.boilerplate, FALSE) AS nov_boiler,
+       t30.n_bigrams AS dsir_bigrams,
+       t30.log_iw_micro AS dsir_log_iw_micro, t30.dsir_keep,
        (t2.n_chars > t18.p50) AS above_median_len,
        (t2.keep = 1 AND t22.entropy_keep AND t11.c4_keep = 1
         AND t12.url_keep = 1 AND NOT COALESCE(t29.boilerplate, FALSE)
@@ -862,6 +906,7 @@ JOIN {_sub(textstats, "t26_quality_classifier")} t26
 JOIN {_sub(textstats, "t27_mojibake_repair")} t27 ON t27.doc_id = t1.doc_id
 LEFT JOIN {_sub(textstats, "t29_shingle_novelty")} t29
   ON t29.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t30_dsir_weights")} t30 ON t30.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -904,6 +949,8 @@ def t01_suite(spark, sf):
     duplicate-shingle novelty (t29: distinct/corpus-unique shingle
     counts + exact ppm ratio + boilerplate verdict; shingle-less docs
     coalesced to trivially-novel on both engines),
+    DSIR importance weights (t30: hashed-bigram target/raw log-ratio
+    in integer micro-nats, per-doc log importance weight + keep),
     and the composed curation funnel
     verdict (curation_keep = every filter
     stage passes;
@@ -982,6 +1029,12 @@ def t01_suite(spark, sf):
         "novelty_ppm",
         F.col("boilerplate").alias("nov_boiler"),
     )
+    t30 = textstats.QUERIES["t30_dsir_weights"](spark, sf).select(
+        "doc_id",
+        F.col("n_bigrams").alias("dsir_bigrams"),
+        F.col("log_iw_micro").alias("dsir_log_iw_micro"),
+        "dsir_keep",
+    )
     t17 = (
         textstats.QUERIES["t17_chunk_overlap"](spark, sf)
         .groupBy("doc_id")
@@ -1034,6 +1087,7 @@ def t01_suite(spark, sf):
         .join(t26, "doc_id")
         .join(t27, "doc_id")
         .join(t29, "doc_id", "left")
+        .join(t30, "doc_id")
         .withColumn(
             "nov_shingles",
             F.coalesce("nov_shingles", F.lit(0)).cast("long"),

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .base import SQL_NORM_HASH, norm_hash, spread, t
-from .dedup import SQL_TOKENS, _tokens
+from .dedup import SQL_TOKENS, _h32, _tokens, sql_h32
 
 QUERIES = {}
 ORACLE = {}
@@ -2818,3 +2818,143 @@ def t29(spark, sf):
 
 
 t29.__doc__ = t29.__doc__.format(thr=_T29_BOILER_PPM // 10_000)
+
+
+# ---------------------------------------------------------------- t30
+# DSIR importance weighting (public: Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): hashed-bigram bag
+# features, a target distribution estimated from an in-corpus target
+# slice (here lang='en', the majority slice) and a raw distribution
+# from the whole corpus, per-bucket log-ratio weights, and per-doc
+# log importance weight = sum of its bigrams' bucket weights.  The
+# log-ratio freezes to integer MICRO-nats per bucket (t14's pattern:
+# round(ln(.)*1e6) on identically-constructed doubles) BEFORE the
+# per-doc sum, so the doc-grain aggregation is exact integer math in
+# both engines.
+_T30_B = 1024  # hashed feature buckets (DSIR uses 10^4; small corpus)
+
+_T30_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {SQL_TOKENS} AS tk FROM documents
+),
+bg AS (
+  SELECT doc_id, lang,
+         {sql_h32("tk[j - 1] || ' ' || tk[j]")} % {_T30_B} AS b
+  FROM tok, unnest(generate_series(2, len(tk))) AS u(j)
+),
+cnt AS (
+  SELECT b,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_t,
+         CAST(count(*) AS BIGINT) AS n_r
+  FROM bg GROUP BY b
+),
+tot AS (SELECT sum(n_t) AS tt, sum(n_r) AS tr FROM cnt),
+w AS (
+  SELECT b,
+         CAST(round((ln((n_t + 1.0) / (tt + {_T30_B}.0))
+                   - ln((n_r + 1.0) / (tr + {_T30_B}.0))) * 1000000)
+              AS BIGINT) AS w_micro
+  FROM cnt, tot
+),
+score AS (
+  SELECT bg.doc_id,
+         CAST(count(*) AS INTEGER) AS n_bigrams,
+         CAST(sum(w.w_micro) AS BIGINT) AS log_iw_micro
+  FROM bg JOIN w USING (b)
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+       CAST(COALESCE(s.log_iw_micro, 0) AS BIGINT) AS log_iw_micro,
+       COALESCE(s.log_iw_micro, 0) > 0 AS dsir_keep
+FROM documents d LEFT JOIN score s ON s.doc_id = d.doc_id
+"""
+
+
+@q("t30_dsir_weights", oracle=_T30_ORACLE)
+def t30(spark, sf):
+    """DSIR importance weights: hashed-bigram features, per-bucket
+    target/raw log-ratio in integer micro-nats, per-doc log importance
+    weight and the keep verdict (weight > 0, i.e. more target-like
+    than raw).
+
+    Scale shape: the bucket-count aggregate collapses the bigram
+    stream to {b} rows with map-side partials (one tiny Exchange);
+    the weight table is <= {b} rows — BROADCAST back onto the bigram
+    stream, so scoring adds no shuffle of its own; the per-doc sum
+    partial-aggregates map-side (a doc's bigrams are produced inside
+    its input partition, so most rows collapse before the doc_id
+    Exchange).  Two scans of the corpus total — at 100 TB you keep it
+    that way rather than persisting a corpus-sized bigram stream."""
+    toks = t(spark, sf, "documents").select(
+        "doc_id", "lang", _tokens().alias("tk")
+    )
+    bg = toks.filter(F.size("tk") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr("sequence(2, size(tk))")).alias("j"),
+        F.col("tk"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            _h32(
+                F.concat(
+                    F.expr("element_at(tk, j - 1)"),
+                    F.lit(" "),
+                    F.expr("element_at(tk, j)"),
+                )
+            )
+            % _T30_B
+        ).alias("b"),
+    )
+    cnt = bg.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.count("*").cast("long").alias("n_r"),
+    )
+    tot = cnt.agg(
+        F.sum("n_t").alias("tt"), F.sum("n_r").alias("tr")
+    )
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("n_t") + 1.0) / (F.col("tt") + float(_T30_B)))
+                - F.log(
+                    (F.col("n_r") + 1.0) / (F.col("tr") + float(_T30_B))
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    score = (
+        bg.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.sum("w_micro").cast("long").alias("log_iw_micro"),
+        )
+    )
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id")
+        .join(score, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("int").alias(
+                "n_bigrams"
+            ),
+            F.coalesce("log_iw_micro", F.lit(0)).cast("long").alias(
+                "log_iw_micro"
+            ),
+            (F.coalesce("log_iw_micro", F.lit(0)) > 0).alias("dsir_keep"),
+        )
+    )
+
+
+t30.__doc__ = t30.__doc__.format(b=_T30_B)

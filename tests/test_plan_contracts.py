@@ -190,3 +190,57 @@ def test_v09_history_narrows_the_outer_join_per_arm(spark):
     assert "FullOuter" not in joins, joins
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_m09_profile_is_scan_local(spark):
+    """m09 claims ZERO Exchange: the whole interleave profile is array
+    higher-order functions inside the document row."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["m09_interleave_profile"](spark, SF))
+    assert _exchanges(plan) == [], _exchanges(plan)
+    assert "BroadcastExchange" not in plan
+
+
+def test_m08_pairing_windows_only_media_grain(spark):
+    """m08 claims zero JOIN shuffles: the only Exchanges are the two
+    window sorts (hashpartitioning), with no join operator anywhere
+    and the rank-1 filter pushed map-side as WindowGroupLimit."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["m08_caption_pair"](spark, SF))
+    kinds = _exchanges(plan)
+    assert len(kinds) == 2 and all(
+        k.startswith("hashpartitioning") for k in kinds
+    ), kinds
+    assert "Join" not in plan, "m08 must not join a sentence relation"
+    assert "WindowGroupLimit" in plan
+
+
+def test_t30_scoring_broadcasts_the_weight_table(spark):
+    """t30 claims the <=1024-row weight table broadcasts onto the
+    bigram stream: the scoring join must be a BroadcastHashJoin, and
+    the big side must never hash-shuffle for a join (the only
+    hashpartitioning Exchanges are the two aggregates: bucket counts
+    and the per-doc sum)."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["t30_dsir_weights"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or plan.count(
+        "SortMergeJoin"
+    ) <= 1  # the final doc_id reattach may sort-merge; scoring may not
+    assert "CartesianProduct" not in plan
+
+
+def test_q50_cube_is_one_expand_one_exchange(spark):
+    """q50 claims Spark's standard grouping-sets shape: one Expand
+    feeding one partial-aggregated Exchange."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["q50_grouping_cube"](spark, SF))
+    assert plan.count("Expand") >= 1
+    kinds = _exchanges(plan)
+    assert len(kinds) == 1 and kinds[0].startswith(
+        "hashpartitioning"
+    ), kinds

@@ -1366,3 +1366,73 @@ def test_t29_novelty_matches_counter_reference(spark, tmp_path):
         assert r["boilerplate"] == (r["novelty_ppm"] < 200_000), d
     assert rows[0]["n_novel"] == 0 and rows[0]["boilerplate"]
     assert rows[3]["novelty_ppm"] == 1_000_000
+
+
+def test_t30_dsir_matches_math_reference(spark, tmp_path):
+    """t30: hashed-bigram buckets, the frozen micro-nat log-ratio
+    weights, and the per-doc importance sums match a hashlib+math
+    Python reference (target slice = lang='en')."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.textstats import _T30_B, QUERIES
+
+    texts = [
+        "the cat sat on the mat and the cat ran",          # en
+        "der hund lief durch den wald und der hund",       # de
+        "the dog ran through the park and the dog sat",    # en
+        "one",                                             # 1 token: no bigrams
+    ]
+    langs = ["en", "de", "en", "en"]
+    pd.DataFrame(
+        {"doc_id": range(4), "lang": langs, "text": texts}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    def buckets(text):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        return [
+            int(
+                hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16
+            )
+            % _T30_B
+            for a, b in zip(toks, toks[1:])
+        ]
+
+    per_doc = [buckets(s) for s in texts]
+    n_t, n_r = Counter(), Counter()
+    for bs, lang in zip(per_doc, langs):
+        n_r.update(bs)
+        if lang == "en":
+            n_t.update(bs)
+    tt, tr = sum(n_t.values()), sum(n_r.values())
+    w = {
+        b: round(
+            (
+                math.log((n_t.get(b, 0) + 1.0) / (tt + _T30_B))
+                - math.log((n_r[b] + 1.0) / (tr + _T30_B))
+            )
+            * 1_000_000
+        )
+        for b in n_r
+    }
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["t30_dsir_weights"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(rows) == 4
+    for d, bs in enumerate(per_doc):
+        exp = sum(w[b] for b in bs)
+        r = rows[d]
+        assert r["n_bigrams"] == len(bs), d
+        assert r["log_iw_micro"] == exp, d
+        assert r["dsir_keep"] == (exp > 0), d
+    # the target-slice docs must score above the off-target one
+    assert rows[0]["log_iw_micro"] > rows[1]["log_iw_micro"]
+    assert rows[3]["n_bigrams"] == 0 and not rows[3]["dsir_keep"]

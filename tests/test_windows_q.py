@@ -253,3 +253,46 @@ def test_q49_salted_join_equals_plain_and_salts_the_key(spark):
         .count()
     )
     assert li_salts == _Q49_SALTS
+
+
+def test_q50_cube_matches_decimal_reference(spark):
+    """q50: every CUBE cell (including the three aggregated margins
+    and the grand total) matches a Decimal-exact Python reference,
+    and the GROUPING flags mark exactly the aggregated-away keys."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import duckdb
+
+    from pdf_ocr_spark.queries.analytics_ext import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["q50_grouping_cube"](spark, sf).collect()
+
+    src = duckdb.sql(
+        f"SELECT l_returnflag, l_linestatus, l_quantity,"
+        f" l_extendedprice, l_discount FROM '{sf}/lineitem.parquet'"
+    ).fetchall()
+    agg = defaultdict(lambda: [Decimal(0), Decimal(0), 0])
+    for rf, ls, qty, px, disc in src:
+        q2 = Decimal(str(qty)).quantize(Decimal("0.01"))
+        rev = Decimal(str(px * (1 - disc))).quantize(
+            Decimal("0.000001")
+        )
+        for key in [(rf, ls), (rf, None), (None, ls), (None, None)]:
+            a = agg[key]
+            a[0] += q2
+            a[1] += rev
+            a[2] += 1
+    assert len(rows) == len(agg)
+    for r in rows:
+        key = (
+            None if r["g_rf"] else r["rf"],
+            None if r["g_ls"] else r["ls"],
+        )
+        exp = agg[key]
+        assert (r["rf"] == "<all>") == bool(r["g_rf"])
+        assert (r["ls"] == "<all>") == bool(r["g_ls"])
+        assert r["sum_qty"] == float(exp[0]), key
+        assert r["revenue"] == float(exp[1]), key
+        assert r["n_items"] == exp[2], key
