@@ -105,6 +105,9 @@ HEADLINE = [
     "t30_dsir_weights",
     "q49_salted_skew_join",
     "q50_grouping_cube",
+    "s15_colbert_maxsim",
+    "v12_benford_audit",
+    "x18_interleaved_pairs",
     "p01_metadata_patterns",
     "x01_extract_documents",
     "x16_contract_e2e",

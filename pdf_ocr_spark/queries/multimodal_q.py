@@ -849,3 +849,52 @@ def m09(spark, sf):
             f" AND {run} <= {_M09_MAX_RUN}"
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------- x18
+# Composed interleaved image-text pair export — the end product of the
+# multimodal curation funnel (what LAION/MMC4-style pair datasets ship):
+# keep only documents that pass the m09 structural gate, then emit
+# their m08-kept caption pairs as the training-pairs table.  The
+# oracle composes the two member oracles (each independently
+# hash-green) through the identical keep/kept algebra, so the export
+# is value-hash-pinned end to end.
+_X18_ORACLE = f"""
+WITH pairs AS (
+{_M08_ORACLE}
+),
+gate AS (
+{_M09_ORACLE}
+)
+SELECT p.doc_id, p.media_ref, p.sent_seq, p.caption, p.score_milli,
+       g.media_permille
+FROM pairs p JOIN gate g ON g.doc_id = p.doc_id
+WHERE p.kept AND g.keep
+"""
+
+
+@q("x18_interleaved_pairs", oracle=_X18_ORACLE)
+def x18(spark, sf):
+    """Interleaved image-text pair export: m09's structural gate
+    (density band, no media walls) semi-joined onto m08's kept caption
+    pairs — the composed pair-dataset product.
+
+    Scale shape: both sides are doc/media-grain relations (tiny
+    fractions of corpus bytes); the compose is ONE doc_id equi-join.
+    The media_permille column rides along so downstream mixture
+    sampling can stratify pairs by document media density without
+    re-deriving the profile."""
+    pairs = QUERIES["m08_caption_pair"](spark, sf).filter(F.col("kept"))
+    gate = (
+        QUERIES["m09_interleave_profile"](spark, sf)
+        .filter(F.col("keep"))
+        .select("doc_id", "media_permille")
+    )
+    return pairs.join(gate, "doc_id").select(
+        "doc_id",
+        "media_ref",
+        "sent_seq",
+        "caption",
+        "score_milli",
+        "media_permille",
+    )

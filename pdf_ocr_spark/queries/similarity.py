@@ -1474,3 +1474,115 @@ def s14(spark, sf):
 
 
 s14.__doc__ = s14.__doc__.format(p=_S14_PREFIX, m=_S14_SHORTLIST)
+
+
+# ---------------------------------------------------------------- s15
+# Late-interaction retrieval scoring (public: ColBERT, Khattab &
+# Zaharia 2020): MaxSim — for each query token take the MAX dot
+# product against any document token, sum the maxima.  Per-token
+# "embeddings" are md5-derived int8 vectors (dim 8, components in
+# -7..8 — the m01 deterministic-fake pattern: with a real encoder
+# only the vector column becomes an Arrow-batched pandas UDF).  The
+# QUERY-side vectors are computed once at import time with hashlib
+# and baked into both engines' expressions as integer literals, so
+# the whole score is exact integer math with zero query-side joins.
+_S15_QUERY = ("table", "scan", "merge", "stream")
+_S15_DIM = 8
+_S15_DOC_TOKS = 32  # ColBERT-style doc-token cap
+
+
+def _s15_qvec(tok: str) -> list[int]:
+    import hashlib
+
+    h = hashlib.md5(tok.encode()).hexdigest()
+    return [int(h[d], 16) - 7 for d in range(_S15_DIM)]
+
+
+def _s15_dot_spark(qv: list[int]) -> str:
+    """Unrolled Spark SQL dot(query_literal, md5-vec of column tok)."""
+    return " + ".join(
+        f"{qv[d]} * (CAST(conv(substring(md5(tok), {d + 1}, 1), 16, 10)"
+        f" AS INT) - 7)"
+        for d in range(_S15_DIM)
+    )
+
+
+def _s15_dot_sql(qv: list[int]) -> str:
+    return " + ".join(
+        f"{qv[d]} * ((('0x' || substr(md5(tok), {d + 1}, 1))::INT) - 7)"
+        for d in range(_S15_DIM)
+    )
+
+
+_S15_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_slice(
+           regexp_extract_all(lower(text), '[a-z0-9]+'),
+           1, {_S15_DOC_TOKS})) AS tk
+  FROM documents
+),
+dt AS (SELECT doc_id, u.tok FROM toks, unnest(tk) AS u(tok)),
+dots AS (
+  SELECT doc_id,
+         {", ".join(
+             f"({_s15_dot_sql(_s15_qvec(qt))}) AS d{i}"
+             for i, qt in enumerate(_S15_QUERY)
+         )}
+  FROM dt
+)
+SELECT doc_id,
+       {", ".join(f"CAST(max(d{i}) AS INTEGER) AS m{i}"
+                  for i in range(len(_S15_QUERY)))},
+       CAST({" + ".join(f"max(d{i})" for i in range(len(_S15_QUERY)))}
+            AS INTEGER) AS maxsim
+FROM dots GROUP BY doc_id
+"""
+
+
+@q("s15_colbert_maxsim", oracle=_S15_ORACLE)
+def s15(spark, sf):
+    """ColBERT MaxSim late-interaction scoring: per query token the
+    max dot product over the document's (first {n}, deduped) tokens,
+    summed — emitted per doc with the per-query-token maxima.
+
+    Scale shape: the query vectors are integer LITERALS folded into
+    the projection (no query relation, no join, no broadcast); the
+    per-token dots are scan-local; the only Exchange is the single
+    doc_id aggregate, which partial-aggregates map-side because a
+    doc's tokens never leave its input partition.  dedup-before-
+    explode (array_distinct) is safe: max over distinct values equals
+    max over all occurrences."""
+    dt = t(spark, sf, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(slice(regexp_extract_all(lower(text),"
+                f" '[a-z0-9]+', 0), 1, {_S15_DOC_TOKS}))"
+            )
+        ).alias("tok"),
+    )
+    dots = dt.select(
+        "doc_id",
+        *[
+            F.expr(_s15_dot_spark(_s15_qvec(qt))).alias(f"d{i}")
+            for i, qt in enumerate(_S15_QUERY)
+        ],
+    )
+    aggs = [
+        F.max(f"d{i}").cast("int").alias(f"m{i}")
+        for i in range(len(_S15_QUERY))
+    ]
+    return dots.groupBy("doc_id").agg(*aggs).select(
+        "doc_id",
+        *[f"m{i}" for i in range(len(_S15_QUERY))],
+        sum(
+            [F.col(f"m{i}") for i in range(len(_S15_QUERY))],
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("maxsim"),
+    )
+
+
+s15.__doc__ = s15.__doc__.format(n=_S15_DOC_TOKS)

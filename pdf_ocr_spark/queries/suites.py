@@ -521,6 +521,10 @@ FROM {_sub(similarity, "s13_kcenter_coreset")} _m
 UNION ALL
 SELECT 'mrl', vec_id, 0, 0, cosine
 FROM {_sub(similarity, "s14_mrl_rerank")} _n
+UNION ALL
+SELECT 'maxsim', doc_id, CAST(m0 AS BIGINT), CAST(m1 AS BIGINT),
+       CAST(maxsim AS DOUBLE)
+FROM {_sub(similarity, "s15_colbert_maxsim")} _o
 """,
 )
 def s01_suite(spark, sf):
@@ -546,7 +550,10 @@ def s01_suite(spark, sf):
     coverage radius, score = final micro distance to the selected
     set), and Matryoshka two-stage search (s14: prefix-dim coarse
     pass -> shortlist -> full-dim re-rank; score = final cosine; the
-    coarse score rides the fine-grained twin) —
+    coarse score rides the fine-grained twin), and ColBERT MaxSim
+    late-interaction scoring (s15: aux1/aux2 = the first two
+    per-query-token maxima, score = the MaxSim sum; all four maxima
+    ride the fine-grained twin) —
     tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -649,12 +656,19 @@ def s01_suite(spark, sf):
         F.lit(0).cast("long").alias("aux2"),
         F.col("cosine").alias("score"),
     )
+    o = similarity.QUERIES["s15_colbert_maxsim"](spark, sf).select(
+        F.lit("maxsim").alias("fam"),
+        F.col("doc_id").alias("id"),
+        F.col("m0").cast("long").alias("aux1"),
+        F.col("m1").cast("long").alias("aux2"),
+        F.col("maxsim").cast("double").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
         .unionByName(h).unionByName(i).unionByName(j)
         .unionByName(k).unionByName(ll).unionByName(m)
-        .unionByName(n)
+        .unionByName(n).unionByName(o)
     )
 
 
@@ -1372,6 +1386,17 @@ SELECT 'q48_layout', CAST(bucket AS VARCHAR),
        (min_x // 16 = max_x // 16 AND min_y // 16 = max_y // 16)
 FROM {_sub(analytics_ext, "q48_zorder_layout")} _f
 UNION ALL
+SELECT 'v12_benford', col_name || '#' || CAST(digit AS VARCHAR),
+       CAST(obs_ppm AS VARCHAR) || '#' || CAST(exp_ppm AS VARCHAR)
+         || '#' || CAST(chi2_micro AS VARCHAR),
+       cnt, conforms
+FROM {_sub(validation_q, "v12_benford_audit")} _v12
+UNION ALL
+SELECT 'x18_pair', media_ref,
+       caption || '#' || CAST(media_permille AS VARCHAR),
+       CAST(score_milli AS BIGINT), true
+FROM {_sub(multimodal_q, "x18_interleaved_pairs")} _x18
+UNION ALL
 SELECT 'x17_shard', CAST(doc_id AS VARCHAR),
        lang || '#' || bin, n_tok, true
 FROM (
@@ -1540,11 +1565,35 @@ def v01_suite(spark, sf):
         F.col("n_tok").alias("n"),
         F.lit(True).alias("ok"),
     )
+    v12 = validation_q.QUERIES["v12_benford_audit"](spark, sf).select(
+        F.lit("v12_benford").alias("fam"),
+        F.concat_ws(
+            "#", "col_name", F.col("digit").cast("string")
+        ).alias("key"),
+        F.concat_ws(
+            "#",
+            F.col("obs_ppm").cast("string"),
+            F.col("exp_ppm").cast("string"),
+            F.col("chi2_micro").cast("string"),
+        ).alias("info"),
+        F.col("cnt").alias("n"),
+        F.col("conforms").alias("ok"),
+    )
+    x18 = multimodal_q.QUERIES["x18_interleaved_pairs"](spark, sf).select(
+        F.lit("x18_pair").alias("fam"),
+        F.col("media_ref").alias("key"),
+        F.concat_ws(
+            "#", "caption", F.col("media_permille").cast("string")
+        ).alias("info"),
+        F.col("score_milli").cast("long").alias("n"),
+        F.lit(True).alias("ok"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(v6).unionByName(v7)
         .unionByName(v8).unionByName(v9).unionByName(v10)
         .unionByName(v11).unionByName(f).unionByName(g)
+        .unionByName(v12).unionByName(x18)
     )
 
 

@@ -1014,3 +1014,144 @@ def v11(spark, sf):
         (F.col("ver_from") <= 1)
         & ((F.col("ver_to") == 0) | (F.col("ver_to") > 1))
     ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+# ---------------------------------------------------------------- v12
+# Benford's-law anomaly audit (public: Benford 1938; standard in data
+# forensics / Deequ-adjacent quality stacks): the leading-digit
+# distribution of a naturally-ranging numeric column follows
+# p(d) = log10(1 + 1/d); a column that deviates (uniform ranges,
+# capped enumerations, fabricated values) flags for review.  The
+# expected probabilities are Python-computed integer PPM constants
+# baked into BOTH engines, and the deviation statistic is an exact
+# integer chi-square in ppm units — no libm at query time.  Two
+# audited columns keep both verdict branches live: l_extendedprice
+# (wide dynamic range, conforms) and l_quantity (uniform 1..50,
+# violates).
+_V12_EXP_PPM = (
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+)
+_V12_CHI2_MAX = 100_000  # micro chi-square conformity threshold
+
+_V12_CASE_SQL = ", ".join(
+    f"({p})" for p in _V12_EXP_PPM
+)
+
+_V12_ORACLE = f"""
+WITH vals AS (
+  SELECT col_name, CAST(floor(v) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(['price', 'quantity']) AS col_name,
+           unnest([l_extendedprice, CAST(l_quantity AS DOUBLE)]) AS v
+    FROM lineitem)
+  WHERE v >= 1
+),
+digits AS (
+  SELECT col_name,
+         CAST(n // CAST(pow(10, length(CAST(n AS VARCHAR)) - 1)
+                        AS BIGINT) AS INTEGER) AS digit
+  FROM vals
+),
+spine AS (
+  SELECT c.col_name, d.digit
+  FROM (SELECT unnest(['price', 'quantity']) AS col_name) c,
+       (SELECT unnest(generate_series(1, 9)) AS digit) d
+),
+cnt AS (
+  SELECT s.col_name, s.digit,
+         CAST(COALESCE(g.cnt, 0) AS BIGINT) AS cnt
+  FROM spine s
+  LEFT JOIN (SELECT col_name, digit, count(*) AS cnt
+             FROM digits GROUP BY col_name, digit) g
+    ON g.col_name = s.col_name AND g.digit = s.digit
+),
+ppm AS (
+  SELECT col_name, digit, cnt,
+         sum(cnt) OVER (PARTITION BY col_name) AS n_col,
+         (cnt * 1000000) // sum(cnt) OVER (PARTITION BY col_name)
+           AS obs_ppm,
+         ([{_V12_CASE_SQL}])[digit] AS exp_ppm
+  FROM cnt
+)
+SELECT col_name, digit, cnt, CAST(obs_ppm AS BIGINT) AS obs_ppm,
+       CAST(exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm)
+              OVER (PARTITION BY col_name) AS BIGINT) AS chi2_micro,
+       sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm)
+         OVER (PARTITION BY col_name) <= {_V12_CHI2_MAX} AS conforms
+FROM ppm
+"""
+
+
+@q("v12_benford_audit", oracle=_V12_ORACLE)
+def v12(spark, sf):
+    """Benford leading-digit audit: per (column, digit 1..9) the
+    observed count and exact obs/exp ppm, plus the per-column integer
+    chi-square and the conformity verdict.
+
+    Scale shape: ONE scan of the fact table stacked to (col, value)
+    long form JVM-side, one partial-aggregated Exchange on
+    (col, digit) — 18 output groups regardless of input size — then a
+    broadcast-sized spine join and window over 9-row partitions.
+    Everything after the first aggregate touches 18 rows."""
+    from pyspark.sql import Window as W, functions as F
+
+    li = t(spark, sf, "lineitem")
+    vals = li.select(
+        F.expr(
+            "stack(2, 'price', l_extendedprice,"
+            " 'quantity', CAST(l_quantity AS DOUBLE))"
+        ).alias("col_name", "v")
+    ).filter(F.col("v") >= 1)
+    digits = vals.select(
+        "col_name",
+        F.expr(
+            "CAST(CAST(floor(v) AS BIGINT) div CAST(pow(10,"
+            " length(CAST(CAST(floor(v) AS BIGINT) AS STRING)) - 1)"
+            " AS BIGINT) AS INT)"
+        ).alias("digit"),
+    )
+    g = digits.groupBy("col_name", "digit").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    spine = (
+        t(spark, sf, "lineitem")
+        .sparkSession.range(1)
+        .select(
+            F.explode(F.array(F.lit("price"), F.lit("quantity"))).alias(
+                "col_name"
+            )
+        )
+        .select("col_name", F.explode(F.expr("sequence(1, 9)")).alias("digit"))
+    )
+    exp_arr = "array" + str(_V12_EXP_PPM)
+    cnt = spine.join(g, ["col_name", "digit"], "left").select(
+        "col_name",
+        "digit",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+    )
+    w = W.partitionBy("col_name")
+    ppm = cnt.select(
+        "col_name",
+        "digit",
+        "cnt",
+        F.expr(
+            f"(cnt * 1000000) div sum(cnt) OVER"
+            f" (PARTITION BY col_name)"
+        ).alias("obs_ppm"),
+        F.expr(f"element_at({exp_arr}, digit)").cast("long").alias(
+            "exp_ppm"
+        ),
+    )
+    chi = F.sum(
+        F.expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm")
+    ).over(w)
+    return ppm.select(
+        "col_name",
+        "digit",
+        "cnt",
+        F.col("obs_ppm").cast("long"),
+        "exp_ppm",
+        chi.cast("long").alias("chi2_micro"),
+        (chi <= _V12_CHI2_MAX).alias("conforms"),
+    )

@@ -274,3 +274,32 @@ def test_m09_interleave_profile_reference(spark, ilv_docs):
         assert r["keep"] == (
             _M09_LO <= pm <= _M09_HI and best <= _M09_MAX_RUN
         )
+
+
+def test_x18_pairs_compose_gate_and_kept(spark, ilv_docs):
+    """x18: exactly the m08-kept pairs of m09-kept documents, with the
+    document's media_permille riding along."""
+    sf, _ = ilv_docs
+    from pdf_ocr_spark.queries.multimodal_q import QUERIES
+
+    pairs = {
+        (r["doc_id"], r["media_ref"]): r
+        for r in QUERIES["m08_caption_pair"](spark, sf).collect()
+    }
+    gate = {
+        r["doc_id"]: r
+        for r in QUERIES["m09_interleave_profile"](spark, sf).collect()
+    }
+    out = QUERIES["x18_interleaved_pairs"](spark, sf).collect()
+    expected = {
+        k for k, r in pairs.items() if r["kept"] and gate[k[0]]["keep"]
+    }
+    assert {(r["doc_id"], r["media_ref"]) for r in out} == expected
+    for r in out:
+        p = pairs[(r["doc_id"], r["media_ref"])]
+        assert (r["caption"], r["score_milli"]) == (
+            p["caption"],
+            p["score_milli"],
+        )
+        assert r["media_permille"] == gate[r["doc_id"]]["media_permille"]
+    assert out, "fixture must keep at least one pair"

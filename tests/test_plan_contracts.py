@@ -244,3 +244,18 @@ def test_q50_cube_is_one_expand_one_exchange(spark):
     assert len(kinds) == 1 and kinds[0].startswith(
         "hashpartitioning"
     ), kinds
+
+
+def test_s15_maxsim_has_no_query_join(spark):
+    """s15 claims the query vectors fold into the projection as
+    literals: no join, no broadcast, exactly one doc_id aggregate
+    Exchange."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["s15_colbert_maxsim"](spark, SF))
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
+    kinds = _exchanges(plan)
+    assert len(kinds) == 1 and kinds[0].startswith(
+        "hashpartitioning"
+    ), kinds

@@ -545,3 +545,58 @@ def test_s14_mrl_matches_numpy_reference(spark, tmp_path):
         assert abs(r["coarse"] - coarse[r["vec_id"]]) < 1e-9
         assert abs(r["cosine"] - full[r["vec_id"]]) < 1e-9
     assert 1 in short and 1 not in top10
+
+
+def test_s15_maxsim_matches_hashlib_reference(spark, tmp_path):
+    """s15: per-query-token maxima and the MaxSim sum match a pure
+    hashlib reference, including the 32-token cap and dedup."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.similarity import (
+        _S15_DIM,
+        _S15_DOC_TOKS,
+        _S15_QUERY,
+        _s15_qvec,
+        QUERIES,
+    )
+
+    texts = [
+        "table scan merge stream table table filter join",
+        "completely unrelated words here nothing shared at all",
+        " ".join(f"tok{i}" for i in range(50)) + " table",  # cap cuts 'table'
+    ]
+    pd.DataFrame(
+        {"doc_id": range(3), "lang": ["en"] * 3, "text": texts}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    def vec(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return [int(h[d], 16) - 7 for d in range(_S15_DIM)]
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["s15_colbert_maxsim"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for d, text in enumerate(texts):
+        toks = []
+        for tk in re.findall(r"[a-z0-9]+", text.lower())[:_S15_DOC_TOKS]:
+            if tk not in toks:
+                toks.append(tk)
+        exp_m = [
+            max(
+                sum(q * v for q, v in zip(_s15_qvec(qt), vec(tk)))
+                for tk in toks
+            )
+            for qt in _S15_QUERY
+        ]
+        r = rows[d]
+        for i, m in enumerate(exp_m):
+            assert r[f"m{i}"] == m, (d, i)
+        assert r["maxsim"] == sum(exp_m), d
+    # doc 2's late 'table' token must be cut by the 32-token cap
+    assert rows[2]["maxsim"] < rows[0]["maxsim"]

@@ -358,3 +358,51 @@ def test_v11_time_travel_reconstructs_old_snapshot(spark):
         for r in QUERIES["v11_time_travel"](spark, sf).collect()
     }
     assert got == exp
+
+
+def test_v12_benford_matches_counter_reference(spark):
+    """v12: leading-digit counts, exact ppm shares, and the integer
+    chi-square match a Counter reference; price conforms while the
+    uniform quantity column violates."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from pdf_ocr_spark.queries.validation_q import (
+        _V12_CHI2_MAX,
+        _V12_EXP_PPM,
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = duckdb.sql(
+        f"SELECT l_extendedprice, l_quantity FROM '{sf}/lineitem.parquet'"
+    ).fetchall()
+    exp = {}
+    for col, idx in (("price", 0), ("quantity", 1)):
+        c = Counter(
+            int(str(int(math.floor(v[idx])))[0])
+            for v in src
+            if v[idx] >= 1
+        )
+        n = sum(c.values())
+        obs = {d: c.get(d, 0) * 1_000_000 // n for d in range(1, 10)}
+        chi = sum(
+            (obs[d] - _V12_EXP_PPM[d - 1]) ** 2 // _V12_EXP_PPM[d - 1]
+            for d in range(1, 10)
+        )
+        exp[col] = (c, obs, chi)
+
+    rows = QUERIES["v12_benford_audit"](spark, sf).collect()
+    assert len(rows) == 18
+    for r in rows:
+        c, obs, chi = exp[r["col_name"]]
+        assert r["cnt"] == c.get(r["digit"], 0)
+        assert r["obs_ppm"] == obs[r["digit"]]
+        assert r["exp_ppm"] == _V12_EXP_PPM[r["digit"] - 1]
+        assert r["chi2_micro"] == chi
+        assert r["conforms"] == (chi <= _V12_CHI2_MAX)
+    assert {r["conforms"] for r in rows if r["col_name"] == "quantity"} == {
+        False
+    }
