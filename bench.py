@@ -103,6 +103,7 @@ HEADLINE = [
     "t28_pmi_collocations",
     "t29_shingle_novelty",
     "t30_dsir_weights",
+    "t31_texttiling",
     "q49_salted_skew_join",
     "q50_grouping_cube",
     "s15_colbert_maxsim",

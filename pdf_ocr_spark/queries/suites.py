@@ -874,6 +874,9 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        COALESCE(t29.boilerplate, FALSE) AS nov_boiler,
        t30.n_bigrams AS dsir_bigrams,
        t30.log_iw_micro AS dsir_log_iw_micro, t30.dsir_keep,
+       CAST(COALESCE(t31.n_gaps, 0) AS INTEGER) AS tt_gaps,
+       CAST(COALESCE(t31.n_bounds, 0) AS INTEGER) AS tt_bounds,
+       CAST(COALESCE(t31.n_bounds, 0) + 1 AS INTEGER) AS tt_segments,
        (t2.n_chars > t18.p50) AS above_median_len,
        (t2.keep = 1 AND t22.entropy_keep AND t11.c4_keep = 1
         AND t12.url_keep = 1 AND NOT COALESCE(t29.boilerplate, FALSE)
@@ -921,6 +924,11 @@ JOIN {_sub(textstats, "t27_mojibake_repair")} t27 ON t27.doc_id = t1.doc_id
 LEFT JOIN {_sub(textstats, "t29_shingle_novelty")} t29
   ON t29.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t30_dsir_weights")} t30 ON t30.doc_id = t1.doc_id
+LEFT JOIN (SELECT doc_id, count(*) AS n_gaps,
+                  sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+                    AS n_bounds
+           FROM {_sub(textstats, "t31_texttiling")} _t31
+           GROUP BY doc_id) t31 ON t31.doc_id = t1.doc_id
 """,
 )
 def t01_suite(spark, sf):
@@ -965,6 +973,8 @@ def t01_suite(spark, sf):
     coalesced to trivially-novel on both engines),
     DSIR importance weights (t30: hashed-bigram target/raw log-ratio
     in integer micro-nats, per-doc log importance weight + keep),
+    and the TextTiling rollup (t31: gap/boundary/segment counts per
+    doc; the gap grain is the fine-grained twin),
     and the composed curation funnel
     verdict (curation_keep = every filter
     stage passes;
@@ -1049,6 +1059,16 @@ def t01_suite(spark, sf):
         F.col("log_iw_micro").alias("dsir_log_iw_micro"),
         "dsir_keep",
     )
+    t31 = (
+        textstats.QUERIES["t31_texttiling"](spark, sf)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("tt_gaps"),
+            F.sum(F.when(F.col("is_boundary"), 1).otherwise(0))
+            .cast("int")
+            .alias("tt_bounds"),
+        )
+    )
     t17 = (
         textstats.QUERIES["t17_chunk_overlap"](spark, sf)
         .groupBy("doc_id")
@@ -1102,6 +1122,14 @@ def t01_suite(spark, sf):
         .join(t27, "doc_id")
         .join(t29, "doc_id", "left")
         .join(t30, "doc_id")
+        .join(t31, "doc_id", "left")
+        .withColumn("tt_gaps", F.coalesce("tt_gaps", F.lit(0)).cast("int"))
+        .withColumn(
+            "tt_bounds", F.coalesce("tt_bounds", F.lit(0)).cast("int")
+        )
+        .withColumn(
+            "tt_segments", (F.col("tt_bounds") + 1).cast("int")
+        )
         .withColumn(
             "nov_shingles",
             F.coalesce("nov_shingles", F.lit(0)).cast("long"),

@@ -2958,3 +2958,103 @@ def t30(spark, sf):
 
 
 t30.__doc__ = t30.__doc__.format(b=_T30_B)
+
+
+# ---------------------------------------------------------------- t31
+# TextTiling topic segmentation (public: Hearst 1997): lexical
+# cohesion at every candidate gap = the distinct-token overlap between
+# the k tokens before and after the gap; a segment boundary is a local
+# cohesion minimum at or below the absolute threshold.  The classic
+# preprocessing pass for chunking long documents on topic shifts
+# (versus t17's fixed-stride chunker).  All integer set math — no
+# floats anywhere.
+_T31_K = 8  # comparison window (tokens per side)
+_T31_TH = 2  # boundary threshold: overlap <= TH distinct tokens
+
+_T31_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+),
+gaps AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) >= 2 * {_T31_K}
+              THEN generate_series({_T31_K}, len(tk) - {_T31_K}, {_T31_K})
+              ELSE [] END AS gs
+  FROM tok
+),
+scored AS (
+  SELECT doc_id, gs,
+         list_transform(gs, g -> len(list_intersect(
+           list_distinct(list_slice(tk, g - {_T31_K} + 1, g)),
+           list_distinct(list_slice(tk, g + 1, g + {_T31_K}))))) AS sc
+  FROM gaps
+)
+SELECT doc_id,
+       CAST(u.i AS INTEGER) AS gap_idx,
+       CAST(gs[u.i] AS INTEGER) AS gap_pos,
+       CAST(sc[u.i] AS INTEGER) AS score,
+       sc[u.i] <= {_T31_TH}
+         AND (u.i = 1 OR sc[u.i] <= sc[u.i - 1])
+         AND (u.i = len(sc) OR sc[u.i] <= sc[u.i + 1]) AS is_boundary
+FROM scored, unnest(generate_series(1, len(gs))) AS u(i)
+"""
+
+
+@q("t31_texttiling", oracle=_T31_ORACLE)
+def t31(spark, sf):
+    """TextTiling topic segmentation: at every k-token gap the
+    distinct-token overlap between the two flanking k-token windows;
+    a boundary is a local minimum at or below the threshold.
+
+    Scale shape: gap positions, both flanking windows, the overlap
+    scores, and the local-minimum test are ALL computed with array
+    higher-order functions inside the document row (the scores array
+    is built once, then indexed for the neighbor comparisons) — the
+    physical plan is scan -> project -> explode, ZERO shuffles, and
+    only the text column is read."""
+    k, th = _T31_K, _T31_TH
+    tok = t(spark, sf, "documents").select(
+        "doc_id", _tokens().alias("tk")
+    )
+    gaps = tok.select(
+        "doc_id",
+        "tk",
+        F.expr(
+            f"CASE WHEN size(tk) >= {2 * k}"
+            f" THEN sequence({k}, size(tk) - {k}, {k})"
+            f" ELSE array() END"
+        ).alias("gs"),
+    )
+    scored = gaps.select(
+        "doc_id",
+        "gs",
+        F.expr(
+            f"transform(gs, g -> size(array_intersect("
+            f" array_distinct(slice(tk, g - {k} + 1, {k})),"
+            f" array_distinct(slice(tk, g + 1, {k})))))"
+        ).alias("sc"),
+    )
+    # sequence(1, 0) DESCENDS in Spark, so guard the no-gap docs:
+    # build 1..max(n,1) ascending and filter to <= n (empty when n=0).
+    return scored.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(sequence(1, greatest(size(gs), 1)),"
+                " x -> x <= size(gs))"
+            )
+        ).alias("i"),
+        "gs",
+        "sc",
+    ).select(
+        "doc_id",
+        F.col("i").cast("int").alias("gap_idx"),
+        F.expr("element_at(gs, i)").cast("int").alias("gap_pos"),
+        F.expr("element_at(sc, i)").cast("int").alias("score"),
+        F.expr(
+            f"element_at(sc, i) <= {th}"
+            " AND (i = 1 OR element_at(sc, i) <= element_at(sc, i - 1))"
+            " AND (i = size(sc)"
+            "      OR element_at(sc, i) <= element_at(sc, i + 1))"
+        ).alias("is_boundary"),
+    )

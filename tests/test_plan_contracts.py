@@ -259,3 +259,13 @@ def test_s15_maxsim_has_no_query_join(spark):
     assert len(kinds) == 1 and kinds[0].startswith(
         "hashpartitioning"
     ), kinds
+
+
+def test_t31_texttiling_is_scan_local(spark):
+    """t31 claims ZERO Exchange: scores and boundary tests are in-row
+    array math; the plan is scan -> project -> explode."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["t31_texttiling"](spark, SF))
+    assert _exchanges(plan) == [], _exchanges(plan)
+    assert "Join" not in plan

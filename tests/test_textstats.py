@@ -1436,3 +1436,57 @@ def test_t30_dsir_matches_math_reference(spark, tmp_path):
     # the target-slice docs must score above the off-target one
     assert rows[0]["log_iw_micro"] > rows[1]["log_iw_micro"]
     assert rows[3]["n_bigrams"] == 0 and not rows[3]["dsir_keep"]
+
+
+def test_t31_texttiling_matches_set_reference(spark, tmp_path):
+    """t31: gap positions, overlap scores, and the local-minimum
+    boundary rule match a pure-Python set reference; a deliberate
+    topic shift produces a boundary."""
+    import re
+
+    import pandas as pd
+
+    from pdf_ocr_spark.queries.textstats import _T31_K, _T31_TH, QUERIES
+
+    k = _T31_K
+    topic_a = "cats dogs pets fur paws tails whiskers meow"
+    topic_b = "stocks bonds yields markets trading futures rates cash"
+    texts = [
+        f"{topic_a} {topic_a} {topic_b} {topic_b}",  # shift at the middle
+        topic_a,  # too short: no gaps
+        f"{topic_a} " * 4,  # homogeneous: high overlap everywhere
+    ]
+    pd.DataFrame(
+        {"doc_id": range(3), "lang": ["en"] * 3, "text": texts}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    got = {}
+    for r in QUERIES["t31_texttiling"](spark, str(tmp_path)).collect():
+        got.setdefault(r["doc_id"], {})[r["gap_idx"]] = r
+
+    for d, text in enumerate(texts):
+        tk = re.findall(r"[a-z0-9]+", text.lower())
+        gaps = (
+            list(range(k, len(tk) - k + 1, k))
+            if len(tk) >= 2 * k
+            else []
+        )
+        sc = [
+            len(set(tk[g - k : g]) & set(tk[g : g + k])) for g in gaps
+        ]
+        rows = got.get(d, {})
+        assert len(rows) == len(gaps), d
+        for i, (g, s) in enumerate(zip(gaps, sc), start=1):
+            r = rows[i]
+            assert (r["gap_pos"], r["score"]) == (g, s), (d, i)
+            exp_b = (
+                s <= _T31_TH
+                and (i == 1 or s <= sc[i - 2])
+                and (i == len(sc) or s <= sc[i])
+            )
+            assert r["is_boundary"] == exp_b, (d, i)
+    # the topic shift must produce at least one boundary in doc 0
+    assert any(r["is_boundary"] for r in got[0].values())
+    # the homogeneous doc must produce none
+    assert not any(r["is_boundary"] for r in got.get(2, {}).values())
+    assert 1 not in got  # short doc: no gaps at all
