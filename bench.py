@@ -88,6 +88,7 @@ HEADLINE = [
     "m07_image_phash_dedup",
     "m08_caption_pair",
     "m09_interleave_profile",
+    "m10_multimodal_packing",
     "c01_keyword_classify",
     "u01_unpivot_compound_headers",
     "u02_deterministic_mapping",

@@ -898,3 +898,109 @@ def x18(spark, sf):
         "score_milli",
         "media_permille",
     )
+
+
+# ---------------------------------------------------------------- m10
+# Two-budget multimodal sequence packing — t13's streaming
+# concatenation packing extended with the budget interleaved training
+# actually binds on: every image costs a fixed number of sequence
+# positions (its visual-token patch count: Flamingo/IDEFICS-style
+# encoders), and a sequence also caps the NUMBER of images.  A
+# document opens a new bin when EITHER budget fills first:
+# bin = greatest(token-start div BIN, image-start div IMG_CAP) over
+# per-language cumulative sums — pure window math, deterministic in
+# both engines.
+_M10_BIN = 2048  # sequence positions per packed bin
+_M10_IMG_COST = 64  # positions per image (visual tokens)
+_M10_IMG_CAP = 8  # images per bin
+
+_M10_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tok,
+         {_m08_sql_int("CAST(doc_id AS VARCHAR)", 2)} % 3 + 1 AS n_media
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tok, n_media,
+         n_tok + {_M10_IMG_COST} * n_media AS cost,
+         sum(n_tok + {_M10_IMG_COST} * n_media)
+           OVER w AS c_cost,
+         sum(n_media) OVER w AS c_img
+  FROM d
+  WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT doc_id, lang,
+       CAST(n_tok AS INTEGER) AS n_tok,
+       CAST(n_media AS INTEGER) AS n_media,
+       CAST(cost AS INTEGER) AS cost,
+       CAST((c_cost - cost) // {_M10_BIN} AS INTEGER) AS bin_tok,
+       CAST((c_img - n_media) // {_M10_IMG_CAP} AS INTEGER) AS bin_img,
+       CAST(greatest((c_cost - cost) // {_M10_BIN},
+                     (c_img - n_media) // {_M10_IMG_CAP}) AS INTEGER)
+         AS bin
+FROM c
+"""
+
+
+@q("m10_multimodal_packing", oracle=_M10_ORACLE)
+def m10(spark, sf):
+    """Two-budget multimodal packing: per-language streaming
+    concatenation where each image costs {ic} sequence positions and a
+    bin caps BOTH total positions ({bin}) and image count ({cap});
+    bin = whichever budget the document's start position crosses
+    first.
+
+    Scale shape (t13's): ONE per-language Exchange; both cumulative
+    sums share the same (lang, doc_id) window sort, so the second
+    budget is free.  Per-shard packing is how production packing runs
+    anyway — a global order would serialize the corpus."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                16,
+                10,
+            ).cast("int")
+            % 3
+            + 1
+        ).alias("n_media"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cost = F.col("n_tok") + _M10_IMG_COST * F.col("n_media")
+    c = d.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "n_media",
+        cost.alias("cost"),
+        F.sum(cost).over(w).alias("c_cost"),
+        F.sum("n_media").over(w).alias("c_img"),
+    )
+    bin_tok = F.expr(f"(c_cost - cost) div {_M10_BIN}")
+    bin_img = F.expr(f"(c_img - n_media) div {_M10_IMG_CAP}")
+    return c.select(
+        "doc_id",
+        "lang",
+        F.col("n_tok").cast("int"),
+        F.col("n_media").cast("int"),
+        F.col("cost").cast("int"),
+        bin_tok.cast("int").alias("bin_tok"),
+        bin_img.cast("int").alias("bin_img"),
+        F.greatest(bin_tok, bin_img).cast("int").alias("bin"),
+    )
+
+
+m10.__doc__ = m10.__doc__.format(
+    ic=_M10_IMG_COST, bin=_M10_BIN, cap=_M10_IMG_CAP
+)

@@ -1177,7 +1177,8 @@ SELECT a.doc_id, a.width, a.height, a.format, a.n_bytes, b.mean_byte,
        CAST(COALESCE(p.n_dup, 0) AS INTEGER) AS n_phash_dup,
        cp.n_cap, cp.n_cap_kept, cp.cap_best,
        iv.media_permille, iv.max_media_run, iv.n_alternations,
-       iv.keep AS ilv_keep
+       iv.keep AS ilv_keep,
+       pk.cost AS pk_cost, pk.bin AS pk_bin
 FROM {_sub(multimodal_q, "m01_media_decode")} a
 JOIN {_sub(multimodal_q, "m02_media_feature")} b ON b.doc_id = a.doc_id
 JOIN {_sub(multimodal_q, "m04_media_resize")} c ON c.doc_id = a.doc_id
@@ -1204,6 +1205,9 @@ JOIN (SELECT doc_id, media_permille, max_media_run, n_alternations,
              keep
       FROM {_sub(multimodal_q, "m09_interleave_profile")} _i9) iv
   ON iv.doc_id = a.doc_id
+JOIN (SELECT doc_id, cost, bin
+      FROM {_sub(multimodal_q, "m10_multimodal_packing")} _pk) pk
+  ON pk.doc_id = a.doc_id
 """,
 )
 def m01_suite(spark, sf):
@@ -1216,8 +1220,9 @@ def m01_suite(spark, sf):
     candidate-pair and confirmed-dup counts; the pair grain is the
     fine-grained twin) + the per-doc rollup of the MMC4-style caption
     pairing (m08: pair/kept counts, best milli-score; the media grain
-    is the fine-grained twin) + the interleave profile gate (m09),
-    joined on doc_id."""
+    is the fine-grained twin) + the interleave profile gate (m09) +
+    the two-budget multimodal packing assignment (m10: packed cost
+    and bin), joined on doc_id."""
     a = multimodal_q.QUERIES["m01_media_decode"](spark, sf)
     b = multimodal_q.QUERIES["m02_media_feature"](spark, sf).select(
         "doc_id", "mean_byte"
@@ -1274,6 +1279,13 @@ def m01_suite(spark, sf):
         "n_alternations",
         F.col("keep").alias("ilv_keep"),
     )
+    pk = multimodal_q.QUERIES["m10_multimodal_packing"](
+        spark, sf
+    ).select(
+        "doc_id",
+        F.col("cost").alias("pk_cost"),
+        F.col("bin").alias("pk_bin"),
+    )
     return (
         a.join(b, "doc_id").join(c, "doc_id").join(e, "doc_id")
         .join(g, "doc_id")
@@ -1287,6 +1299,7 @@ def m01_suite(spark, sf):
         )
         .join(cp, "doc_id")
         .join(iv, "doc_id")
+        .join(pk, "doc_id")
     )
 
 

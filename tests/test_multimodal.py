@@ -303,3 +303,56 @@ def test_x18_pairs_compose_gate_and_kept(spark, ilv_docs):
         )
         assert r["media_permille"] == gate[r["doc_id"]]["media_permille"]
     assert out, "fixture must keep at least one pair"
+
+
+def test_m10_two_budget_packing_reference(spark, tmp_path):
+    """m10: cumulative two-budget bin assignment matches a running
+    Python reference, and the image cap forces a bin break the token
+    budget alone would not."""
+    from pdf_ocr_spark.queries.multimodal_q import (
+        _M10_BIN,
+        _M10_IMG_CAP,
+        _M10_IMG_COST,
+        QUERIES,
+    )
+
+    # short docs: token budget never fills, so every bin break beyond
+    # bin 0 must come from the image cap
+    texts = [" ".join(f"w{d}x{i}" for i in range(10)) for d in range(30)]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(30)),
+            "lang": ["en"] * 30,
+            "text": texts,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["m10_multimodal_packing"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    c_cost = c_img = 0
+    img_broke = False
+    for d in range(30):
+        n_tok = 10
+        n_media = _md5i(str(d), 2) % 3 + 1
+        cost = n_tok + _M10_IMG_COST * n_media
+        bt, bi = c_cost // _M10_BIN, c_img // _M10_IMG_CAP
+        r = rows[d]
+        assert (r["n_tok"], r["n_media"], r["cost"]) == (
+            n_tok,
+            n_media,
+            cost,
+        ), d
+        assert (r["bin_tok"], r["bin_img"], r["bin"]) == (
+            bt,
+            bi,
+            max(bt, bi),
+        ), d
+        img_broke |= bi > bt
+        c_cost += cost
+        c_img += n_media
+    assert img_broke, "fixture must exercise the image-cap budget"
