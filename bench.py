@@ -110,6 +110,7 @@ HEADLINE = [
     "s15_colbert_maxsim",
     "v12_benford_audit",
     "x18_interleaved_pairs",
+    "x19_extracted_pairs",
     "p01_metadata_patterns",
     "x01_extract_documents",
     "x16_contract_e2e",

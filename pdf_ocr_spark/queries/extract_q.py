@@ -613,3 +613,90 @@ def x16_contract_e2e(spark, sf):
 
 
 QUERIES["x16_contract_e2e"] = x16_contract_e2e
+
+
+# ---------------------------------------------------------------- x19
+# Caption pairing over the EXTRACTED interleaved stream — the graft
+# cell's loop closed: the north-rule extraction (x01) produces the
+# ordered (kind, text, media_ref, offset) span stream, and this
+# operator mines image-text pairs from it the way MMC4/OBELICS mine
+# from real interleaved documents: each media span takes the nearest
+# text span by stream position, preferring the PRECEDING one (captions
+# follow their figure's introduction), falling back to the following.
+# The oracle composes the flagship's layout-algebra oracle with the
+# identical window logic, so the pairs are value-hash-pinned against
+# constant truth end to end.
+_X19_ORACLE = f"""
+WITH es AS (
+{_X01_ORACLE}
+),
+ctx AS (
+  SELECT doc_id, kind, media_ref, "offset",
+         last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_text,
+         first_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_text
+  FROM es
+)
+SELECT doc_id, media_ref, CAST("offset" AS INTEGER) AS "offset",
+       COALESCE(prev_text, next_text) AS caption,
+       CASE WHEN prev_text IS NOT NULL THEN 'prev' ELSE 'next' END
+         AS caption_src
+FROM ctx WHERE kind = 'media'
+"""
+
+
+def pair_media_spans(spans):
+    """Pair every media span of an ordered (doc_id, kind, text,
+    media_ref, offset) stream with its nearest text span — preceding
+    preferred, following fallback — returning
+    (doc_id, media_ref, offset, caption, caption_src)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("offset")
+    txt = F.when(F.col("kind") == "text", F.col("text"))
+    ctx = spans.select(
+        "doc_id",
+        "kind",
+        "media_ref",
+        "offset",
+        F.last(txt, ignorenulls=True)
+        .over(w.rowsBetween(W.unboundedPreceding, -1))
+        .alias("prev_text"),
+        F.first(txt, ignorenulls=True)
+        .over(w.rowsBetween(1, W.unboundedFollowing))
+        .alias("next_text"),
+    )
+    return ctx.filter(F.col("kind") == "media").select(
+        "doc_id",
+        "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+        F.coalesce("prev_text", "next_text").alias("caption"),
+        F.when(F.col("prev_text").isNotNull(), "prev")
+        .otherwise("next")
+        .alias("caption_src"),
+    )
+
+
+def x19_extracted_pairs(spark, sf):
+    """Image-text pairs mined from the EXTRACTED span stream: per
+    media span the nearest text span (preceding preferred, following
+    fallback) with its source tag.  On this corpus the prepended
+    title span means a preceding text span always exists, so the
+    registered rows are all caption_src='prev'; the 'next' fallback
+    branch is pinned by the unit test on a media-first stream.
+
+    Scale shape: one doc_id window over the extraction output — the
+    same exchange the ordered reassembly already paid, so at
+    production this pairing is a free rider on the extraction job's
+    final sort (sortWithinPartitions(doc_id, offset)); the window
+    carries two running text values, state O(1) per partition."""
+    return pair_media_spans(QUERIES["x01_extract_documents"](spark, sf))
+
+
+QUERIES["x19_extracted_pairs"] = x19_extracted_pairs
+ORACLE["x19_extracted_pairs"] = _X19_ORACLE

@@ -1438,6 +1438,10 @@ SELECT 'x18_pair', media_ref,
        CAST(score_milli AS BIGINT), true
 FROM {_sub(multimodal_q, "x18_interleaved_pairs")} _x18
 UNION ALL
+SELECT 'x19_cap', media_ref, caption || '#' || caption_src,
+       CAST("offset" AS BIGINT), true
+FROM {_sub(extract_q, "x19_extracted_pairs")} _x19
+UNION ALL
 SELECT 'x17_shard', CAST(doc_id AS VARCHAR),
        lang || '#' || bin, n_tok, true
 FROM (
@@ -1629,12 +1633,19 @@ def v01_suite(spark, sf):
         F.col("score_milli").cast("long").alias("n"),
         F.lit(True).alias("ok"),
     )
+    x19 = extract_q.QUERIES["x19_extracted_pairs"](spark, sf).select(
+        F.lit("x19_cap").alias("fam"),
+        F.col("media_ref").alias("key"),
+        F.concat_ws("#", "caption", "caption_src").alias("info"),
+        F.col("offset").cast("long").alias("n"),
+        F.lit(True).alias("ok"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(v6).unionByName(v7)
         .unionByName(v8).unionByName(v9).unionByName(v10)
         .unionByName(v11).unionByName(f).unionByName(g)
-        .unionByName(v12).unionByName(x18)
+        .unionByName(v12).unionByName(x18).unionByName(x19)
     )
 
 

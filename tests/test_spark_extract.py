@@ -183,3 +183,34 @@ def test_dirty_nullable_table_tolerance(spark, tmp_path):
     _assert_golden(
         [r for r in out.values() if r["doc_id"] in clean_ids], clean_ids
     )
+
+
+def test_x19_pairing_prefers_prev_and_falls_back_to_next(spark):
+    """pair_media_spans: preceding text wins; a media-first stream
+    exercises the following-text fallback; media with no text at all
+    yields a NULL caption."""
+    from pdf_ocr_spark.queries.extract_q import pair_media_spans
+
+    rows = [
+        # doc a: text before and after -> prev wins
+        ("a", "text", "intro", "", 0),
+        ("a", "media", "", "img://a/0", 1),
+        ("a", "text", "after", "", 2),
+        # doc b: media first -> next fallback
+        ("b", "media", "", "img://b/0", 0),
+        ("b", "text", "caption below", "", 1),
+        # doc c: only media -> no caption
+        ("c", "media", "", "img://c/0", 0),
+    ]
+    spans = spark.createDataFrame(
+        rows, "doc_id string, kind string, text string,"
+        " media_ref string, offset int"
+    )
+    got = {
+        r["media_ref"]: r for r in pair_media_spans(spans).collect()
+    }
+    assert got["img://a/0"]["caption"] == "intro"
+    assert got["img://a/0"]["caption_src"] == "prev"
+    assert got["img://b/0"]["caption"] == "caption below"
+    assert got["img://b/0"]["caption_src"] == "next"
+    assert got["img://c/0"]["caption"] is None
