@@ -107,6 +107,7 @@ HEADLINE = [
     "t31_texttiling",
     "q49_salted_skew_join",
     "q50_grouping_cube",
+    "q51_pivot_part_metrics",
     "s15_colbert_maxsim",
     "v12_benford_audit",
     "x18_interleaved_pairs",

@@ -637,3 +637,49 @@ def q50(spark, sf):
             "n_items",
         )
     )
+
+
+# ---------------------------------------------------------------- q51
+@q(
+    "q51_pivot_part_metrics",
+    oracle="""
+SELECT p_partkey,
+       CAST(max(CASE WHEN metric = 'p_size' THEN value END)
+            AS DOUBLE) AS p_size,
+       CAST(max(CASE WHEN metric = 'p_retailprice' THEN value END)
+            AS DOUBLE) AS p_retailprice,
+       CAST(count(*) AS INTEGER) AS n_metrics
+FROM (
+  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+  FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+  FROM part
+)
+GROUP BY p_partkey
+""",
+)
+def q51(spark, sf):
+    """PIVOT — the reverse of q36's melt, closing the reshape family
+    in both directions (melt q36 / unpivot u01 / pivot q51): the long
+    (key, metric, value) relation back to wide columns via Spark's
+    groupBy().pivot() with an EXPLICIT value list.
+
+    Scale shape: the explicit pivot values list is the contract — it
+    keeps Spark from running a distinct-scan job to discover column
+    names AND bounds the output schema (a 100-TB long table can hold
+    millions of accidental metric names; production pivots always pin
+    the list).  One partial-aggregated Exchange on the group key,
+    exactly a groupBy-agg."""
+    long = q36(spark, sf)
+    return (
+        long.groupBy("p_partkey")
+        .pivot("metric", ["p_size", "p_retailprice"])
+        .agg(F.max("value"))
+        .join(
+            long.groupBy("p_partkey").agg(
+                F.count("*").cast("int").alias("n_metrics")
+            ),
+            "p_partkey",
+        )
+    )

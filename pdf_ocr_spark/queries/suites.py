@@ -1442,6 +1442,11 @@ SELECT 'x19_cap', media_ref, caption || '#' || caption_src,
        CAST("offset" AS BIGINT), true
 FROM {_sub(extract_q, "x19_extracted_pairs")} _x19
 UNION ALL
+SELECT 'q51_pivot', CAST(p_partkey AS VARCHAR),
+       CAST(p_size AS VARCHAR) || '#' || CAST(p_retailprice AS VARCHAR),
+       n_metrics, true
+FROM {_sub(analytics_ext, "q51_pivot_part_metrics")} _q51
+UNION ALL
 SELECT 'x17_shard', CAST(doc_id AS VARCHAR),
        lang || '#' || bin, n_tok, true
 FROM (
@@ -1640,12 +1645,26 @@ def v01_suite(spark, sf):
         F.col("offset").cast("long").alias("n"),
         F.lit(True).alias("ok"),
     )
+    q51 = analytics_ext.QUERIES["q51_pivot_part_metrics"](
+        spark, sf
+    ).select(
+        F.lit("q51_pivot").alias("fam"),
+        F.col("p_partkey").cast("string").alias("key"),
+        F.concat_ws(
+            "#",
+            F.col("p_size").cast("string"),
+            F.col("p_retailprice").cast("string"),
+        ).alias("info"),
+        F.col("n_metrics").cast("long").alias("n"),
+        F.lit(True).alias("ok"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(v6).unionByName(v7)
         .unionByName(v8).unionByName(v9).unionByName(v10)
         .unionByName(v11).unionByName(f).unionByName(g)
         .unionByName(v12).unionByName(x18).unionByName(x19)
+        .unionByName(q51)
     )
 
 

@@ -296,3 +296,28 @@ def test_q50_cube_matches_decimal_reference(spark):
         assert r["sum_qty"] == float(exp[0]), key
         assert r["revenue"] == float(exp[1]), key
         assert r["n_items"] == exp[2], key
+
+
+def test_q51_pivot_round_trips_the_melt(spark):
+    """q51: pivoting q36's long form reproduces the original part
+    columns exactly (melt -> pivot = identity), with the explicit
+    value list in the executed plan (no distinct-discovery job)."""
+    import duckdb
+
+    from pdf_ocr_spark.queries.analytics_ext import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["p_partkey"]: r
+        for r in QUERIES["q51_pivot_part_metrics"](spark, sf).collect()
+    }
+    src = duckdb.sql(
+        f"SELECT p_partkey, p_size, p_retailprice"
+        f" FROM '{sf}/part.parquet'"
+    ).fetchall()
+    assert len(rows) == len(src)
+    for k, size, price in src:
+        r = rows[k]
+        assert r["p_size"] == float(size)
+        assert r["p_retailprice"] == float(price)
+        assert r["n_metrics"] == 2
