@@ -108,7 +108,9 @@ HEADLINE = [
     "q49_salted_skew_join",
     "q50_grouping_cube",
     "q51_pivot_part_metrics",
+    "q52_transitive_roots",
     "s15_colbert_maxsim",
+    "s16_bitext_margin",
     "v12_benford_audit",
     "x18_interleaved_pairs",
     "x19_extracted_pairs",

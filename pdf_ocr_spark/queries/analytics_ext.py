@@ -683,3 +683,107 @@ def q51(spark, sf):
             "p_partkey",
         )
     )
+
+
+# ---------------------------------------------------------------- q52
+# Transitive closure / hierarchy walk — the recursive-CTE workload
+# Spark famously lacks as syntax: every node of a deterministic forest
+# (parent(n) = md5-hash % n, so parents are always SMALLER ids —
+# acyclic by construction; roots where n % 7 == 0 or n == 0) resolves
+# its ROOT and DEPTH.  The Spark answer is the iterative
+# join-until-fixed-point with localCheckpoint lineage truncation
+# (x05's pattern); the DuckDB oracle is the real WITH RECURSIVE, so
+# the two formulations cross-check each other.
+def _q52_parent_sql() -> str:
+    return (
+        "CASE WHEN doc_id = 0 OR doc_id % 7 = 0 THEN NULL"
+        " ELSE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT) % doc_id END"
+    )
+
+
+_Q52_ORACLE = f"""
+WITH RECURSIVE nodes AS (
+  SELECT doc_id AS node, {_q52_parent_sql()} AS parent
+  FROM documents
+),
+walk AS (
+  SELECT node, parent AS cur, 1 AS depth FROM nodes
+  WHERE parent IS NOT NULL
+  UNION ALL
+  SELECT w.node, n.parent, w.depth + 1
+  FROM walk w JOIN nodes n ON n.node = w.cur
+  WHERE n.parent IS NOT NULL
+)
+SELECT n.node,
+       CAST(COALESCE(t.cur, n.node) AS BIGINT) AS root,
+       CAST(COALESCE(t.depth, 0) AS INTEGER) AS depth
+FROM nodes n
+LEFT JOIN (
+  SELECT node, cur, depth,
+         row_number() OVER (PARTITION BY node ORDER BY depth DESC) rk
+  FROM walk) t ON t.node = n.node AND t.rk = 1
+"""
+
+
+@q("q52_transitive_roots", oracle=_Q52_ORACLE)
+def q52(spark, sf):
+    """Transitive closure over a forest: each node's root ancestor and
+    depth, via iterative parent-join to a fixed point — Spark's
+    answer to WITH RECURSIVE (the DuckDB oracle IS the real recursive
+    CTE, so the two formulations cross-check).
+
+    Scale shape: O(depth) rounds of one equi-join each over the
+    UNRESOLVED frontier only (resolved rows retire from the loop, so
+    the joined relation shrinks every round); localCheckpoint per
+    round truncates lineage (x05's pitfall note).  With hash parents
+    always smaller than the child, expected depth is O(log N) — ~15
+    rounds at 10^12 nodes.  Production alternative for deep chains:
+    pointer doubling (join cur -> cur's cur), O(log depth) rounds at
+    double the join width."""
+    nodes = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("node"),
+        F.expr(
+            "CASE WHEN doc_id = 0 OR doc_id % 7 = 0 THEN NULL"
+            " ELSE CAST(conv(substring(md5(CAST(doc_id AS STRING)),"
+            " 1, 8), 16, 10) AS BIGINT) % doc_id END"
+        ).alias("parent"),
+    ).persist()
+    edges = nodes.filter(F.col("parent").isNotNull()).select(
+        "node", "parent"
+    )
+    done = nodes.filter(F.col("parent").isNull()).select(
+        "node",
+        F.col("node").alias("root"),
+        F.lit(0).cast("int").alias("depth"),
+    )
+    frontier = edges.select(
+        "node", F.col("parent").alias("cur"), F.lit(1).alias("depth")
+    ).localCheckpoint()
+    out = [done]
+    while True:
+        step = frontier.join(
+            nodes.select(F.col("node").alias("cur"), "parent"), "cur"
+        )
+        resolved = step.filter(F.col("parent").isNull()).select(
+            "node",
+            F.col("cur").alias("root"),
+            F.col("depth").cast("int").alias("depth"),
+        )
+        out.append(resolved.localCheckpoint())
+        frontier = (
+            step.filter(F.col("parent").isNotNull())
+            .select(
+                "node",
+                F.col("parent").alias("cur"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+        if frontier.limit(1).count() == 0:
+            break
+    result = out[0]
+    for part in out[1:]:
+        result = result.unionByName(part)
+    nodes.unpersist()
+    return result

@@ -1586,3 +1586,120 @@ def s15(spark, sf):
 
 
 s15.__doc__ = s15.__doc__.format(n=_S15_DOC_TOKS)
+
+
+# ---------------------------------------------------------------- s16
+# Margin-based bitext mining (public: Artetxe & Schwenk 2019,
+# "Margin-based Parallel Corpus Mining"; the CCMatrix/WikiMatrix
+# alignment criterion): a source/target pair is parallel when its
+# cosine stands out from each side's nearest COMPETITOR —
+# margin(x, y) = 2*cos(x, y) / (second_x + second_y), the k=1 "ratio"
+# variant, which keeps every term a single identically-folded double
+# (no float averages whose summation order could differ between
+# engines).  Sides are vec_id parity (even = source language, odd =
+# target); candidates are LABEL-BLOCKED (d05's pattern — production
+# swaps the block for IVF routing), never all-pairs.
+_S16_MARGIN_MILLI = 1050  # accept when margin > 1.05
+
+
+_S16_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT s.vec_id AS src_id, tg.vec_id AS tgt_id,
+         list_cosine_similarity(s.v, tg.v) AS cosine
+  FROM e s JOIN e tg ON tg.label = s.label
+  WHERE s.vec_id % 2 = 0 AND tg.vec_id % 2 = 1
+),
+rs AS (
+  SELECT *,
+         row_number() OVER ws AS rk_src,
+         nth_value(cosine, 2) OVER (ws ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS second_src
+  FROM pairs
+  WINDOW ws AS (PARTITION BY src_id ORDER BY cosine DESC, tgt_id)
+),
+rt AS (
+  SELECT src_id, tgt_id, cosine, rk_src, second_src,
+         nth_value(cosine, 2) OVER (wt ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS second_tgt
+  FROM rs
+  WINDOW wt AS (PARTITION BY tgt_id ORDER BY cosine DESC, src_id)
+)
+SELECT src_id, tgt_id, cosine,
+       2 * cosine / (COALESCE(second_src, cosine)
+                     + COALESCE(second_tgt, cosine)) AS margin,
+       2 * cosine / (COALESCE(second_src, cosine)
+                     + COALESCE(second_tgt, cosine))
+         > {_S16_MARGIN_MILLI / 1000.0} AS accept
+FROM rt WHERE rk_src = 1
+"""
+
+
+@q("s16_bitext_margin", oracle=_S16_ORACLE)
+def s16(spark, sf):
+    """Margin-based bitext mining: per source vector its best
+    label-blocked target by cosine, scored by the k=1 margin ratio
+    against each side's second-best competitor; accept when the
+    margin clears 1.05.
+
+    Scale shape: candidates come from the label equi-join (IVF
+    routing at production) — never all-pairs; both second-best passes
+    are windows over the pair relation whose partition keys are the
+    pair's own endpoints, and each term of the margin is ONE
+    identically-folded double, so the score is exact cross-engine
+    after the comparator's 6-significant-digit rounding."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", "label", _vd().alias("v")
+    )
+    s_side = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("label"),
+        F.col("v").alias("sv"),
+    )
+    t_side = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("label"),
+        F.col("v").alias("tv"),
+    )
+    pairs = s_side.join(t_side, "label").select(
+        "src_id", "tgt_id", _cos("sv", "tv").alias("cosine")
+    )
+    ws = W.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), "tgt_id"
+    )
+    wsf = ws.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    rs = pairs.select(
+        "src_id",
+        "tgt_id",
+        "cosine",
+        F.row_number().over(ws).alias("rk_src"),
+        F.nth_value("cosine", 2).over(wsf).alias("second_src"),
+    )
+    wt = W.partitionBy("tgt_id").orderBy(
+        F.col("cosine").desc(), "src_id"
+    )
+    wtf = wt.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    rt = rs.select(
+        "src_id",
+        "tgt_id",
+        "cosine",
+        "rk_src",
+        "second_src",
+        F.nth_value("cosine", 2).over(wtf).alias("second_tgt"),
+    )
+    margin = (2 * F.col("cosine")) / (
+        F.coalesce("second_src", "cosine")
+        + F.coalesce("second_tgt", "cosine")
+    )
+    return rt.filter(F.col("rk_src") == 1).select(
+        "src_id",
+        "tgt_id",
+        "cosine",
+        margin.alias("margin"),
+        (margin > _S16_MARGIN_MILLI / 1000.0).alias("accept"),
+    )

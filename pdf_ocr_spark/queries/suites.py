@@ -525,6 +525,10 @@ UNION ALL
 SELECT 'maxsim', doc_id, CAST(m0 AS BIGINT), CAST(m1 AS BIGINT),
        CAST(maxsim AS DOUBLE)
 FROM {_sub(similarity, "s15_colbert_maxsim")} _o
+UNION ALL
+SELECT 'bitext', src_id, tgt_id,
+       CAST(CASE WHEN accept THEN 1 ELSE 0 END AS BIGINT), margin
+FROM {_sub(similarity, "s16_bitext_margin")} _p
 """,
 )
 def s01_suite(spark, sf):
@@ -553,7 +557,9 @@ def s01_suite(spark, sf):
     coarse score rides the fine-grained twin), and ColBERT MaxSim
     late-interaction scoring (s15: aux1/aux2 = the first two
     per-query-token maxima, score = the MaxSim sum; all four maxima
-    ride the fine-grained twin) —
+    ride the fine-grained twin), and margin-based bitext mining (s16:
+    aux1 = the mined target, aux2 = the accept flag, score = the k=1
+    margin ratio) —
     tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -663,12 +669,21 @@ def s01_suite(spark, sf):
         F.col("m1").cast("long").alias("aux2"),
         F.col("maxsim").cast("double").alias("score"),
     )
+    p = similarity.QUERIES["s16_bitext_margin"](spark, sf).select(
+        F.lit("bitext").alias("fam"),
+        F.col("src_id").alias("id"),
+        F.col("tgt_id").cast("long").alias("aux1"),
+        F.when(F.col("accept"), 1).otherwise(0).cast("long").alias(
+            "aux2"
+        ),
+        F.col("margin").cast("double").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
         .unionByName(h).unionByName(i).unionByName(j)
         .unionByName(k).unionByName(ll).unionByName(m)
-        .unionByName(n).unionByName(o)
+        .unionByName(n).unionByName(o).unionByName(p)
     )
 
 
@@ -1447,6 +1462,10 @@ SELECT 'q51_pivot', CAST(p_partkey AS VARCHAR),
        n_metrics, true
 FROM {_sub(analytics_ext, "q51_pivot_part_metrics")} _q51
 UNION ALL
+SELECT 'q52_root', CAST(node AS VARCHAR), CAST(root AS VARCHAR),
+       depth, true
+FROM {_sub(analytics_ext, "q52_transitive_roots")} _q52
+UNION ALL
 SELECT 'x17_shard', CAST(doc_id AS VARCHAR),
        lang || '#' || bin, n_tok, true
 FROM (
@@ -1658,13 +1677,22 @@ def v01_suite(spark, sf):
         F.col("n_metrics").cast("long").alias("n"),
         F.lit(True).alias("ok"),
     )
+    q52 = analytics_ext.QUERIES["q52_transitive_roots"](
+        spark, sf
+    ).select(
+        F.lit("q52_root").alias("fam"),
+        F.col("node").cast("string").alias("key"),
+        F.col("root").cast("string").alias("info"),
+        F.col("depth").cast("long").alias("n"),
+        F.lit(True).alias("ok"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(v6).unionByName(v7)
         .unionByName(v8).unionByName(v9).unionByName(v10)
         .unionByName(v11).unionByName(f).unionByName(g)
         .unionByName(v12).unionByName(x18).unionByName(x19)
-        .unionByName(q51)
+        .unionByName(q51).unionByName(q52)
     )
 
 

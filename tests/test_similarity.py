@@ -600,3 +600,75 @@ def test_s15_maxsim_matches_hashlib_reference(spark, tmp_path):
         assert r["maxsim"] == sum(exp_m), d
     # doc 2's late 'table' token must be cut by the 32-token cap
     assert rows[2]["maxsim"] < rows[0]["maxsim"]
+
+
+def test_s16_margin_matches_numpy_reference(spark):
+    """s16: label-blocked candidates, best/second cosines per side,
+    and the k=1 margin ratio match a pure-Python reference; both
+    accept branches occur."""
+    import duckdb
+
+    from pdf_ocr_spark.queries.similarity import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["src_id"]: r
+        for r in QUERIES["s16_bitext_margin"](spark, sf).collect()
+    }
+    vecs = {
+        int(v): (int(lb), list(map(float, e)))
+        for v, e, lb in duckdb.sql(
+            f"SELECT vec_id, embedding, label"
+            f" FROM '{sf}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / ((na ** 0.5) * (nb ** 0.5))
+
+    by_label = {}
+    for vid, (lb, v) in vecs.items():
+        by_label.setdefault(lb, {"s": [], "t": []})[
+            "s" if vid % 2 == 0 else "t"
+        ].append(vid)
+
+    pair_cos = {}
+    for lb, sides in by_label.items():
+        for s_ in sides["s"]:
+            for t_ in sides["t"]:
+                pair_cos[(s_, t_)] = cos(vecs[s_][1], vecs[t_][1])
+
+    accepts = set()
+    n_src = 0
+    for lb, sides in by_label.items():
+        for s_ in sides["s"]:
+            cands = sorted(
+                ((pair_cos[(s_, t_)], t_) for t_ in sides["t"]),
+                key=lambda x: (-x[0], x[1]),
+            )
+            if not cands:
+                continue
+            n_src += 1
+            best_c, best_t = cands[0]
+            second_s = cands[1][0] if len(cands) > 1 else best_c
+            tcands = sorted(
+                ((pair_cos[(s2, best_t)], s2) for s2 in sides["s"]),
+                key=lambda x: (-x[0], x[1]),
+            )
+            second_t = tcands[1][0] if len(tcands) > 1 else tcands[0][0]
+            margin = 2 * best_c / (second_s + second_t)
+            r = rows[s_]
+            assert r["tgt_id"] == best_t, s_
+            assert abs(r["cosine"] - best_c) < 1e-12, s_
+            assert abs(r["margin"] - margin) < 1e-12, s_
+            assert r["accept"] == (margin > 1.05), s_
+            accepts.add(r["accept"])
+    assert len(rows) == n_src
+    assert accepts == {True, False}, "both margin branches must occur"

@@ -321,3 +321,35 @@ def test_q51_pivot_round_trips_the_melt(spark):
         assert r["p_size"] == float(size)
         assert r["p_retailprice"] == float(price)
         assert r["n_metrics"] == 2
+
+
+def test_q52_roots_match_python_walk(spark):
+    """q52: root and depth for every node match a direct Python parent
+    walk of the same md5 forest; depth spread proves multi-round
+    iteration ran."""
+    import hashlib
+
+    from pdf_ocr_spark.queries.analytics_ext import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["node"]: r
+        for r in QUERIES["q52_transitive_roots"](spark, sf).collect()
+    }
+
+    def parent(n):
+        if n == 0 or n % 7 == 0:
+            return None
+        return int(hashlib.md5(str(n).encode()).hexdigest()[:8], 16) % n
+
+    assert len(rows) == 500
+    max_depth = 0
+    for n in range(500):
+        cur, depth = n, 0
+        while parent(cur) is not None:
+            cur = parent(cur)
+            depth += 1
+        r = rows[n]
+        assert (r["root"], r["depth"]) == (cur, depth), n
+        max_depth = max(max_depth, depth)
+    assert max_depth >= 2, "forest must exercise multi-round iteration"
