@@ -111,6 +111,7 @@ HEADLINE = [
     "q52_transitive_roots",
     "s15_colbert_maxsim",
     "s16_bitext_margin",
+    "h04_fuzzy_schema_match",
     "v12_benford_audit",
     "x18_interleaved_pairs",
     "x19_extracted_pairs",

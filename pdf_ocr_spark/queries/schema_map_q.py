@@ -5,7 +5,7 @@ the reference's three-pass semantics oracle-verified end-to-end."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import SparkSession, functions as F
 
 from ..operators.schema_map import NORM_SQL, alias_table, map_headers
 
@@ -58,6 +58,10 @@ HEADERS = [
     "1995 Tonnage",
     "1994 Tonnage",
     "Completely Unknown",
+    # fuzzy-only headers: misses every exact pass, lands in h04's
+    # trigram matcher (typo of "tonnage (mt)" / "port name")
+    "Tonage (MT)",
+    "Port Nmae",
 ]
 
 
@@ -502,4 +506,123 @@ def u01(spark, sf):
         "_pivot",
         F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
         F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------- h04
+# Trigram-Jaccard fuzzy matching over the headers the three exact
+# passes (h01) could not resolve — the deterministic Spark-native
+# analogue of the reference's semantic alias enrichment (docpact
+# enriches aliases with an LLM; set-similarity fuzzy matching is the
+# classic record-linkage fallback, OpenRefine/dedupe-style).  Exact
+# integer milli Jaccard over distinct character trigrams of the
+# NORMALIZED forms — shared normalization, so "Tonage (MT)" lands on
+# "tonnage (mt)" while "Completely Unknown" is rejected.
+_H04_ACCEPT_MILLI = 300
+
+
+def _tri_spark(x: str) -> str:
+    return (
+        f"array_distinct(transform(sequence(1,"
+        f" greatest(length({x}) - 2, 1)), i -> substring({x}, i, 3)))"
+    )
+
+
+def _tri_sql(x: str) -> str:
+    return (
+        f"list_distinct(list_transform(generate_series(1,"
+        f" greatest(length({x}) - 2, 1)), i -> substr({x}, i, 3)))"
+    )
+
+
+_H04_ORACLE = f"""
+WITH base AS (
+{_H01_ORACLE}
+),
+un(header) AS (SELECT header FROM base WHERE canonical IS NULL),
+al(canonical, alias) AS (VALUES {{alias_rows}}),
+scored AS (
+  SELECT u.header, al.canonical, al.alias,
+         CAST(1000 * len(list_intersect(
+                {_tri_sql(_NORM_H)}, {_tri_sql(_NORM_A)}))
+              // len(list_distinct(list_concat(
+                {_tri_sql(_NORM_H)}, {_tri_sql(_NORM_A)})))
+              AS INTEGER) AS jac_milli
+  FROM un u, al
+)
+SELECT header, canonical, alias, jac_milli,
+       jac_milli >= {_H04_ACCEPT_MILLI} AS accepted
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY header
+                            ORDER BY jac_milli DESC, canonical, alias)
+           AS rk
+  FROM scored)
+WHERE rk = 1
+"""
+
+
+@q(
+    "h04_fuzzy_schema_match",
+    oracle=_H04_ORACLE.replace("{alias_rows}", _sql_values(_alias_rows())),
+)
+def h04(spark, sf):
+    """Trigram-Jaccard fuzzy schema matching for the headers every
+    exact pass missed: best alias by integer milli Jaccard over
+    normalized character trigrams, accepted at >= 0.3.
+
+    Scale shape: the fuzzy pass runs ONLY on h01's unmatched residue
+    (a thin stream even at 10^12 headers) crossed with the broadcast
+    alias table — bounded work per unmatched header, no shuffle of
+    the header stream; the argmax is one window over
+    (few aliases) x (residue) rows.  A real semantic encoder swaps
+    into the score column as an Arrow-batched pandas UDF with the
+    identical join/argmax plan."""
+    from pyspark.sql import Window as W
+
+    un = (
+        QUERIES["h01_header_schema_map"](spark, sf)
+        .filter(F.col("canonical").isNull())
+        .select("header")
+    )
+    al = F.broadcast(
+        (SparkSession.getActiveSession() or un.sparkSession)
+        .createDataFrame(
+            _alias_rows(), "canonical string, alias string"
+        )
+    )
+    from ..operators.schema_map import norm_header
+
+    inter = "size(array_intersect(" + _tri_spark("nh") + \
+        ", " + _tri_spark("na") + "))"
+    union = (
+        "size(array_distinct(concat(" + _tri_spark("nh")
+        + ", " + _tri_spark("na") + ")))"
+    )
+    scored = (
+        un.crossJoin(al)
+        .withColumn("nh", norm_header(F.col("header")))
+        .withColumn("na", norm_header(F.col("alias")))
+        .select(
+            "header",
+            "canonical",
+            "alias",
+            F.expr(f"CAST(1000 * {inter} div {union} AS INT)").alias(
+                "jac_milli"
+            ),
+        )
+    )
+    w = W.partitionBy("header").orderBy(
+        F.col("jac_milli").desc(), "canonical", "alias"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "header",
+            "canonical",
+            "alias",
+            "jac_milli",
+            (F.col("jac_milli") >= _H04_ACCEPT_MILLI).alias("accepted"),
+        )
     )

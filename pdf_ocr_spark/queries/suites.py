@@ -1740,13 +1740,19 @@ UNION ALL
 SELECT 'h03_title', title, coalesce(canonical, ''),
        coalesce(match_via, ''), 0
 FROM {_sub(schema_map_q, "h03_title_constant_dim")} _c
+UNION ALL
+SELECT 'h04_fuzzy', header, canonical,
+       CASE WHEN accepted THEN 'trigram' ELSE 'rejected' END, jac_milli
+FROM {_sub(schema_map_q, "h04_fuzzy_schema_match")} _d
 """,
 )
 def h01_suite(spark, sf):
     """Schema-mapping suite: 3-pass broadcast alias resolution with
     year-template aliases resolved driver-side (h01) + the preflight
     header-coverage report (h02) + title -> constant-dimension matching
-    (h03, exact-then-unique-substring against dimension-type aliases)."""
+    (h03, exact-then-unique-substring against dimension-type aliases) +
+    trigram-Jaccard fuzzy matching over the exact passes' residue
+    (h04: integer milli scores, accept/reject verdicts)."""
     a = schema_map_q.QUERIES["h01_header_schema_map"](spark, sf).select(
         F.lit("h01_map").alias("fam"),
         "header",
@@ -1770,7 +1776,16 @@ def h01_suite(spark, sf):
         F.coalesce("match_via", F.lit("")).alias("match_via"),
         F.lit(0).cast("long").alias("n"),
     )
-    return a.unionByName(b).unionByName(c)
+    d = schema_map_q.QUERIES["h04_fuzzy_schema_match"](spark, sf).select(
+        F.lit("h04_fuzzy").alias("fam"),
+        "header",
+        "canonical",
+        F.when(F.col("accepted"), "trigram")
+        .otherwise("rejected")
+        .alias("match_via"),
+        F.col("jac_milli").cast("long").alias("n"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 # ================================================== metadata retrieval
