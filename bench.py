@@ -49,6 +49,7 @@ HEADLINE = [
     "d09_line_dedup",
     "d10_substring_dedup",
     "d11_incremental_dedup",
+    "d13_incremental_lsh",
     "s01_ann_bruteforce_topk",
     "s03_ivf_centroids",
     "s06_semdedup",

@@ -1122,3 +1122,161 @@ def d12(spark, sf):
         F.count("*").over(wk).cast("int").alias("csize"),
         (F.col("doc_id") == F.col("component")).alias("keep"),
     )
+
+
+# -------------------------------------------------------------- d13
+# Incremental FUZZY dedup — d11's snapshot-vs-batch protocol applied
+# to the MinHash+LSH family: the prior snapshot's BAND ROWS are the
+# materialized LSH index (at production: a stored table keyed by
+# (band_id, band_key)); a new batch computes its own bands, probes the
+# index for batch-vs-prior candidates, self-joins for batch-vs-batch
+# candidates, exact-Jaccard-verifies candidates only, and each new doc
+# gets the d11 verdict: dup_prior (holder = smallest verified prior
+# dup), dup_batch (holder = smallest verified smaller-id batch dup),
+# else kept.  Integer milli Jaccard keeps the verify threshold exact
+# cross-engine.
+_D13_TH_MILLI = 20  # d12's 0.02 corpus-tuned verify threshold
+
+
+_D13_ORACLE = f"""
+WITH doc_sh AS ({SQL_DOC_SHINGLES}),
+sig AS ({_sql_minhash_sig()}),
+bands AS ({_sql_bands()}),
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, p.doc_id AS old_id
+  FROM bands b JOIN bands p
+    ON p.band_id = b.band_id AND p.band_key = b.band_key
+  WHERE b.doc_id % 2 = 1
+    AND (p.doc_id % 2 = 0 OR p.doc_id < b.doc_id)
+),
+ver AS (
+  SELECT c.new_id, c.old_id,
+         CAST(1000 * count(*) //
+              (za.n + zb.n - count(*)) AS INTEGER) AS jac_milli
+  FROM cand c
+  JOIN doc_sh sa ON sa.doc_id = c.new_id
+  JOIN doc_sh sb ON sb.doc_id = c.old_id AND sb.sh = sa.sh
+  JOIN sizes za ON za.doc_id = c.new_id
+  JOIN sizes zb ON zb.doc_id = c.old_id
+  GROUP BY c.new_id, c.old_id, za.n, zb.n
+),
+hit AS (SELECT * FROM ver WHERE jac_milli >= {_D13_TH_MILLI}),
+roll AS (
+  SELECT new_id,
+         min(CASE WHEN old_id % 2 = 0 THEN old_id END) AS prior_holder,
+         min(CASE WHEN old_id % 2 = 1 THEN old_id END) AS batch_holder,
+         max(jac_milli) AS best_jac_milli
+  FROM hit GROUP BY new_id
+)
+SELECT d.doc_id,
+       CASE WHEN r.prior_holder IS NOT NULL THEN 'dup_prior'
+            WHEN r.batch_holder IS NOT NULL THEN 'dup_batch'
+            ELSE 'kept' END AS verdict,
+       CAST(COALESCE(r.prior_holder, r.batch_holder, d.doc_id)
+            AS BIGINT) AS holder,
+       CAST(COALESCE(r.best_jac_milli, 0) AS INTEGER) AS best_jac_milli
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN roll r ON r.new_id = d.doc_id
+"""
+
+
+@q("d13_incremental_lsh", oracle=_D13_ORACLE)
+def d13(spark, sf):
+    """Incremental MinHash+LSH dedup: a new batch (odd doc_id) probes
+    the prior snapshot's materialized band index (even doc_id) and
+    itself, exact-verifies candidates only, and each new doc gets the
+    dup_prior / dup_batch / kept verdict with its canonical holder.
+
+    Scale shape: the index probe is the SAME (band_id, band_key)
+    equi-join as d02 — at production the prior bands are a stored
+    table, so only the BATCH side computes signatures each run
+    (incremental cost is O(batch), not O(corpus)); the verify joins
+    touch candidates only; the verdict rollup is one new_id-grain
+    aggregate.  The shingle relation feeds signatures + both verify
+    sides — persisted, like d02."""
+    doc_sh = _doc_shingles(spark, sf).drop("lang").persist()
+    sig = doc_sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}#"), F.col("sh")))
+            ).alias(f"h{i}")
+            for i in range(_N_HASH)
+        ]
+    )
+    stack = ", ".join(
+        f"{j}, md5(concat(h{2 * j}, h{2 * j + 1}))" for j in range(_BANDS)
+    )
+    bands = sig.select(
+        "doc_id",
+        F.expr(f"stack({_BANDS}, {stack})").alias("band_id", "band_key"),
+    ).persist()
+    b, p = bands.alias("b"), bands.alias("p")
+    cand = (
+        b.filter(F.col("b.doc_id") % 2 == 1)
+        .join(
+            p,
+            (F.col("p.band_id") == F.col("b.band_id"))
+            & (F.col("p.band_key") == F.col("b.band_key")),
+        )
+        .filter(
+            (F.col("p.doc_id") % 2 == 0)
+            | (F.col("p.doc_id") < F.col("b.doc_id"))
+        )
+        .select(
+            F.col("b.doc_id").alias("new_id"),
+            F.col("p.doc_id").alias("old_id"),
+        )
+        .distinct()
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa, sb = doc_sh.alias("sa"), doc_sh.alias("sb")
+    ver = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("new_id"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("old_id"))
+            & (F.col("sb.sh") == F.col("sa.sh")),
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("n_inter"))
+        .join(sizes.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .withColumnRenamed("n", "na")
+        .join(sizes.withColumnRenamed("doc_id", "old_id"), "old_id")
+        .withColumnRenamed("n", "nb")
+        .select(
+            "new_id",
+            "old_id",
+            F.expr(
+                "CAST(1000 * n_inter div (na + nb - n_inter) AS INT)"
+            ).alias("jac_milli"),
+        )
+        .filter(F.col("jac_milli") >= _D13_TH_MILLI)
+    )
+    roll = ver.groupBy("new_id").agg(
+        F.min(
+            F.when(F.col("old_id") % 2 == 0, F.col("old_id"))
+        ).alias("prior_holder"),
+        F.min(
+            F.when(F.col("old_id") % 2 == 1, F.col("old_id"))
+        ).alias("batch_holder"),
+        F.max("jac_milli").alias("best_jac_milli"),
+    )
+    new_docs = t(spark, sf, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    ).select("doc_id")
+    return new_docs.join(
+        roll, new_docs.doc_id == roll.new_id, "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("prior_holder").isNotNull(), "dup_prior")
+        .when(F.col("batch_holder").isNotNull(), "dup_batch")
+        .otherwise("kept")
+        .alias("verdict"),
+        F.coalesce("prior_holder", "batch_holder", "doc_id")
+        .cast("long")
+        .alias("holder"),
+        F.coalesce("best_jac_milli", F.lit(0))
+        .cast("int")
+        .alias("best_jac_milli"),
+    )

@@ -721,6 +721,10 @@ SELECT 'd12' AS fam, doc_id AS doc_a, component AS doc_b,
        CAST(csize AS INTEGER) AS hamming,
        CASE WHEN keep THEN 'keep' ELSE 'dup' END AS txt
 FROM {_sub(dedup, "d12_fuzzy_dedup_funnel")} _g
+UNION ALL
+SELECT 'd13' AS fam, doc_id AS doc_a, holder AS doc_b,
+       CAST(best_jac_milli AS INTEGER) AS hamming, verdict AS txt
+FROM {_sub(dedup, "d13_incremental_lsh")} _h
 """,
 )
 def d06_suite(spark, sf):
@@ -739,7 +743,10 @@ def d06_suite(spark, sf):
     2 dup_batch, txt = content key), and the end-to-end fuzzy-dedup
     funnel (d12: LSH -> verified pairs -> connected components ->
     canonical survivor; doc_b = component, hamming = cluster size,
-    txt = keep/dup verdict)."""
+    txt = keep/dup verdict), and incremental LSH dedup (d13: new
+    batch vs the prior snapshot's materialized band index; doc_b =
+    holder, hamming = best milli Jaccard, txt = the
+    dup_prior/dup_batch/kept verdict)."""
     d6 = dedup.QUERIES["d06_simhash_bucketed"](spark, sf).select(
         F.lit("d06").alias("fam"), "doc_a", "doc_b",
         F.col("hamming").cast("int").alias("hamming"),
@@ -789,6 +796,13 @@ def d06_suite(spark, sf):
         F.col("csize").cast("int").alias("hamming"),
         F.when(F.col("keep"), "keep").otherwise("dup").alias("txt"),
     )
+    d13 = dedup.QUERIES["d13_incremental_lsh"](spark, sf).select(
+        F.lit("d13").alias("fam"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("holder").alias("doc_b"),
+        F.col("best_jac_milli").cast("int").alias("hamming"),
+        F.col("verdict").alias("txt"),
+    )
     return (
         d6.unionByName(d7)
         .unionByName(d8)
@@ -796,6 +810,7 @@ def d06_suite(spark, sf):
         .unionByName(d10)
         .unionByName(d11)
         .unionByName(d12)
+        .unionByName(d13)
     )
 
 

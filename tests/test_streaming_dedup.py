@@ -114,3 +114,41 @@ def test_stream_dedup_contract(spark, dirs):
     assert all(got[d] == batch[d] for d in (3, 5, 6))
     # the re-emitted duplicate carries the same key as its first copy
     assert got[6] == batch[1]
+
+
+def test_d13_incremental_lsh_agrees_with_d02_pairs(spark):
+    """d13: every dup verdict is backed by a d02-style verified pair
+    that crosses the batch boundary correctly, holders are minimal,
+    and all three verdict branches occur on the corpus."""
+    from pdf_ocr_spark.queries.dedup import _D13_TH_MILLI, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["doc_id"]: r for r in QUERIES["d13_incremental_lsh"](spark, sf).collect()}
+    # ground truth from the standalone pair query: jaccard >= threshold
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["d02_minhash_lsh_dedup"](spark, sf).collect()
+        if int(1000 * r["jaccard"]) >= _D13_TH_MILLI
+    ]
+    prior_of, batch_of = {}, {}
+    for a, b in pairs:
+        lo, hi = min(a, b), max(a, b)
+        for new, old in ((a, b), (b, a)):
+            if new % 2 != 1:
+                continue
+            if old % 2 == 0:
+                prior_of.setdefault(new, set()).add(old)
+            elif old < new:
+                batch_of.setdefault(new, set()).add(old)
+    verdicts = set()
+    for doc_id, r in out.items():
+        verdicts.add(r["verdict"])
+        if doc_id in prior_of:
+            assert r["verdict"] == "dup_prior", doc_id
+            assert r["holder"] == min(prior_of[doc_id]), doc_id
+        elif doc_id in batch_of:
+            assert r["verdict"] == "dup_batch", doc_id
+            assert r["holder"] == min(batch_of[doc_id]), doc_id
+        else:
+            assert r["verdict"] == "kept" and r["holder"] == doc_id, doc_id
+    assert verdicts == {"kept", "dup_prior", "dup_batch"}
