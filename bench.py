@@ -110,8 +110,10 @@ HEADLINE = [
     "q50_grouping_cube",
     "q51_pivot_part_metrics",
     "q52_transitive_roots",
+    "q53_pointer_doubling_roots",
     "s15_colbert_maxsim",
     "s16_bitext_margin",
+    "s17_graph_beam_search",
     "h04_fuzzy_schema_match",
     "v12_benford_audit",
     "x18_interleaved_pairs",

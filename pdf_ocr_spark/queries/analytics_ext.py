@@ -787,3 +787,65 @@ def q52(spark, sf):
         result = result.unionByName(part)
     nodes.unpersist()
     return result
+
+
+# ---------------------------------------------------------------- q53
+@q("q53_pointer_doubling_roots", oracle=_Q52_ORACLE)
+def q53(spark, sf):
+    """Pointer-doubling transitive closure — q52's production
+    alternative for DEEP chains, sharing q52's recursive-CTE oracle
+    (identical output contract: node, root, depth).
+
+    Instead of walking one parent per round (O(depth) rounds over a
+    shrinking frontier), every node keeps a pointer (cur, depth) to an
+    ancestor and each round substitutes the pointer's own pointer:
+    cur <- ptr[cur].cur, depth <- depth + ptr[cur].depth.  Pointers
+    reach the root in O(log depth) rounds — the classic parallel
+    tradeoff: each round self-joins the FULL node set (no shrinking
+    frontier), but a 10^6-deep chain resolves in 20 rounds instead of
+    10^6.  One equi-join + localCheckpoint + not-done probe per round;
+    every parent id exists in the mapping (parent(n) = hash % n < n),
+    so the self-join is inner.  At 10^12 nodes each round is one
+    co-partitioned shuffle on the pointer key; the done-bit keeps
+    resolved rows carrying their final (root, depth) unchanged
+    through remaining rounds."""
+    m = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("node"),
+        F.expr(
+            "CASE WHEN doc_id = 0 OR doc_id % 7 = 0 THEN NULL"
+            " ELSE CAST(conv(substring(md5(CAST(doc_id AS STRING)),"
+            " 1, 8), 16, 10) AS BIGINT) % doc_id END"
+        ).alias("parent"),
+    )
+    m = m.select(
+        "node",
+        F.coalesce("parent", "node").alias("cur"),
+        F.when(F.col("parent").isNull(), 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("depth"),
+        F.col("parent").isNull().alias("done"),
+    ).localCheckpoint()
+    while m.filter(~F.col("done")).limit(1).count() > 0:
+        ptr = m.select(
+            F.col("node").alias("cur"),
+            F.col("cur").alias("nxt"),
+            F.col("depth").alias("jump"),
+            F.col("done").alias("nxt_done"),
+        )
+        m = (
+            m.join(ptr, "cur")
+            .select(
+                "node",
+                F.when(F.col("done"), F.col("cur"))
+                .otherwise(F.col("nxt"))
+                .alias("cur"),
+                F.when(F.col("done"), F.col("depth"))
+                .otherwise(F.col("depth") + F.col("jump"))
+                .cast("int")
+                .alias("depth"),
+                (F.col("done") | F.col("nxt_done")).alias("done"),
+            )
+            .localCheckpoint()
+        )
+    return m.select("node", F.col("cur").alias("root"), "depth")

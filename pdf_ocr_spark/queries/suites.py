@@ -529,6 +529,9 @@ UNION ALL
 SELECT 'bitext', src_id, tgt_id,
        CAST(CASE WHEN accept THEN 1 ELSE 0 END AS BIGINT), margin
 FROM {_sub(similarity, "s16_bitext_margin")} _p
+UNION ALL
+SELECT 'graph_beam', qid, vec_id, CAST(rank AS BIGINT), cosine
+FROM {_sub(similarity, "s17_graph_beam_search")} _q
 """,
 )
 def s01_suite(spark, sf):
@@ -559,7 +562,9 @@ def s01_suite(spark, sf):
     per-query-token maxima, score = the MaxSim sum; all four maxima
     ride the fine-grained twin), and margin-based bitext mining (s16:
     aux1 = the mined target, aux2 = the accept flag, score = the k=1
-    margin ratio) —
+    margin ratio), and graph-navigation ANN (s17: NSW beam search
+    over the global kNN graph; aux1 = the retrieved vector, aux2 =
+    its rank, score = cosine) —
     tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -678,12 +683,20 @@ def s01_suite(spark, sf):
         ),
         F.col("margin").cast("double").alias("score"),
     )
+    qgb = similarity.QUERIES["s17_graph_beam_search"](spark, sf).select(
+        F.lit("graph_beam").alias("fam"),
+        F.col("qid").alias("id"),
+        F.col("vec_id").cast("long").alias("aux1"),
+        F.col("rank").cast("long").alias("aux2"),
+        F.col("cosine").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
         .unionByName(h).unionByName(i).unionByName(j)
         .unionByName(k).unionByName(ll).unionByName(m)
         .unionByName(n).unionByName(o).unionByName(p)
+        .unionByName(qgb)
     )
 
 
@@ -1481,6 +1494,10 @@ SELECT 'q52_root', CAST(node AS VARCHAR), CAST(root AS VARCHAR),
        depth, true
 FROM {_sub(analytics_ext, "q52_transitive_roots")} _q52
 UNION ALL
+SELECT 'q53_root', CAST(node AS VARCHAR), CAST(root AS VARCHAR),
+       depth, true
+FROM {_sub(analytics_ext, "q53_pointer_doubling_roots")} _q53
+UNION ALL
 SELECT 'x17_shard', CAST(doc_id AS VARCHAR),
        lang || '#' || bin, n_tok, true
 FROM (
@@ -1701,13 +1718,22 @@ def v01_suite(spark, sf):
         F.col("depth").cast("long").alias("n"),
         F.lit(True).alias("ok"),
     )
+    q53 = analytics_ext.QUERIES["q53_pointer_doubling_roots"](
+        spark, sf
+    ).select(
+        F.lit("q53_root").alias("fam"),
+        F.col("node").cast("string").alias("key"),
+        F.col("root").cast("string").alias("info"),
+        F.col("depth").cast("long").alias("n"),
+        F.lit(True).alias("ok"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(v6).unionByName(v7)
         .unionByName(v8).unionByName(v9).unionByName(v10)
         .unionByName(v11).unionByName(f).unionByName(g)
         .unionByName(v12).unionByName(x18).unionByName(x19)
-        .unionByName(q51).unionByName(q52)
+        .unionByName(q51).unionByName(q52).unionByName(q53)
     )
 
 

@@ -672,3 +672,78 @@ def test_s16_margin_matches_numpy_reference(spark):
             accepts.add(r["accept"])
     assert len(rows) == n_src
     assert accepts == {True, False}, "both margin branches must occur"
+
+
+def test_s17_graph_beam_matches_python_reference(spark):
+    """s17: the global kNN graph, per-label entry points, and all four
+    beam-search hops match a pure-Python replication of the same
+    procedure; results hit high exact-recall even though labels only
+    weakly predict cosine neighborhoods."""
+    import duckdb
+
+    from pdf_ocr_spark.queries.similarity import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {}
+    for r in QUERIES["s17_graph_beam_search"](spark, sf).collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    vecs = {
+        int(v): (int(lb), list(map(float, e)))
+        for v, e, lb in duckdb.sql(
+            f"SELECT vec_id, embedding, label"
+            f" FROM '{sf}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / ((na ** 0.5) * (nb ** 0.5))
+
+    ids = sorted(vecs)
+    graph = {
+        s: [
+            o
+            for _c, o in sorted(
+                ((-cos(vecs[s][1], vecs[o][1]), o) for o in ids if o != s)
+            )[:6]
+        ]
+        for s in ids
+    }
+    by_label = {}
+    for vid, (lb, _v) in vecs.items():
+        by_label.setdefault(lb, []).append(vid)
+    entries = [min(vs) for vs in by_label.values()]
+    qids = sorted(v for v in ids if v % 97 == 3)
+    assert qids, "query set must be non-empty"
+    n_hit = n_tot = 0
+    for qid in qids:
+        qv = vecs[qid][1]
+        beam = list(entries)
+        for _hop in range(4):
+            cand = set(beam)
+            for b in beam:
+                cand.update(graph[b])
+            scored = sorted(
+                ((-cos(vecs[c][1], qv), c) for c in cand)
+            )
+            beam = [c for _s, c in scored[:8]]
+        expect = [
+            (i + 1, c) for i, (_s, c) in enumerate(scored[:5])
+        ]
+        assert sorted(got[qid]) == expect, qid
+        exact = {
+            c
+            for _s, c in sorted(
+                ((-cos(vecs[c][1], qv), c) for c in ids)
+            )[:5]
+        }
+        n_hit += len(exact & {c for _r, c in expect})
+        n_tot += 5
+    assert set(got) == set(qids)
+    assert n_hit / n_tot >= 0.9, f"recall@5 too low: {n_hit}/{n_tot}"

@@ -353,3 +353,21 @@ def test_q52_roots_match_python_walk(spark):
         assert (r["root"], r["depth"]) == (cur, depth), n
         max_depth = max(max_depth, depth)
     assert max_depth >= 2, "forest must exercise multi-round iteration"
+
+
+def test_q53_pointer_doubling_matches_q52(spark):
+    """q53 (pointer doubling, O(log depth) rounds) emits exactly q52's
+    (node, root, depth) relation — the two iterative formulations
+    cross-check each other on the same md5 forest."""
+    from pdf_ocr_spark.queries.analytics_ext import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    walked = {
+        r["node"]: (r["root"], r["depth"])
+        for r in QUERIES["q52_transitive_roots"](spark, sf).collect()
+    }
+    doubled = {
+        r["node"]: (r["root"], r["depth"])
+        for r in QUERIES["q53_pointer_doubling_roots"](spark, sf).collect()
+    }
+    assert doubled == walked
