@@ -735,12 +735,14 @@ def q52(spark, sf):
 
     Scale shape: O(depth) rounds of one equi-join each over the
     UNRESOLVED frontier only (resolved rows retire from the loop, so
-    the joined relation shrinks every round); localCheckpoint per
-    round truncates lineage (x05's pitfall note).  With hash parents
-    always smaller than the child, expected depth is O(log N) — ~15
-    rounds at 10^12 nodes.  Production alternative for deep chains:
-    pointer doubling (join cur -> cur's cur), O(log depth) rounds at
-    double the join width."""
+    the joined relation shrinks every round); ONE localCheckpoint per
+    round on the joined step (truncating lineage, x05's pitfall note)
+    from which the resolved slice and the next frontier both derive
+    lazily, and the frontier-empty probe reads the same materialized
+    step — two jobs per round total.  With hash parents always
+    smaller than the child, expected depth is O(log N) — ~15 rounds
+    at 10^12 nodes.  Production alternative for deep chains: pointer
+    doubling (q53), O(log depth) rounds at double the join width."""
     nodes = t(spark, sf, "documents").select(
         F.col("doc_id").alias("node"),
         F.expr(
@@ -764,21 +766,18 @@ def q52(spark, sf):
     while True:
         step = frontier.join(
             nodes.select(F.col("node").alias("cur"), "parent"), "cur"
-        )
-        resolved = step.filter(F.col("parent").isNull()).select(
-            "node",
-            F.col("cur").alias("root"),
-            F.col("depth").cast("int").alias("depth"),
-        )
-        out.append(resolved.localCheckpoint())
-        frontier = (
-            step.filter(F.col("parent").isNotNull())
-            .select(
+        ).localCheckpoint()
+        out.append(
+            step.filter(F.col("parent").isNull()).select(
                 "node",
-                F.col("parent").alias("cur"),
-                (F.col("depth") + 1).alias("depth"),
+                F.col("cur").alias("root"),
+                F.col("depth").cast("int").alias("depth"),
             )
-            .localCheckpoint()
+        )
+        frontier = step.filter(F.col("parent").isNotNull()).select(
+            "node",
+            F.col("parent").alias("cur"),
+            (F.col("depth") + 1).alias("depth"),
         )
         if frontier.limit(1).count() == 0:
             break
