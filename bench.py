@@ -111,9 +111,12 @@ HEADLINE = [
     "q51_pivot_part_metrics",
     "q52_transitive_roots",
     "q53_pointer_doubling_roots",
+    "q54_pareto_skyline",
+    "t32_weighted_sample",
     "s15_colbert_maxsim",
     "s16_bitext_margin",
     "s17_graph_beam_search",
+    "s18_retrieval_metrics",
     "h04_fuzzy_schema_match",
     "v12_benford_audit",
     "x18_interleaved_pairs",

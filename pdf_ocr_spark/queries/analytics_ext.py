@@ -848,3 +848,83 @@ def q53(spark, sf):
             .localCheckpoint()
         )
     return m.select("node", F.col("cur").alias("root"), "depth")
+
+
+# ---------------------------------------------------------------- q54
+# Pareto skyline (public: Borzsony/Kossmann/Stocker 2001, "The
+# Skyline Operator"): per brand, the parts not dominated on
+# (minimize price, maximize size) — a dominates b when a is no worse
+# on both axes and strictly better on one.  The naive formulation is
+# the O(N^2) NOT EXISTS anti-join; the 2-D skyline collapses to ONE
+# window: group rows by price, take each price group's max size, and
+# keep a group iff its max size strictly exceeds the running max over
+# all CHEAPER groups (rows below their own group's max are dominated
+# at equal price; duplicates of the frontier point tie and both
+# survive).  Prices compare as exact integer cents (floor(p*100+0.5)
+# spelled identically in both engines — Spark CAST truncates where
+# DuckDB rounds, so neither engine's CAST is used on the raw double).
+_Q54_ORACLE = """
+WITH base AS (
+  SELECT p_brand, p_partkey, p_size,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+),
+grp AS (
+  SELECT p_brand, cents, max(p_size) AS gmax
+  FROM base GROUP BY p_brand, cents
+),
+front AS (
+  SELECT p_brand, cents, gmax,
+         max(gmax) OVER (PARTITION BY p_brand ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS run
+  FROM grp
+)
+SELECT b.p_brand, b.p_partkey, b.cents, b.p_size
+FROM base b
+JOIN front f ON f.p_brand = b.p_brand AND f.cents = b.cents
+WHERE b.p_size = f.gmax AND (f.run IS NULL OR f.gmax > f.run)
+"""
+
+
+@q("q54_pareto_skyline", oracle=_Q54_ORACLE)
+def q54(spark, sf):
+    """Per-brand Pareto skyline on (min price, max size) via the 2-D
+    one-window formulation — no O(N^2) dominance join.
+
+    Scale shape: ONE shuffle on (brand, cents) for the price-group
+    aggregate (map-side partial max), ONE window over the price-GRAIN
+    relation (distinct prices per brand — orders of magnitude smaller
+    than the row stream), and the frontier groups broadcast back onto
+    the base scan as an equi-join filter.  The row stream is never
+    window-sorted; higher dimensions (k-D skylines) decompose into
+    block-local skylines unioned then re-skylined — the same
+    partial/final split as any algebraic aggregate."""
+    from pyspark.sql import Window as W
+
+    base = t(spark, sf, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.expr(
+            "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    grp = base.groupBy("p_brand", "cents").agg(
+        F.max("p_size").alias("gmax")
+    )
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    front = (
+        grp.withColumn("run", F.max("gmax").over(w))
+        .filter(F.col("run").isNull() | (F.col("gmax") > F.col("run")))
+        .select("p_brand", "cents", "gmax")
+    )
+    return base.join(
+        F.broadcast(front), ["p_brand", "cents"]
+    ).filter(F.col("p_size") == F.col("gmax")).select(
+        "p_brand", "p_partkey", "cents", "p_size"
+    )

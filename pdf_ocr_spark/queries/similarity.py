@@ -1844,3 +1844,123 @@ def s17(spark, sf):
         F.col("cand").alias("vec_id"),
         "cosine",
     )
+
+
+# ---------------------------------------------------------------- s18
+# Retrieval-quality evaluation (public: Järvelin & Kekäläinen 2002
+# nDCG; standard MRR): score the s17 graph-ANN ranking against the
+# EXACT cosine ranking as graded ground truth (rel = 6 - exact_rank
+# for the exact top-5, 0 otherwise) — the rank-aware recall audit a
+# production retrieval pipeline runs continuously (s09 covers plain
+# recall; this adds position sensitivity).  All real-valued pieces
+# are frozen to integers computed ONCE here and inlined into BOTH
+# engines: the per-rank discount 1e6/log2(rank+1) is a 5-entry
+# literal table and IDCG is the literal sum, so DCG/nDCG/MRR are
+# exact integer arithmetic cross-engine.
+_S18_DISC = {1: 1000000, 2: 630930, 3: 500000, 4: 430677, 5: 386853}
+_S18_GAIN = {r: 2**r - 1 for r in range(6)}  # graded gain 2^rel - 1
+_S18_IDCG = sum(
+    _S18_GAIN[6 - j] * _S18_DISC[j] for j in range(1, _S17_K + 1)
+)
+
+
+def _s18_case(col: str, table: dict) -> str:
+    arms = " ".join(f"WHEN {k} THEN {v}" for k, v in table.items())
+    return f"CASE {col} {arms} ELSE 0 END"
+
+
+_S18_ORACLE = f"""
+WITH retr AS (SELECT * FROM ({_S17_ORACLE}) _retr),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+qs AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 3
+),
+exact AS (
+  SELECT qs.qid, e.vec_id,
+         row_number() OVER (PARTITION BY qs.qid ORDER BY
+           list_cosine_similarity(e.v, qs.qv) DESC, e.vec_id)
+           AS exact_rk
+  FROM e, qs
+),
+graded AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN x.exact_rk <= {_S17_K}
+              THEN 6 - x.exact_rk ELSE 0 END AS rel
+  FROM retr r
+  LEFT JOIN exact x ON x.qid = r.qid AND x.vec_id = r.vec_id
+)
+SELECT qid,
+       CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_rel_found,
+       CAST(sum(({_s18_case("rel", _S18_GAIN)})
+                * ({_s18_case("rank", _S18_DISC)})) AS BIGINT)
+         AS dcg_micro,
+       CAST(1000000 * sum(({_s18_case("rel", _S18_GAIN)})
+                          * ({_s18_case("rank", _S18_DISC)}))
+            // {_S18_IDCG} AS BIGINT) AS ndcg_ppm,
+       CAST(COALESCE(1000000 // min(CASE WHEN rel > 0 THEN rank END),
+                     0) AS BIGINT) AS rr_micro
+FROM graded
+GROUP BY qid
+"""
+
+
+@q("s18_retrieval_metrics", oracle=_S18_ORACLE)
+def s18(spark, sf):
+    """nDCG@5 + MRR audit of the s17 graph-ANN ranking against the
+    exact cosine ranking (rel = 6 - exact_rank for the exact top-5):
+    per query the relevant-found count, integer-micro DCG, ppm nDCG,
+    and micro reciprocal rank — rank-aware retrieval quality, the
+    position-sensitive extension of s09's recall audit.
+
+    Scale shape: the graded join touches only the RETRIEVED rows
+    (queries x k); the exact ranking at production comes from a
+    sampled golden set, not a full scan (here the corpus scan doubles
+    as the golden set at toy SF — one broadcast-query window, s05's
+    plan).  The discount table and IDCG are inlined integer literals
+    shared with the oracle — no float log2 in either engine."""
+    retr = QUERIES["s17_graph_beam_search"](spark, sf).select(
+        "qid", "rank", "vec_id"
+    )
+    e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
+    qs = e.filter(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    from pyspark.sql import Window as W
+
+    wx = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact = (
+        e.crossJoin(F.broadcast(qs))
+        .select("qid", "vec_id", _cos("v", "qv").alias("cosine"))
+        .withColumn("exact_rk", F.row_number().over(wx))
+        .filter(F.col("exact_rk") <= _S17_K)
+        .select("qid", "vec_id", "exact_rk")
+    )
+    graded = retr.join(exact, ["qid", "vec_id"], "left").select(
+        "qid",
+        "rank",
+        F.when(
+            F.col("exact_rk") <= _S17_K, 6 - F.col("exact_rk")
+        )
+        .otherwise(0)
+        .alias("rel"),
+    )
+    gain = F.expr(_s18_case("rel", _S18_GAIN))
+    disc = F.expr(_s18_case("rank", _S18_DISC))
+    return graded.groupBy("qid").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("int")
+        .alias("n_rel_found"),
+        F.sum(gain * disc).cast("long").alias("dcg_micro"),
+        F.expr(
+            f"CAST(1000000 * sum(({_s18_case('rel', _S18_GAIN)})"
+            f" * ({_s18_case('rank', _S18_DISC)}))"
+            f" div {_S18_IDCG} AS BIGINT)"
+        ).alias("ndcg_ppm"),
+        F.expr(
+            "CAST(COALESCE(1000000 div"
+            " min(CASE WHEN rel > 0 THEN rank END), 0) AS BIGINT)"
+        ).alias("rr_micro"),
+    )

@@ -532,6 +532,10 @@ FROM {_sub(similarity, "s16_bitext_margin")} _p
 UNION ALL
 SELECT 'graph_beam', qid, vec_id, CAST(rank AS BIGINT), cosine
 FROM {_sub(similarity, "s17_graph_beam_search")} _q
+UNION ALL
+SELECT 'ir_metrics', qid, ndcg_ppm, rr_micro,
+       CAST(dcg_micro AS DOUBLE)
+FROM {_sub(similarity, "s18_retrieval_metrics")} _r
 """,
 )
 def s01_suite(spark, sf):
@@ -564,7 +568,9 @@ def s01_suite(spark, sf):
     aux1 = the mined target, aux2 = the accept flag, score = the k=1
     margin ratio), and graph-navigation ANN (s17: NSW beam search
     over the global kNN graph; aux1 = the retrieved vector, aux2 =
-    its rank, score = cosine) —
+    its rank, score = cosine), and the rank-aware retrieval-quality
+    audit (s18: nDCG@5 + MRR of s17's ranking vs the exact one;
+    aux1 = ppm nDCG, aux2 = micro RR, score = micro DCG) —
     tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -690,13 +696,20 @@ def s01_suite(spark, sf):
         F.col("rank").cast("long").alias("aux2"),
         F.col("cosine").alias("score"),
     )
+    rim = similarity.QUERIES["s18_retrieval_metrics"](spark, sf).select(
+        F.lit("ir_metrics").alias("fam"),
+        F.col("qid").alias("id"),
+        F.col("ndcg_ppm").cast("long").alias("aux1"),
+        F.col("rr_micro").cast("long").alias("aux2"),
+        F.col("dcg_micro").cast("double").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
         .unionByName(h).unionByName(i).unionByName(j)
         .unionByName(k).unionByName(ll).unionByName(m)
         .unionByName(n).unionByName(o).unionByName(p)
-        .unionByName(qgb)
+        .unionByName(qgb).unionByName(rim)
     )
 
 
@@ -839,13 +852,19 @@ UNION ALL
 SELECT 'cube' AS fam, rf AS k1, ls AS k2, g_rf AS g1, g_ls AS g2,
        sum_qty, revenue, n_items
 FROM {_sub(analytics_ext, "q50_grouping_cube")} _c
+UNION ALL
+SELECT 'skyline', p_brand, CAST(p_partkey AS VARCHAR),
+       CAST(cents AS INTEGER), p_size,
+       CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1 AS BIGINT)
+FROM {_sub(analytics_ext, "q54_pareto_skyline")} _s
 """,
 )
 def q35_suite(spark, sf):
     """Grouping-sets family as one tagged union: hierarchical ROLLUP
-    revenue (q35: region -> nation -> grand total) and the full CUBE
-    with GROUPING flags (q50) on a fixed
-    (fam, k1, k2, g1, g2, sum_qty, revenue, n_items) schema."""
+    revenue (q35: region -> nation -> grand total), the full CUBE
+    with GROUPING flags (q50), and the per-brand Pareto skyline
+    (q54: k1 = brand, k2 = partkey, g1 = price cents, g2 = size) on a
+    fixed (fam, k1, k2, g1, g2, sum_qty, revenue, n_items) schema."""
     r = analytics_ext.QUERIES["q35_rollup_revenue"](spark, sf).select(
         F.lit("rollup").alias("fam"),
         F.col("region").alias("k1"),
@@ -866,7 +885,17 @@ def q35_suite(spark, sf):
         "revenue",
         "n_items",
     )
-    return r.unionByName(c)
+    sk = analytics_ext.QUERIES["q54_pareto_skyline"](spark, sf).select(
+        F.lit("skyline").alias("fam"),
+        F.col("p_brand").alias("k1"),
+        F.col("p_partkey").cast("string").alias("k2"),
+        F.col("cents").cast("int").alias("g1"),
+        F.col("p_size").cast("int").alias("g2"),
+        F.lit(0.0).cast("double").alias("sum_qty"),
+        F.lit(0.0).cast("double").alias("revenue"),
+        F.lit(1).cast("long").alias("n_items"),
+    )
+    return r.unionByName(c).unionByName(sk)
 
 
 # =========================================================== textstats
@@ -885,6 +914,8 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        f1.n_meta_rows, f1.n_mono_cols, f1.zebra_alt, f1.is_zebra,
        COALESCE(t8.stratum, '') AS stratum,
        CAST(COALESCE(t8.sample_rank, 0) AS INTEGER) AS sample_rank,
+       CAST(COALESCE(t32.key_micro, 0) AS BIGINT) AS aes_key_micro,
+       CAST(COALESCE(t32.sample_rank, 0) AS INTEGER) AS aes_rank,
        t9.top2_frac, t9.top3_frac, t9.dup2_frac,
        t10.n_email, t10.n_ipv4, t10.n_phone, t10.masked,
        f2.header_color, f2.visual_hdr_rows, f2.text_hdr_rows,
@@ -939,6 +970,8 @@ JOIN {_sub(textstats, "t07_ocr_span_recovery")} t7 ON t7.doc_id = t1.doc_id
 JOIN {_sub(fonts_q, "f01_font_profile")} f1 ON f1.doc_id = t1.doc_id
 LEFT JOIN {_sub(textstats, "t08_stratified_sample")} t8
        ON t8.doc_id = t1.doc_id
+LEFT JOIN {_sub(textstats, "t32_weighted_sample")} t32
+       ON t32.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t09_repetition_profile")} t9 ON t9.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t10_pii_scrub")} t10 ON t10.doc_id = t1.doc_id
 JOIN {_sub(fonts_q, "f02_color_semantics")} f2 ON f2.doc_id = t1.doc_id
@@ -981,7 +1014,9 @@ def t01_suite(spark, sf):
     font/visual evidence profile FH2-FH4 + VH3 (f01), and stratified
     quota-sample membership (t08; stratum=''/sample_rank=0 for docs
     outside the deterministic sample — coalesced, not null, so the
-    hash comparator sees identical cells on both sides), Gopher-style
+    hash comparator sees identical cells on both sides), A-ES
+    weighted-sample membership (t32; aes_key_micro/aes_rank, 0 when
+    outside the weighted sample), Gopher-style
     repetition signals (t09), PII scrub counts + masked text (t10),
     FH5/VH6 color semantics (f02: header color, exception-color
     counts, visual-vs-text header verdict), the full Gopher + C4
@@ -1035,6 +1070,11 @@ def t01_suite(spark, sf):
     t7 = textstats.QUERIES["t07_ocr_span_recovery"](spark, sf)
     f1 = fonts_q.QUERIES["f01_font_profile"](spark, sf)
     t8 = textstats.QUERIES["t08_stratified_sample"](spark, sf)
+    t32 = textstats.QUERIES["t32_weighted_sample"](spark, sf).select(
+        "doc_id",
+        F.col("key_micro").alias("aes_key_micro"),
+        F.col("sample_rank").alias("aes_rank"),
+    )
     t9 = textstats.QUERIES["t09_repetition_profile"](spark, sf)
     t10 = textstats.QUERIES["t10_pii_scrub"](spark, sf)
     f2 = fonts_q.QUERIES["f02_color_semantics"](spark, sf)
@@ -1144,6 +1184,14 @@ def t01_suite(spark, sf):
         .withColumn(
             "sample_rank",
             F.coalesce("sample_rank", F.lit(0)).cast("int"),
+        )
+        .join(t32, "doc_id", "left")
+        .withColumn(
+            "aes_key_micro",
+            F.coalesce("aes_key_micro", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "aes_rank", F.coalesce("aes_rank", F.lit(0)).cast("int")
         )
         .join(t9, "doc_id")
         .join(t10, "doc_id")

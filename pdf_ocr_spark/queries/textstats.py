@@ -3058,3 +3058,79 @@ def t31(spark, sf):
             "      OR element_at(sc, i) <= element_at(sc, i + 1))"
         ).alias("is_boundary"),
     )
+
+
+# ------------------------------------------------------------- t32
+# Weighted corpus sampling (public: Efraimidis & Spirakis 2006,
+# "Weighted random sampling with a reservoir", A-ES): draw a fixed-k
+# sample with inclusion probability proportional to document weight —
+# the token-budget subsample every mixture pipeline needs ("sample
+# 10B tokens weighted by quality/length").  A-ES keys each row with
+# u^(1/w) (u uniform from a hash, w the weight) and keeps the global
+# top-k; ordering by u^(1/w) is ordering by ln(u)/w, and the key is
+# frozen to integer micro (t14's pattern) BEFORE the top-k, so both
+# engines compare identical integers (ln() may differ across libm
+# implementations by 1 ulp ~ 1e-16 relative — six orders of magnitude
+# below the micro quantum; micro-ties break by doc_id).
+_T32_K = 100  # sample size
+
+
+_T32_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         CAST(floor(
+           1000000 * ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                          1, 8))::BIGINT + 1) / 4294967296.0)
+           / greatest(n_chars, 1)) AS BIGINT) AS key_micro
+  FROM documents
+),
+rk AS (
+  SELECT doc_id, n_chars, key_micro,
+         row_number() OVER (ORDER BY key_micro DESC, doc_id)
+           AS sample_rank
+  FROM keyed
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, key_micro,
+       CAST(sample_rank AS INTEGER) AS sample_rank
+FROM rk WHERE sample_rank <= {_T32_K}
+"""
+
+
+@q("t32_weighted_sample", oracle=_T32_ORACLE)
+def t32(spark, sf):
+    """A-ES weighted sampling: a deterministic fixed-k sample with
+    inclusion probability proportional to n_chars (the length /
+    token-budget weight), via top-k over the micro-frozen A-ES key
+    ln(u)/w with u = (md5(doc_id)[:8] + 1) / 2^32.
+
+    Scale shape: the key is a scan-local expression (no shuffle to
+    compute); the global top-k is ONE window at toy SF and a
+    map-side-top-k + single-reducer merge at 100 TB (k rows per
+    partition feed the final sort — t08's documented quota pattern;
+    Spark's takeOrdered shape).  Re-runs reproduce the same sample
+    with no seed exchange — the hash IS the randomness, exactly like
+    t08's stratified quota draw (this is its weighted sibling)."""
+    from pyspark.sql import Window as W
+
+    keyed = t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.expr(
+            "CAST(floor(1000000 * ln((CAST(conv(substring("
+            "md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            " + 1) / 4294967296.0) / greatest(n_chars, 1)) AS BIGINT)"
+        ).alias("key_micro"),
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.desc("key_micro"), F.asc("doc_id"))
+    )
+    return (
+        keyed.withColumn("sample_rank", rk)
+        .filter(F.col("sample_rank") <= _T32_K)
+        .select(
+            "doc_id",
+            "weight",
+            "key_micro",
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )

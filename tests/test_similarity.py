@@ -747,3 +747,77 @@ def test_s17_graph_beam_matches_python_reference(spark):
         n_tot += 5
     assert set(got) == set(qids)
     assert n_hit / n_tot >= 0.9, f"recall@5 too low: {n_hit}/{n_tot}"
+
+
+def test_s18_metrics_match_python_reference(spark):
+    """s18: nDCG@5 / MRR / DCG over the s17 ranking match a pure-Python
+    recomputation from the collected s17 rows and the exact cosine
+    ranking; the sf0.01 corpus exercises a non-perfect row (s17 is
+    28/30 there vs 30/30 at sf0.001)."""
+    import duckdb
+
+    from pdf_ocr_spark.queries.similarity import (
+        QUERIES,
+        _S18_DISC,
+        _S18_GAIN,
+        _S18_IDCG,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    retr = {}
+    for r in QUERIES["s17_graph_beam_search"](spark, sf).collect():
+        retr.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    got = {
+        r["qid"]: (
+            r["n_rel_found"], r["dcg_micro"], r["ndcg_ppm"], r["rr_micro"]
+        )
+        for r in QUERIES["s18_retrieval_metrics"](spark, sf).collect()
+    }
+    vecs = {
+        int(v): list(map(float, e))
+        for v, e in duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / ((na ** 0.5) * (nb ** 0.5))
+
+    ids = sorted(vecs)
+    n_imperfect = 0
+    for qid, rows in retr.items():
+        qv = vecs[qid]
+        exact = [
+            c
+            for _s, c in sorted(
+                ((-cos(vecs[c], qv), c) for c in ids)
+            )[:5]
+        ]
+        rel_of = {c: 5 - i + 1 for i, c in enumerate(exact, start=1)}
+        dcg = n_rel = 0
+        first_rel = None
+        for rank, vid in sorted(rows):
+            rel = rel_of.get(vid, 0)
+            if rel > 0:
+                n_rel += 1
+                if first_rel is None:
+                    first_rel = rank
+            dcg += _S18_GAIN[rel] * _S18_DISC[rank]
+        expect = (
+            n_rel,
+            dcg,
+            1000000 * dcg // _S18_IDCG,
+            1000000 // first_rel if first_rel else 0,
+        )
+        assert got[qid] == expect, qid
+        if expect[2] < 1000000:
+            n_imperfect += 1
+    assert set(got) == set(retr)
+    assert n_imperfect >= 1, "corpus must exercise a non-perfect nDCG"

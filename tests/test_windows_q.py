@@ -371,3 +371,100 @@ def test_q53_pointer_doubling_matches_q52(spark):
         for r in QUERIES["q53_pointer_doubling_roots"](spark, sf).collect()
     }
     assert doubled == walked
+
+
+def test_q54_skyline_matches_bruteforce_dominance(spark):
+    """q54: the per-brand skyline equals the O(N^2) dominance
+    definition computed directly in Python (minimize price cents,
+    maximize size; strict dominance)."""
+    import duckdb
+
+    from pdf_ocr_spark.queries.analytics_ext import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["p_brand"], r["p_partkey"])
+        for r in QUERIES["q54_pareto_skyline"](spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT p_brand, p_partkey,"
+        f" CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT), p_size"
+        f" FROM '{sf}/part.parquet'"
+    ).fetchall()
+    by_brand = {}
+    for b, k, c, s in rows:
+        by_brand.setdefault(b, []).append((k, c, s))
+    expect = set()
+    for b, parts in by_brand.items():
+        for k, c, s in parts:
+            dominated = any(
+                (c2 <= c and s2 >= s and (c2 < c or s2 > s))
+                for _k2, c2, s2 in parts
+            )
+            if not dominated:
+                expect.add((b, k))
+    assert got == expect
+    assert len(expect) < len(rows), "skyline must prune something"
+
+
+def test_t32_weighted_sample_matches_python_aes(spark):
+    """t32: the A-ES weighted sample matches a Python replication of
+    the micro-frozen key, and the sample is length-biased (mean
+    weight well above the corpus mean)."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from pdf_ocr_spark.queries.textstats import QUERIES, _T32_K
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["sample_rank"], r["doc_id"], r["weight"], r["key_micro"])
+        for r in QUERIES["t32_weighted_sample"](spark, sf).collect()
+    ]
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    keyed = []
+    for doc_id, n_chars in rows:
+        h = int(
+            hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16
+        )
+        u = (h + 1) / 4294967296.0
+        key = math.floor(1_000_000 * math.log(u) / max(n_chars, 1))
+        keyed.append((-key, doc_id, n_chars, key))
+    keyed.sort()
+    expect = [
+        (i + 1, d, w, k)
+        for i, (_nk, d, w, k) in enumerate(keyed[:_T32_K])
+    ]
+    assert sorted(got) == expect
+    # weighting effect: the weighted sample's mean weight must exceed
+    # that of the UNWEIGHTED control drawn from the same hash stream
+    # (w=1 for all docs -> top-k by ln(u) alone)
+    control = sorted(
+        (
+            -math.floor(
+                1_000_000
+                * math.log(
+                    (
+                        int(
+                            hashlib.md5(str(d).encode()).hexdigest()[:8],
+                            16,
+                        )
+                        + 1
+                    )
+                    / 4294967296.0
+                )
+            ),
+            d,
+            w,
+        )
+        for d, w in rows
+    )[:_T32_K]
+    sample_mean = sum(w for _r, _d, w, _k in got) / len(got)
+    control_mean = sum(w for _nk, _d, w in control) / len(control)
+    corpus_mean = sum(w for _d, w in rows) / len(rows)
+    assert sample_mean > control_mean, (sample_mean, control_mean)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
