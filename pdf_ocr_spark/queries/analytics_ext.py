@@ -607,25 +607,31 @@ def q50(spark, sf):
     real NULL key from an aggregated-away one).  Sentinel-coalesced
     keys + integer flags keep the value hash unambiguous.
 
-    Scale shape: Spark plans CUBE as one Expand (4 grouping sets x
-    input rows) feeding a single partial-aggregated Exchange on the
-    expanded keys — the standard trade; at 100 TB with many sets you
-    would pre-aggregate on the finest grain first and cube the
-    (tiny) aggregate instead."""
+    Scale shape: two-phase — pre-aggregate on the FINEST grain first
+    (one partial-aggregated Exchange over the row stream, exactly the
+    shuffle a naive cube pays anyway), then CUBE the tiny
+    (|rf| x |ls|)-row aggregate, so Spark's Expand (4 grouping sets x
+    input) multiplies a handful of rows instead of the full scan.
+    Partial sums stay DECIMAL through both phases (associative —
+    regrouping partials is exact), so the result is bit-identical to
+    the single-phase cube."""
     li = t(spark, sf, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,6)"
     )
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pq"),
+        F.sum(rev).alias("pr"),
+        F.count("*").alias("pn"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        pre.cube("l_returnflag", "l_linestatus")
         .agg(
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_qty"),
-            F.sum(rev).cast("double").alias("revenue"),
-            F.count("*").alias("n_items"),
+            F.sum("pq").cast("double").alias("sum_qty"),
+            F.sum("pr").cast("double").alias("revenue"),
+            F.sum("pn").alias("n_items"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),

@@ -233,17 +233,22 @@ def test_t30_scoring_broadcasts_the_weight_table(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q50_cube_is_one_expand_one_exchange(spark):
-    """q50 claims Spark's standard grouping-sets shape: one Expand
-    feeding one partial-aggregated Exchange."""
+def test_q50_cube_is_two_phase(spark):
+    """q50 claims the two-phase CUBE: the Expand must sit ABOVE the
+    finest-grain pre-aggregation (multiplying the tiny aggregate, not
+    the scan) — i.e. in the top-down plan the cube's grouping-id
+    Exchange prints first, then Expand, then the pre-agg Exchange."""
     from pdf_ocr_spark.queries import FULL_QUERIES
 
     plan = _plan(FULL_QUERIES["q50_grouping_cube"](spark, SF))
-    assert plan.count("Expand") >= 1
     kinds = _exchanges(plan)
-    assert len(kinds) == 1 and kinds[0].startswith(
-        "hashpartitioning"
+    assert len(kinds) == 2 and all(
+        k.startswith("hashpartitioning") for k in kinds
     ), kinds
+    i_cube = plan.index("spark_grouping_id")
+    i_expand = plan.index("Expand")
+    pre = plan.rindex("Exchange hashpartitioning")
+    assert i_cube < i_expand < pre, (i_cube, i_expand, pre)
 
 
 def test_s15_maxsim_has_no_query_join(spark):
