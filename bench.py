@@ -113,6 +113,8 @@ HEADLINE = [
     "q53_pointer_doubling_roots",
     "q54_pareto_skyline",
     "t32_weighted_sample",
+    "t33_script_profile",
+    "v13_fd_audit",
     "s15_colbert_maxsim",
     "s16_bitext_margin",
     "s17_graph_beam_search",

@@ -916,6 +916,10 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        CAST(COALESCE(t8.sample_rank, 0) AS INTEGER) AS sample_rank,
        CAST(COALESCE(t32.key_micro, 0) AS BIGINT) AS aes_key_micro,
        CAST(COALESCE(t32.sample_rank, 0) AS INTEGER) AS aes_rank,
+       t33.n_cyr + t33.n_cjk + t33.n_greek AS scr_nonlatin,
+       t33.n_confusable AS scr_confusable,
+       t33.mixed_script AS scr_mixed,
+       t33.script_keep AS scr_keep,
        t9.top2_frac, t9.top3_frac, t9.dup2_frac,
        t10.n_email, t10.n_ipv4, t10.n_phone, t10.masked,
        f2.header_color, f2.visual_hdr_rows, f2.text_hdr_rows,
@@ -972,6 +976,8 @@ LEFT JOIN {_sub(textstats, "t08_stratified_sample")} t8
        ON t8.doc_id = t1.doc_id
 LEFT JOIN {_sub(textstats, "t32_weighted_sample")} t32
        ON t32.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t33_script_profile")} t33
+  ON t33.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t09_repetition_profile")} t9 ON t9.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t10_pii_scrub")} t10 ON t10.doc_id = t1.doc_id
 JOIN {_sub(fonts_q, "f02_color_semantics")} f2 ON f2.doc_id = t1.doc_id
@@ -1016,7 +1022,9 @@ def t01_suite(spark, sf):
     outside the deterministic sample — coalesced, not null, so the
     hash comparator sees identical cells on both sides), A-ES
     weighted-sample membership (t32; aes_key_micro/aes_rank, 0 when
-    outside the weighted sample), Gopher-style
+    outside the weighted sample), script-mixing/homoglyph profile
+    (t33; scr_nonlatin/scr_confusable/scr_mixed/scr_keep),
+    Gopher-style
     repetition signals (t09), PII scrub counts + masked text (t10),
     FH5/VH6 color semantics (f02: header color, exception-color
     counts, visual-vs-text header verdict), the full Gopher + C4
@@ -1074,6 +1082,15 @@ def t01_suite(spark, sf):
         "doc_id",
         F.col("key_micro").alias("aes_key_micro"),
         F.col("sample_rank").alias("aes_rank"),
+    )
+    t33 = textstats.QUERIES["t33_script_profile"](spark, sf).select(
+        "doc_id",
+        (F.col("n_cyr") + F.col("n_cjk") + F.col("n_greek")).alias(
+            "scr_nonlatin"
+        ),
+        F.col("n_confusable").alias("scr_confusable"),
+        F.col("mixed_script").alias("scr_mixed"),
+        F.col("script_keep").alias("scr_keep"),
     )
     t9 = textstats.QUERIES["t09_repetition_profile"](spark, sf)
     t10 = textstats.QUERIES["t10_pii_scrub"](spark, sf)
@@ -1193,6 +1210,7 @@ def t01_suite(spark, sf):
         .withColumn(
             "aes_rank", F.coalesce("aes_rank", F.lit(0)).cast("int")
         )
+        .join(t33, "doc_id")
         .join(t9, "doc_id")
         .join(t10, "doc_id")
         .join(f2, "doc_id")
@@ -1546,6 +1564,11 @@ SELECT 'q53_root', CAST(node AS VARCHAR), CAST(root AS VARCHAR),
        depth, true
 FROM {_sub(analytics_ext, "q53_pointer_doubling_roots")} _q53
 UNION ALL
+SELECT 'v13_fd', fd,
+       CAST(n_groups AS VARCHAR) || '#' || CAST(max_rhs AS VARCHAR),
+       viol_ppm, holds
+FROM {_sub(validation_q, "v13_fd_audit")} _v13
+UNION ALL
 SELECT 'x17_shard', CAST(doc_id AS VARCHAR),
        lang || '#' || bin, n_tok, true
 FROM (
@@ -1584,7 +1607,12 @@ def v01_suite(spark, sf):
     audit (q48: key = layout bucket, info = covered rectangle, ok =
     the 16x16 tile-containment pruning guarantee) + the composed
     curation capstone's packed shards (x17: key = surviving doc,
-    info = lang#bin, n = tokens)."""
+    info = lang#bin, n = tokens) + the Benford digit audit (v12) +
+    interleaved/extracted caption pairs (x18/x19) + the pivot (q51)
+    and both transitive-closure formulations (q52 walk / q53 pointer
+    doubling) + the functional-dependency audit (v13: key = the
+    candidate A->B, info = groups#worst, n = ppm violations, ok =
+    holds)."""
     a = validation_q.QUERIES["v01_contract_validation"](spark, sf).select(
         F.lit("v01_doc").alias("fam"),
         F.col("doc_id").cast("string").alias("key"),
@@ -1775,6 +1803,17 @@ def v01_suite(spark, sf):
         F.col("depth").cast("long").alias("n"),
         F.lit(True).alias("ok"),
     )
+    v13 = validation_q.QUERIES["v13_fd_audit"](spark, sf).select(
+        F.lit("v13_fd").alias("fam"),
+        F.col("fd").alias("key"),
+        F.concat_ws(
+            "#",
+            F.col("n_groups").cast("string"),
+            F.col("max_rhs").cast("string"),
+        ).alias("info"),
+        F.col("viol_ppm").alias("n"),
+        F.col("holds").alias("ok"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(v6).unionByName(v7)
@@ -1782,6 +1821,7 @@ def v01_suite(spark, sf):
         .unionByName(v11).unionByName(f).unionByName(g)
         .unionByName(v12).unionByName(x18).unionByName(x19)
         .unionByName(q51).unionByName(q52).unionByName(q53)
+        .unionByName(v13)
     )
 
 

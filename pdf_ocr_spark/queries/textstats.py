@@ -3134,3 +3134,93 @@ def t32(spark, sf):
             F.col("sample_rank").cast("int").alias("sample_rank"),
         )
     )
+
+
+# ------------------------------------------------------------- t33
+# Script-mixing / homoglyph profile (public: Unicode TR#39 confusable
+# detection; the mixed-script spam filter every web-crawl pipeline
+# runs).  The synthetic corpus is pure Latin prose, so — t10/t11's
+# decoration pattern — the firing populations are injected
+# DETERMINISTICALLY from doc_id with the SAME expression inlined into
+# the Spark plan and the DuckDB twin:
+#   doc_id % 11 == 0  ->  ' пример' appended   (pure-Cyrillic word:
+#                         mixed script, NOT confusable)
+#   doc_id % 13 == 0  ->  ' 例子' appended    (CJK run)
+#   doc_id % 23 == 0  ->  ' exаmple' appended  (Cyrillic 'а' INSIDE
+#                         a Latin word: the homoglyph spoof)
+# Script counts use explicit code-point ranges (identical pattern
+# strings in both engines — no engine-specific \p classes):
+# Cyrillic U+0400-04FF, CJK U+4E00-9FFF, Greek U+0370-03FF; the
+# confusable test matches a Latin letter ADJACENT to a Cyrillic one
+# inside the same word.
+_T33_DECOR_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' пример' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' 例子' ELSE '' END"
+    " || CASE WHEN doc_id % 23 = 0 THEN ' exаmple' ELSE '' END"
+)
+_T33_PAT = {
+    "n_latin": "[A-Za-z]",
+    "n_cyr": "[\u0400-\u04FF]",
+    "n_cjk": "[\u4E00-\u9FFF]",
+    "n_greek": "[\u0370-\u03FF]",
+}
+_T33_CONF = "[A-Za-z][\u0400-\u04FF]|[\u0400-\u04FF][A-Za-z]"
+
+
+_T33_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_T33_DECOR_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       {", ".join(
+         f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)"
+         f" AS {c}" for c, p in _T33_PAT.items()
+       )},
+       CAST(len(regexp_extract_all(text, '{_T33_CONF}')) AS BIGINT)
+         AS n_confusable,
+       (len(regexp_extract_all(text, '{_T33_PAT["n_cyr"]}')) > 0
+        OR len(regexp_extract_all(text, '{_T33_PAT["n_cjk"]}')) > 0
+        OR len(regexp_extract_all(text, '{_T33_PAT["n_greek"]}')) > 0)
+         AS mixed_script,
+       (len(regexp_extract_all(text, '{_T33_CONF}')) = 0)
+         AS script_keep
+FROM d
+"""
+
+
+@q("t33_script_profile", oracle=_T33_ORACLE)
+def t33(spark, sf):
+    """Per-document script histogram + homoglyph confusable detection:
+    counts of Latin / Cyrillic / CJK / Greek code points, a
+    mixed-script flag, and the TR#39-style confusable verdict (a
+    Latin letter adjacent to a Cyrillic one inside a word — the
+    phishing/spam spoof shape); keep = no confusables.  Pure
+    mixed-script documents (a real Cyrillic word in Latin prose) are
+    flagged mixed but KEPT — only homoglyph splices fail.
+
+    Scale shape: a narrow scan-local map (regexp counts fold into the
+    projection, zero shuffle, t27's plan); patterns are explicit
+    code-point ranges shared verbatim with the oracle."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.expr(_T33_DECOR_SQL).alias("text")
+    )
+    cnt = {
+        c: F.expr(f"CAST(size(regexp_extract_all(text, '{p}', 0))"
+                  f" AS BIGINT)")
+        for c, p in _T33_PAT.items()
+    }
+    conf = F.expr(
+        f"CAST(size(regexp_extract_all(text, '{_T33_CONF}', 0))"
+        f" AS BIGINT)"
+    )
+    return d.select(
+        "doc_id",
+        *[v.alias(k) for k, v in cnt.items()],
+        conf.alias("n_confusable"),
+        (
+            (cnt["n_cyr"] > 0) | (cnt["n_cjk"] > 0)
+            | (cnt["n_greek"] > 0)
+        ).alias("mixed_script"),
+        (conf == 0).alias("script_keep"),
+    )

@@ -1155,3 +1155,90 @@ def v12(spark, sf):
         chi.cast("long").alias("chi2_micro"),
         (chi <= _V12_CHI2_MAX).alias("conforms"),
     )
+
+
+# ---------------------------------------------------------------- v13
+# Functional-dependency audit (public: Deequ/Metanome-style FD
+# profiling; Papenbrock et al. 2015 surveys discovery).  For each
+# candidate A -> B: the number of A-groups, the groups holding more
+# than one distinct B (violations), the integer-ppm violation rate,
+# and the holds verdict.  The candidate list spans true FDs (primary
+# keys, the nation->region hierarchy) and deliberately false ones so
+# both verdict branches are live on every run.
+_V13_FDS = (
+    ("nation.n_nationkey->n_regionkey", "nation",
+     "n_nationkey", "n_regionkey"),
+    ("orders.o_orderkey->o_orderstatus", "orders",
+     "o_orderkey", "o_orderstatus"),
+    ("customer.c_nationkey->c_mktsegment", "customer",
+     "c_nationkey", "c_mktsegment"),
+    ("lineitem.l_orderkey->l_suppkey", "lineitem",
+     "l_orderkey", "l_suppkey"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+)
+
+
+def _v13_arm_sql(name, table, lhs, rhs):
+    return f"""
+SELECT '{name}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(1000000 * sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS viol_ppm,
+       CAST(max(n_rhs) AS BIGINT) AS max_rhs,
+       (sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0) AS holds
+FROM (
+  SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs
+  FROM {table} GROUP BY {lhs}
+)"""
+
+
+_V13_ORACLE = "\nUNION ALL\n".join(
+    _v13_arm_sql(*fd) for fd in _V13_FDS
+)
+
+
+@q("v13_fd_audit", oracle=_V13_ORACLE)
+def v13(spark, sf):
+    """Functional-dependency discovery audit: for each candidate
+    A -> B, the A-group count, violating-group count, ppm violation
+    rate, worst group's distinct-B count, and the holds verdict —
+    the schema-quality profile (Deequ's uniqueness/consistency
+    family) that catches denormalization drift at ingest.
+
+    Scale shape: each candidate is ONE shuffle on the LHS with a
+    map-side partial distinct, collapsed to a single verdict row —
+    the per-group relation never leaves the executors.  Candidates
+    over the same table share the scan; at production the candidate
+    list comes from the contract (a handful of rows), never the
+    O(cols^2) blind search."""
+    from pyspark.sql import functions as F
+
+    outs = []
+    for name, table, lhs, rhs in _V13_FDS:
+        g = (
+            t(spark, sf, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("n_rhs"))
+        )
+        viol = F.sum(
+            F.when(F.col("n_rhs") > 1, 1).otherwise(0)
+        )
+        outs.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count("*").alias("n_groups"),
+                viol.alias("n_violating"),
+                F.expr(
+                    "CAST(1000000 * sum(CASE WHEN n_rhs > 1 THEN 1"
+                    " ELSE 0 END) div count(*) AS BIGINT)"
+                ).alias("viol_ppm"),
+                F.max("n_rhs").cast("long").alias("max_rhs"),
+                (viol == 0).alias("holds"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

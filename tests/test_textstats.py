@@ -1490,3 +1490,54 @@ def test_t31_texttiling_matches_set_reference(spark, tmp_path):
     # the homogeneous doc must produce none
     assert not any(r["is_boundary"] for r in got.get(2, {}).values())
     assert 1 not in got  # short doc: no gaps at all
+
+
+def test_t33_script_profile_matches_python_re(spark):
+    """t33: script counts, the confusable count, and both verdicts
+    match a Python re recomputation of the same decorated text; all
+    three injected populations fire."""
+    import re as _re
+
+    import duckdb
+
+    from pdf_ocr_spark.queries.textstats import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (
+            r["n_latin"], r["n_cyr"], r["n_cjk"], r["n_greek"],
+            r["n_confusable"], r["mixed_script"], r["script_keep"],
+        )
+        for r in QUERIES["t33_script_profile"](spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    pats = {
+        "lat": _re.compile("[A-Za-z]"),
+        "cyr": _re.compile("[Ѐ-ӿ]"),
+        "cjk": _re.compile("[一-鿿]"),
+        "grk": _re.compile("[Ͱ-Ͽ]"),
+        "conf": _re.compile(
+            "[A-Za-z][Ѐ-ӿ]|[Ѐ-ӿ][A-Za-z]"
+        ),
+    }
+    n_mixed = n_fail = 0
+    for doc_id, text in rows:
+        if doc_id % 11 == 0:
+            text += " пример"
+        if doc_id % 13 == 0:
+            text += " 例子"
+        if doc_id % 23 == 0:
+            text += " exаmple"
+        c = {k: len(p.findall(text)) for k, p in pats.items()}
+        mixed = c["cyr"] > 0 or c["cjk"] > 0 or c["grk"] > 0
+        keep = c["conf"] == 0
+        assert got[doc_id] == (
+            c["lat"], c["cyr"], c["cjk"], c["grk"], c["conf"],
+            mixed, keep,
+        ), doc_id
+        n_mixed += mixed
+        n_fail += not keep
+    assert n_mixed > 0 and n_fail > 0
+    assert n_mixed > n_fail, "pure mixed-script docs must be kept"

@@ -406,3 +406,36 @@ def test_v12_benford_matches_counter_reference(spark):
     assert {r["conforms"] for r in rows if r["col_name"] == "quantity"} == {
         False
     }
+
+
+def test_v13_fd_audit_verdicts(spark):
+    """v13: the FD verdicts match a direct Python group check — the
+    two true dependencies hold, the three false ones fail with the
+    exact violating-group counts."""
+    import duckdb
+
+    from pdf_ocr_spark.queries.validation_q import _V13_FDS, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["fd"]: (
+            r["n_groups"], r["n_violating"], r["max_rhs"], r["holds"]
+        )
+        for r in QUERIES["v13_fd_audit"](spark, sf).collect()
+    }
+    assert set(got) == {fd[0] for fd in _V13_FDS}
+    for name, table, lhs, rhs in _V13_FDS:
+        groups = {}
+        for a, b in duckdb.sql(
+            f"SELECT {lhs}, {rhs} FROM '{sf}/{table}.parquet'"
+        ).fetchall():
+            groups.setdefault(a, set()).add(b)
+        n_viol = sum(1 for v in groups.values() if len(v) > 1)
+        expect = (
+            len(groups),
+            n_viol,
+            max(len(v) for v in groups.values()),
+            n_viol == 0,
+        )
+        assert got[name] == expect, name
+    assert {got[n][3] for n in got} == {True, False}
