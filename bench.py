@@ -119,6 +119,8 @@ HEADLINE = [
     "s16_bitext_margin",
     "s17_graph_beam_search",
     "s18_retrieval_metrics",
+    "s19_silhouette",
+    "q55_sequence_pattern",
     "h04_fuzzy_schema_match",
     "v12_benford_audit",
     "x18_interleaved_pairs",

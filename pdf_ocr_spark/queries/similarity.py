@@ -1964,3 +1964,110 @@ def s18(spark, sf):
             " min(CASE WHEN rel > 0 THEN rank END), 0) AS BIGINT)"
         ).alias("rr_micro"),
     )
+
+
+# ---------------------------------------------------------------- s19
+# Clustering-quality audit (public: Rousseeuw 1987, silhouettes): for
+# every vector, a = mean cosine distance to its own cluster, b = the
+# smallest mean distance to any other cluster, s = (b-a)/max(a,b) —
+# the standard validity check over any assignment column (here the
+# label clustering; s08's kmeans output drops in identically).
+# Pairwise means use exact DECIMAL partial sums (order-independent;
+# d05/s03's pattern) so a and b are bit-stable doubles under any
+# partitioning, and s is frozen to integer micro for the comparator.
+_S19_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+pd AS (
+  SELECT a.vec_id, a.label AS own, b.label AS other,
+         CAST(sum(CAST(1 - list_cosine_similarity(a.v, b.v)
+                       AS DECIMAL(28,12))) AS DOUBLE)
+           / count(*) AS mean_d
+  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+  GROUP BY a.vec_id, a.label, b.label
+),
+ab AS (
+  SELECT vec_id, own,
+         max(CASE WHEN other = own THEN mean_d END) AS a_mean,
+         min(CASE WHEN other <> own
+                  THEN struct_pack(m := mean_d, l := other) END)
+           AS nb
+  FROM pd GROUP BY vec_id, own
+)
+SELECT vec_id, CAST(own AS INTEGER) AS cluster,
+       CAST(nb.l AS INTEGER) AS nearest_other,
+       CAST(floor(1000000 * (nb.m - a_mean)
+                  / greatest(a_mean, nb.m)) AS BIGINT) AS sil_micro
+FROM ab
+"""
+
+
+@q("s19_silhouette", oracle=_S19_ORACLE)
+def s19(spark, sf):
+    """Silhouette clustering audit: per vector its cluster, the
+    nearest other cluster, and the integer-micro silhouette
+    (b-a)/max(a,b) over cosine distance — the validity metric that
+    says whether an assignment (labels here; any cluster column in
+    general) actually separates the space.
+
+    Scale shape: the toy-SF all-pairs join is the stand-in for the
+    production estimator (sampled silhouette, or per-cluster
+    centroid/medoid proxies a la Davies-Bouldin — same downstream
+    aggregate); the per-(vec, cluster) mean uses DECIMAL partial
+    sums, so the one shuffle on (vec_id, other-label) is
+    order-independent and the final argmin over clusters is a
+    k-row-per-vec aggregate."""
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", "label", _vd().alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("own"),
+        F.col("v").alias("av"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("bid"),
+        F.col("label").alias("other"),
+        F.col("v").alias("bv"),
+    )
+    pd_ = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("bid") != F.col("aid"))
+        .select(
+            "aid",
+            "own",
+            "other",
+            (1 - _cos("av", "bv")).alias("d"),
+        )
+        .groupBy("aid", "own", "other")
+        .agg(
+            (
+                F.sum(F.col("d").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("mean_d")
+        )
+    )
+    ab = pd_.groupBy("aid", "own").agg(
+        F.max(
+            F.when(F.col("other") == F.col("own"), F.col("mean_d"))
+        ).alias("a_mean"),
+        F.min(
+            F.when(
+                F.col("other") != F.col("own"),
+                F.struct(
+                    F.col("mean_d").alias("m"),
+                    F.col("other").alias("l"),
+                ),
+            )
+        ).alias("nb"),
+    )
+    return ab.select(
+        F.col("aid").alias("vec_id"),
+        F.col("own").cast("int").alias("cluster"),
+        F.col("nb.l").cast("int").alias("nearest_other"),
+        F.expr(
+            "CAST(floor(1000000 * (nb.m - a_mean)"
+            " / greatest(a_mean, nb.m)) AS BIGINT)"
+        ).alias("sil_micro"),
+    )

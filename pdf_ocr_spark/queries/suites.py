@@ -249,6 +249,11 @@ UNION ALL
 SELECT 'q47_attrib', purchase_ts,
        user_id || '#' || click_id || '#' || purchase_id, lag_us, 0.0
 FROM {_sub(windows, "q47_click_attribution")} _h
+UNION ALL
+SELECT 'q55_pattern', TIMESTAMP '1970-01-01',
+       CAST(user_id AS VARCHAR), n_matches,
+       CAST(first_match_event_id AS DOUBLE)
+FROM {_sub(windows, "q55_sequence_pattern")} _i
 """,
 )
 def q37_suite(spark, sf):
@@ -268,7 +273,9 @@ def q37_suite(spark, sf):
     key = item pair + per-item counts, n_events = support, sum_value =
     integer-ppm lift), + click->purchase interval-join attribution
     (q47, the stream-stream join's batch twin: key = user#click#
-    purchase, n_events = lag in microseconds)."""
+    purchase, n_events = lag in microseconds), + MATCH_RECOGNIZE-gap
+    sequence detection (q55: key = user, n_events = view->click->
+    purchase run count, sum_value = first matching purchase id)."""
     a = windows.QUERIES["q37_event_time_windows"](spark, sf).select(
         F.lit("q37_tumbling").alias("fam"),
         "window_start",
@@ -333,6 +340,13 @@ def q37_suite(spark, sf):
         F.col("lag_us").alias("n_events"),
         F.lit(0.0).alias("sum_value"),
     )
+    i = windows.QUERIES["q55_sequence_pattern"](spark, sf).select(
+        F.lit("q55_pattern").alias("fam"),
+        F.lit("1970-01-01").cast("timestamp_ntz").alias("window_start"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("n_matches").cast("long").alias("n_events"),
+        F.col("first_match_event_id").cast("double").alias("sum_value"),
+    )
     return (
         a.unionByName(b)
         .unionByName(c)
@@ -341,6 +355,7 @@ def q37_suite(spark, sf):
         .unionByName(f)
         .unionByName(g)
         .unionByName(h)
+        .unionByName(i)
     )
 
 
@@ -536,6 +551,10 @@ UNION ALL
 SELECT 'ir_metrics', qid, ndcg_ppm, rr_micro,
        CAST(dcg_micro AS DOUBLE)
 FROM {_sub(similarity, "s18_retrieval_metrics")} _r
+UNION ALL
+SELECT 'silhouette', vec_id, CAST(cluster AS BIGINT),
+       CAST(nearest_other AS BIGINT), CAST(sil_micro AS DOUBLE)
+FROM {_sub(similarity, "s19_silhouette")} _s
 """,
 )
 def s01_suite(spark, sf):
@@ -570,7 +589,9 @@ def s01_suite(spark, sf):
     over the global kNN graph; aux1 = the retrieved vector, aux2 =
     its rank, score = cosine), and the rank-aware retrieval-quality
     audit (s18: nDCG@5 + MRR of s17's ranking vs the exact one;
-    aux1 = ppm nDCG, aux2 = micro RR, score = micro DCG) —
+    aux1 = ppm nDCG, aux2 = micro RR, score = micro DCG), and the
+    silhouette clustering audit (s19: aux1 = cluster, aux2 = nearest
+    other cluster, score = micro silhouette) —
     tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -703,13 +724,20 @@ def s01_suite(spark, sf):
         F.col("rr_micro").cast("long").alias("aux2"),
         F.col("dcg_micro").cast("double").alias("score"),
     )
+    sil = similarity.QUERIES["s19_silhouette"](spark, sf).select(
+        F.lit("silhouette").alias("fam"),
+        F.col("vec_id").alias("id"),
+        F.col("cluster").cast("long").alias("aux1"),
+        F.col("nearest_other").cast("long").alias("aux2"),
+        F.col("sil_micro").cast("double").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
         .unionByName(h).unionByName(i).unionByName(j)
         .unionByName(k).unionByName(ll).unionByName(m)
         .unionByName(n).unionByName(o).unionByName(p)
-        .unionByName(qgb).unionByName(rim)
+        .unionByName(qgb).unionByName(rim).unionByName(sil)
     )
 
 

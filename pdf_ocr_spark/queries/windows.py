@@ -890,3 +890,66 @@ def q47(spark, sf):
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+# ---------------------------------------------------------------- q55
+# Sequence-pattern detection — the MATCH_RECOGNIZE (SQL:2016) gap:
+# find every view -> click -> purchase run of IMMEDIATELY consecutive
+# events per user (event-time order, event_id tie-break) and report
+# the match count + the first matching purchase.  The Spark
+# formulation is pure window lags; the oracle deliberately uses a
+# DIFFERENT formulation (per-user initials string + substring count,
+# the classic sequence-as-string trick — all five event types have
+# distinct initials) so the two engines cross-check the semantics,
+# not just the arithmetic.
+_Q55_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY ts, event_id) AS seq,
+         list(event_id ORDER BY ts, event_id) AS ids
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST((len(seq) - len(replace(seq, 'vcp', ''))) // 3
+            AS INTEGER) AS n_matches,
+       ids[strpos(seq, 'vcp') + 2] AS first_match_event_id
+FROM s WHERE strpos(seq, 'vcp') > 0
+"""
+
+
+@q("q55_sequence_pattern", oracle=_Q55_ORACLE)
+def q55(spark, sf):
+    """MATCH_RECOGNIZE-style sequence detection: per user the count
+    of view -> click -> purchase consecutive-event runs and the
+    event_id of the first matching purchase; users with no match
+    emit nothing.
+
+    Scale shape: ONE window over the per-user event order (two lags
+    ride the same sort), then a per-user aggregate — exactly the
+    sessionization exchange; no self-joins, no pattern automaton
+    state beyond the fixed lag depth.  Longer patterns extend the lag
+    chain; gaps/quantifiers (A B* C) become the lag-over-filtered-
+    stream variant — all still one window.  The oracle's
+    string-fold formulation is the cross-check, not the scale path
+    (it materializes whole user histories)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        t(spark, sf, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("l1", F.lag("event_type", 1).over(w))
+        .withColumn("l2", F.lag("event_type", 2).over(w))
+    )
+    hits = e.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("l1") == "click")
+        & (F.col("l2") == "view")
+    )
+    return hits.groupBy("user_id").agg(
+        F.count("*").cast("int").alias("n_matches"),
+        F.min(F.struct("ts", "event_id"))
+        .getField("event_id")
+        .alias("first_match_event_id"),
+    )

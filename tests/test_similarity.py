@@ -821,3 +821,63 @@ def test_s18_metrics_match_python_reference(spark):
             n_imperfect += 1
     assert set(got) == set(retr)
     assert n_imperfect >= 1, "corpus must exercise a non-perfect nDCG"
+
+
+def test_s19_silhouette_matches_python_reference(spark):
+    """s19: per-vector silhouette values match a pure-Python all-pairs
+    recomputation; both sign branches occur (weakly clustered labels
+    give mostly negative silhouettes, strongly separated points
+    positive ones)."""
+    import math
+
+    import duckdb
+
+    from pdf_ocr_spark.queries.similarity import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["vec_id"]: (
+            r["cluster"], r["nearest_other"], r["sil_micro"]
+        )
+        for r in QUERIES["s19_silhouette"](spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, embedding"
+        f" FROM '{sf}/embeddings.parquet'"
+    ).fetchall()
+    lab = {int(v): int(lb) for v, lb, _e in rows}
+    vec = {int(v): list(map(float, e)) for v, _lb, e in rows}
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / ((na ** 0.5) * (nb ** 0.5))
+
+    signs = set()
+    for v in vec:
+        sums = {}
+        for o in vec:
+            if o == v:
+                continue
+            d = 1 - cos(vec[v], vec[o])
+            s, n = sums.get(lab[o], (0.0, 0))
+            sums[lab[o]] = (s + d, n + 1)
+        a_mean = sums[lab[v]][0] / sums[lab[v]][1]
+        nb_mean, nb_lab = min(
+            (s / n, lb)
+            for lb, (s, n) in sums.items()
+            if lb != lab[v]
+        )
+        sil = math.floor(
+            1_000_000 * (nb_mean - a_mean) / max(a_mean, nb_mean)
+        )
+        gc, gn, gs = got[v]
+        assert (gc, gn) == (lab[v], nb_lab), v
+        assert abs(gs - sil) <= 1, (v, gs, sil)
+        signs.add(gs > 0)
+    assert signs == {True, False}

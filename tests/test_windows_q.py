@@ -468,3 +468,37 @@ def test_t32_weighted_sample_matches_python_aes(spark):
     corpus_mean = sum(w for _d, w in rows) / len(rows)
     assert sample_mean > control_mean, (sample_mean, control_mean)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_q55_sequence_pattern_matches_python_scan(spark):
+    """q55: match counts and first-match ids equal a direct Python
+    scan of each user's ordered event stream; at least one user has
+    multiple matches."""
+    import duckdb
+
+    from pdf_ocr_spark.queries.windows import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["user_id"]: (r["n_matches"], r["first_match_event_id"])
+        for r in QUERIES["q55_sequence_pattern"](spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type"
+        f" FROM '{sf}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    streams = {}
+    for u, ts, eid, et in rows:
+        streams.setdefault(u, []).append((eid, et))
+    expect = {}
+    for u, evs in streams.items():
+        hits = [
+            evs[i][0]
+            for i in range(2, len(evs))
+            if (evs[i][1], evs[i - 1][1], evs[i - 2][1])
+            == ("purchase", "click", "view")
+        ]
+        if hits:
+            expect[u] = (len(hits), hits[0])
+    assert got == expect
+    assert any(n > 1 for n, _e in expect.values())
