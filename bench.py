@@ -114,7 +114,9 @@ HEADLINE = [
     "q54_pareto_skyline",
     "t32_weighted_sample",
     "t33_script_profile",
+    "t34_url_canonicalize",
     "v13_fd_audit",
+    "x20_shard_manifest",
     "s15_colbert_maxsim",
     "s16_bitext_margin",
     "s17_graph_beam_search",

@@ -948,6 +948,9 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t33.n_confusable AS scr_confusable,
        t33.mixed_script AS scr_mixed,
        t33.script_keep AS scr_keep,
+       t34.canon_url AS url_canon,
+       t34.n_sharing AS url_n_sharing,
+       t34.url_keeper AS url_keeper,
        t9.top2_frac, t9.top3_frac, t9.dup2_frac,
        t10.n_email, t10.n_ipv4, t10.n_phone, t10.masked,
        f2.header_color, f2.visual_hdr_rows, f2.text_hdr_rows,
@@ -1006,6 +1009,8 @@ LEFT JOIN {_sub(textstats, "t32_weighted_sample")} t32
        ON t32.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t33_script_profile")} t33
   ON t33.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t34_url_canonicalize")} t34
+  ON t34.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t09_repetition_profile")} t9 ON t9.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t10_pii_scrub")} t10 ON t10.doc_id = t1.doc_id
 JOIN {_sub(fonts_q, "f02_color_semantics")} f2 ON f2.doc_id = t1.doc_id
@@ -1051,8 +1056,9 @@ def t01_suite(spark, sf):
     hash comparator sees identical cells on both sides), A-ES
     weighted-sample membership (t32; aes_key_micro/aes_rank, 0 when
     outside the weighted sample), script-mixing/homoglyph profile
-    (t33; scr_nonlatin/scr_confusable/scr_mixed/scr_keep),
-    Gopher-style
+    (t33; scr_nonlatin/scr_confusable/scr_mixed/scr_keep), URL
+    canonicalization + URL-keyed dedup prep (t34;
+    url_canon/url_n_sharing/url_keeper), Gopher-style
     repetition signals (t09), PII scrub counts + masked text (t10),
     FH5/VH6 color semantics (f02: header color, exception-color
     counts, visual-vs-text header verdict), the full Gopher + C4
@@ -1119,6 +1125,12 @@ def t01_suite(spark, sf):
         F.col("n_confusable").alias("scr_confusable"),
         F.col("mixed_script").alias("scr_mixed"),
         F.col("script_keep").alias("scr_keep"),
+    )
+    t34 = textstats.QUERIES["t34_url_canonicalize"](spark, sf).select(
+        "doc_id",
+        F.col("canon_url").alias("url_canon"),
+        F.col("n_sharing").alias("url_n_sharing"),
+        "url_keeper",
     )
     t9 = textstats.QUERIES["t09_repetition_profile"](spark, sf)
     t10 = textstats.QUERIES["t10_pii_scrub"](spark, sf)
@@ -1239,6 +1251,7 @@ def t01_suite(spark, sf):
             "aes_rank", F.coalesce("aes_rank", F.lit(0)).cast("int")
         )
         .join(t33, "doc_id")
+        .join(t34, "doc_id")
         .join(t9, "doc_id")
         .join(t10, "doc_id")
         .join(f2, "doc_id")
@@ -1504,6 +1517,77 @@ def x17(spark, sf):
     )
 
 
+# ---------------------------------------------------------------- x20
+# Shard manifest / data card (public: the Datasheets-for-Datasets /
+# WebDataset-manifest practice): one row per packed shard with its
+# document count, token total, a reproducibility digest (md5 over the
+# ordered member ids — re-running the funnel must reproduce it
+# byte-for-byte), and the shard's train/val/test mix from the t19
+# hash split — the artifact a training run records so the exact data
+# snapshot is auditable later.
+_X20_ORACLE = f"""
+WITH shard AS ({_X17_ORACLE}),
+sp AS (
+  SELECT doc_id, split FROM {_sub(textstats, "t19_split_leakage")} _sp
+)
+SELECT s.lang, s.bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_tok) AS BIGINT) AS n_tok,
+       md5(string_agg(CAST(s.doc_id AS VARCHAR), ','
+                      ORDER BY s.doc_id)) AS digest,
+       CAST(sum(CASE WHEN sp.split = 'train' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN sp.split = 'val' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_val,
+       CAST(sum(CASE WHEN sp.split = 'test' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_test
+FROM shard s JOIN sp ON sp.doc_id = s.doc_id
+GROUP BY s.lang, s.bin
+"""
+
+
+@q("x20_shard_manifest", oracle=_X20_ORACLE)
+def x20(spark, sf):
+    """Per-shard manifest over the packed curation output (x17): doc
+    and token counts, the ordered-member md5 digest that pins the
+    exact shard composition across re-runs, and the shard's
+    train/val/test mix — the data card a training job logs before
+    consuming the shards.
+
+    Scale shape: one aggregate over the already-packed shard rows
+    (shard grain = thousands of rows at any corpus size, each shard a
+    few hundred members); the split column broadcasts from the
+    scan-local t19 assignment; the digest's collect_list is bounded
+    by the shard's member cap, never corpus-sized."""
+    shards = QUERIES["x17_curation_shards"](spark, sf)
+    sp = textstats.QUERIES["t19_split_leakage"](spark, sf).select(
+        "doc_id", "split"
+    )
+    j = shards.join(sp, "doc_id")
+    return j.groupBy("lang", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tok"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("digest"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+
+
 # ========================================================== validation
 @q(
     "v01_validation_suite",
@@ -1597,6 +1681,12 @@ SELECT 'v13_fd', fd,
        viol_ppm, holds
 FROM {_sub(validation_q, "v13_fd_audit")} _v13
 UNION ALL
+SELECT 'x20_manifest', lang || '#' || CAST(bin AS VARCHAR),
+       digest || '#' || CAST(n_train AS VARCHAR) || '#'
+         || CAST(n_val AS VARCHAR) || '#' || CAST(n_test AS VARCHAR),
+       n_tok, n_docs > 0
+FROM ({_X20_ORACLE}) _x20
+UNION ALL
 SELECT 'x17_shard', CAST(doc_id AS VARCHAR),
        lang || '#' || bin, n_tok, true
 FROM (
@@ -1640,7 +1730,8 @@ def v01_suite(spark, sf):
     and both transitive-closure formulations (q52 walk / q53 pointer
     doubling) + the functional-dependency audit (v13: key = the
     candidate A->B, info = groups#worst, n = ppm violations, ok =
-    holds)."""
+    holds) + the shard manifest / data card (x20: key = lang#bin,
+    info = member digest + split mix, n = shard tokens)."""
     a = validation_q.QUERIES["v01_contract_validation"](spark, sf).select(
         F.lit("v01_doc").alias("fam"),
         F.col("doc_id").cast("string").alias("key"),
@@ -1842,6 +1933,21 @@ def v01_suite(spark, sf):
         F.col("viol_ppm").alias("n"),
         F.col("holds").alias("ok"),
     )
+    x20 = QUERIES["x20_shard_manifest"](spark, sf).select(
+        F.lit("x20_manifest").alias("fam"),
+        F.concat_ws("#", "lang", F.col("bin").cast("string")).alias(
+            "key"
+        ),
+        F.concat_ws(
+            "#",
+            "digest",
+            F.col("n_train").cast("string"),
+            F.col("n_val").cast("string"),
+            F.col("n_test").cast("string"),
+        ).alias("info"),
+        F.col("n_tok").alias("n"),
+        (F.col("n_docs") > 0).alias("ok"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(v6).unionByName(v7)
@@ -1849,7 +1955,7 @@ def v01_suite(spark, sf):
         .unionByName(v11).unionByName(f).unionByName(g)
         .unionByName(v12).unionByName(x18).unionByName(x19)
         .unionByName(q51).unionByName(q52).unionByName(q53)
-        .unionByName(v13)
+        .unionByName(v13).unionByName(x20)
     )
 
 

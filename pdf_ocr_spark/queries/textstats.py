@@ -3224,3 +3224,131 @@ def t33(spark, sf):
         ).alias("mixed_script"),
         (conf == 0).alias("script_keep"),
     )
+
+
+# ------------------------------------------------------------- t34
+# URL canonicalization (public: the URL-normalization prep every
+# URL-keyed dedup runs — RFC 3986 normal form plus the tracking-param
+# strip popularized by C4/CCNet pipelines).  Each doc gets ONE messy
+# URL injected deterministically (doc_id % 7 picks the mess — 7 is
+# coprime with the 50-page key, so DIFFERENT messy forms of the SAME
+# page co-occur and genuinely collapse under canonicalization):
+#   0: already canonical            3: :443 default port + #fragment
+#   1: UPPERCASE scheme+host + utm_ params
+#   2: www. prefix + trailing /    4: http:// + real param + fbclid
+# Canonical form: lowercase scheme+host, https, no www., no default
+# port, no fragment, no utm_*/fbclid params (REAL params survive), no
+# trailing slash.  The transform chain is the same regex sequence in
+# both engines (replacement backref syntax differs: $1 in Spark,
+# \\1 in DuckDB — patterns identical).
+_T34_PAGES = 50
+
+
+def _t34_decor(concat, doc_id_str):
+    """Shared decoration recipe; engine differences injected."""
+    k = f"CAST(doc_id % {_T34_PAGES} AS {doc_id_str})"
+    return (
+        f"CASE CAST(doc_id % 7 AS INTEGER)"
+        f" WHEN 0 THEN {concat}('https://example.org/article/', {k})"
+        f" WHEN 1 THEN {concat}('HTTP://EXAMPLE.ORG/article/', {k},"
+        f"   '?utm_source=feed&utm_campaign=x')"
+        f" WHEN 2 THEN {concat}('https://www.example.org/article/',"
+        f"   {k}, '/')"
+        f" WHEN 3 THEN {concat}('https://example.org:443/article/',"
+        f"   {k}, '#section-2')"
+        f" ELSE {concat}('http://example.org/article/', {k},"
+        f"   '?id=7&fbclid=abc')"
+        f" END"
+    )
+
+
+# ordered (pattern, spark_repl, duck_repl) canonicalization chain;
+# host-lowercasing happens separately (regexp_replace cannot lower)
+_T34_CHAIN = (
+    (r"#.*$", "", ""),                       # fragment
+    (r"([?&])(utm_[a-z]+|fbclid)=[^&]*", r"$1", r"\1"),  # tracking
+    (r"[?&]+$", "", ""),                     # bare trailing ? / &
+    (r"\?&+", "?", "?"),                     # ?&id=7 -> ?id=7
+    (r"&&+", "&", "&"),                      # a=1&&b=2 -> a=1&b=2
+    (r"^http://", "https://", "https://"),   # scheme upgrade
+    (r"^https://www\.", "https://", "https://"),  # www strip
+    (r"^https://([a-z0-9.\-]+):443", r"https://$1", r"https://\1"),
+    (r"/$", "", ""),                         # trailing slash
+)
+
+
+def _t34_canon_spark(col):
+    # lowercase scheme+host, keep path case as-is
+    expr = (
+        f"concat(lower(regexp_extract({col}, '^[^/?#]*//[^/?#]*', 0)),"
+        f" substring({col},"
+        f" length(regexp_extract({col}, '^[^/?#]*//[^/?#]*', 0)) + 1))"
+    )
+    for pat, repl, _d in _T34_CHAIN:
+        p = pat.replace("\\", "\\\\").replace("'", "\\'")
+        r = repl.replace("\\", "\\\\")
+        expr = f"regexp_replace({expr}, '{p}', '{r}')"
+    return expr
+
+
+def _t34_canon_duck(col):
+    expr = (
+        f"lower(regexp_extract({col}, '^[^/?#]*//[^/?#]*'))"
+        f" || substring({col},"
+        f" strlen(regexp_extract({col}, '^[^/?#]*//[^/?#]*')) + 1)"
+    )
+    for pat, _s, repl in _T34_CHAIN:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr
+
+
+_T34_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, {_t34_decor("concat", "VARCHAR")} AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id, url, {_t34_canon_duck("url")} AS canon_url FROM u
+)
+SELECT doc_id, url, canon_url, md5(canon_url) AS url_key,
+       CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT)
+         AS n_sharing,
+       (row_number() OVER (PARTITION BY canon_url ORDER BY doc_id)
+        = 1) AS url_keeper
+FROM c
+"""
+
+
+@q("t34_url_canonicalize", oracle=_T34_ORACLE)
+def t34(spark, sf):
+    """URL canonicalization + URL-keyed dedup prep: each document's
+    messy URL normalized (lowercase scheme+host, https, no www/
+    default port/fragment/tracking params/trailing slash — real query
+    params survive), the md5 dedup key over the canonical form, how
+    many docs share it, and the lowest-doc_id keeper verdict.
+
+    Scale shape: the canonical form is a scan-local regex chain (zero
+    shuffle to compute); the share-count/keeper window shuffles once
+    on the canonical key — exactly d01's exact-dedup exchange with
+    canon_url as the content hash.  ~10 docs collapse per canonical
+    page here, so the collapse path is exercised for real."""
+    from pyspark.sql import Window as W
+
+    u = t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(_t34_decor("concat", "STRING")).alias("url"),
+    )
+    c = u.select(
+        "doc_id", "url", F.expr(_t34_canon_spark("url")).alias("canon_url")
+    )
+    wc = W.partitionBy("canon_url")
+    wr = W.partitionBy("canon_url").orderBy("doc_id")
+    return c.select(
+        "doc_id",
+        "url",
+        "canon_url",
+        F.md5("canon_url").alias("url_key"),
+        F.count("*").over(wc).cast("long").alias("n_sharing"),
+        (F.row_number().over(wr) == 1).alias("url_keeper"),
+    )

@@ -57,3 +57,43 @@ def test_curation_funnel_and_shards(spark, tmp_path):
         assert r["bin"] == start // 512, r
         cum[r["lang"]] = start + r["n_tok"]
     assert rep["n_shards"] == len({(r["lang"], r["bin"]) for r in rows})
+
+
+def test_x20_manifest_matches_python_recount(spark):
+    """x20: every shard's counts, ordered-member digest, and split mix
+    equal a Python recomputation from the collected x17 shards and
+    t19 split assignments."""
+    import hashlib
+
+    from pdf_ocr_spark.queries.suites import QUERIES as SQ
+    from pdf_ocr_spark.queries.textstats import QUERIES as TQ
+
+    sf = "/root/testdata/sf0.001"
+    shards = SQ["x17_curation_shards"](spark, sf).collect()
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in TQ["t19_split_leakage"](spark, sf).collect()
+    }
+    got = {
+        (r["lang"], r["bin"]): r
+        for r in SQ["x20_shard_manifest"](spark, sf).collect()
+    }
+    groups = {}
+    for r in shards:
+        groups.setdefault((r["lang"], r["bin"]), []).append(
+            (r["doc_id"], r["n_tok"])
+        )
+    assert set(got) == set(groups)
+    for key, members in groups.items():
+        ids = sorted(d for d, _t in members)
+        digest = hashlib.md5(
+            ",".join(str(d) for d in ids).encode()
+        ).hexdigest()
+        r = got[key]
+        assert r["n_docs"] == len(members)
+        assert r["n_tok"] == sum(t for _d, t in members)
+        assert r["digest"] == digest
+        mix = [splits[d] for d in ids]
+        assert (r["n_train"], r["n_val"], r["n_test"]) == (
+            mix.count("train"), mix.count("val"), mix.count("test")
+        ), key

@@ -1541,3 +1541,47 @@ def test_t33_script_profile_matches_python_re(spark):
         n_fail += not keep
     assert n_mixed > 0 and n_fail > 0
     assert n_mixed > n_fail, "pure mixed-script docs must be kept"
+
+
+def test_t34_url_canonicalize_matches_urllib_reference(spark):
+    """t34: the regex canonicalization chain agrees with an
+    independent urllib-based normalizer on every injected URL, and
+    different messy forms of the same page collapse to one key."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit
+
+    from pdf_ocr_spark.queries.textstats import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["t34_url_canonicalize"](spark, sf).collect()
+
+    def canon(u):
+        p = urlsplit(u)
+        host = p.netloc.lower()
+        if host.startswith("www."):
+            host = host[4:]
+        if host.endswith(":443"):
+            host = host[:-4]
+        q = [
+            (k, v)
+            for k, v in parse_qsl(p.query)
+            if not k.startswith("utm_") and k != "fbclid"
+        ]
+        path = p.path.rstrip("/")
+        out = f"https://{host}{path}"
+        if q:
+            out += "?" + urlencode(q)
+        return out
+
+    by_canon = {}
+    keepers = {}
+    for r in rows:
+        assert r["canon_url"] == canon(r["url"]), r["url"]
+        by_canon.setdefault(r["canon_url"], set()).add(r["url"])
+        if r["url_keeper"]:
+            keepers.setdefault(r["canon_url"], 0)
+            keepers[r["canon_url"]] += 1
+    assert len(rows) == 500
+    assert all(n == 1 for n in keepers.values())
+    assert sum(1 for v in by_canon.values() if len(v) > 1) > 0, (
+        "distinct messy forms must collapse"
+    )
