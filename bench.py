@@ -122,7 +122,9 @@ HEADLINE = [
     "s17_graph_beam_search",
     "s18_retrieval_metrics",
     "s19_silhouette",
+    "s20_mips_norm_augment",
     "q55_sequence_pattern",
+    "v14_mad_outliers",
     "h04_fuzzy_schema_match",
     "v12_benford_audit",
     "x18_interleaved_pairs",

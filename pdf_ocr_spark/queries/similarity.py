@@ -55,10 +55,21 @@ def _vd(col="embedding"):
     return F.expr(f"transform({col}, x -> cast(x as double))")
 
 
+# string form of _vd for composing into larger SQL expressions
+_VD_SQL = "transform(embedding, x -> cast(x as double))"
+
+
 def _dot(a: str, b: str):
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     )
+
+
+# string template of _dot for composing into larger SQL expressions
+_DOT_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " 0D, (acc, x) -> acc + x)"
+)
 
 
 def _cos(a: str, b: str):
@@ -1972,20 +1983,42 @@ def s18(spark, sf):
 # smallest mean distance to any other cluster, s = (b-a)/max(a,b) —
 # the standard validity check over any assignment column (here the
 # label clustering; s08's kmeans output drops in identically).
-# Pairwise means use exact DECIMAL partial sums (order-independent;
-# d05/s03's pattern) so a and b are bit-stable doubles under any
-# partitioning, and s is frozen to integer micro for the comparator.
+# NOT the O(N^2) pairwise join: cosine mean-distance DECOMPOSES —
+# mean_{b in C}(1 - u.u_b) = 1 - u.(sum_{C} u_b)/|C| — so per-cluster
+# UNIT-VECTOR SUMS (s03's exact-decimal centroid build, one tiny
+# shuffle) replace the all-pairs stage entirely; own-cluster means
+# subtract the vector's own self-dot before dividing by n-1.  Every
+# double is computed by the same fold in both engines and s is frozen
+# to integer micro for the comparator.
 _S19_ORACLE = """
 WITH e AS (
-  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])))
+           AS u
+  FROM embeddings
 ),
-pd AS (
-  SELECT a.vec_id, a.label AS own, b.label AS other,
-         CAST(sum(CAST(1 - list_cosine_similarity(a.v, b.v)
-                       AS DECIMAL(28,12))) AS DOUBLE)
-           / count(*) AS mean_d
-  FROM e a JOIN e b ON b.vec_id <> a.vec_id
-  GROUP BY a.vec_id, a.label, b.label
+cs AS (
+  SELECT label, pos,
+         CAST(sum(CAST(u[pos] AS DECIMAL(28,12))) AS DOUBLE) AS s
+  FROM e, unnest(generate_series(1, len(u))) AS g(pos)
+  GROUP BY label, pos
+),
+cv AS (
+  SELECT label, list(s ORDER BY pos) AS sv, n
+  FROM cs JOIN (SELECT label AS lb2, count(*) AS n
+                FROM e GROUP BY label) z ON z.lb2 = cs.label
+  GROUP BY label, n
+),
+md AS (
+  SELECT e.vec_id, e.label AS own, c.label AS other,
+         CASE WHEN c.label = e.label
+              THEN 1 - (list_inner_product(e.u, c.sv)
+                        - list_inner_product(e.u, e.u)) / (c.n - 1)
+              ELSE 1 - list_inner_product(e.u, c.sv) / c.n
+         END AS mean_d
+  FROM e, cv c
 ),
 ab AS (
   SELECT vec_id, own,
@@ -1993,7 +2026,7 @@ ab AS (
          min(CASE WHEN other <> own
                   THEN struct_pack(m := mean_d, l := other) END)
            AS nb
-  FROM pd GROUP BY vec_id, own
+  FROM md GROUP BY vec_id, own
 )
 SELECT vec_id, CAST(own AS INTEGER) AS cluster,
        CAST(nb.l AS INTEGER) AS nearest_other,
@@ -2011,44 +2044,59 @@ def s19(spark, sf):
     says whether an assignment (labels here; any cluster column in
     general) actually separates the space.
 
-    Scale shape: the toy-SF all-pairs join is the stand-in for the
-    production estimator (sampled silhouette, or per-cluster
-    centroid/medoid proxies a la Davies-Bouldin — same downstream
-    aggregate); the per-(vec, cluster) mean uses DECIMAL partial
-    sums, so the one shuffle on (vec_id, other-label) is
-    order-independent and the final argmin over clusters is a
-    k-row-per-vec aggregate."""
+    Scale shape: O(N x k), NOT O(N^2) — cosine mean-distance
+    decomposes through the per-cluster unit-vector sums, so the only
+    shuffle is the (label, pos) exact-decimal sum (s03's centroid
+    build, k x dim rows out); the k-row cluster table broadcasts
+    back and each vector computes its k mean distances scan-locally.
+    Own-cluster means subtract the self-dot (computed, never assumed
+    to be exactly 1.0) before the n-1 divide — the algebraically
+    exact pairwise-mean identity, shared verbatim with the oracle."""
+    from pyspark.sql import Window as W  # noqa: F401  (parity imports)
+
     e = t(spark, sf, "embeddings").select(
-        "vec_id", "label", _vd().alias("v")
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(" + _VD_SQL + ", x -> x / sqrt("
+            + _DOT_SQL.format(a=_VD_SQL, b=_VD_SQL)
+            + "))"
+        ).alias("u"),
     )
-    a = e.select(
-        F.col("vec_id").alias("aid"),
-        F.col("label").alias("own"),
-        F.col("v").alias("av"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("bid"),
-        F.col("label").alias("other"),
-        F.col("v").alias("bv"),
-    )
-    pd_ = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("bid") != F.col("aid"))
-        .select(
-            "aid",
-            "own",
-            "other",
-            (1 - _cos("av", "bv")).alias("d"),
-        )
-        .groupBy("aid", "own", "other")
+    cs = (
+        e.select("label", F.posexplode("u").alias("pos0", "val"))
+        .groupBy("label", F.col("pos0").alias("pos"))
         .agg(
-            (
-                F.sum(F.col("d").cast("decimal(28,12)")).cast("double")
-                / F.count("*")
-            ).alias("mean_d")
+            F.sum(F.col("val").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("s")
         )
     )
-    ab = pd_.groupBy("aid", "own").agg(
+    n_ = e.groupBy("label").agg(F.count("*").alias("n"))
+    cv = (
+        cs.groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s))),"
+                " x -> x.s)"
+            ).alias("sv")
+        )
+        .join(n_, "label")
+        .select(F.col("label").alias("other"), "sv", "n")
+    )
+    dot_usv = _DOT_SQL.format(a="u", b="sv")
+    dot_uu = _DOT_SQL.format(a="u", b="u")
+    md = e.crossJoin(F.broadcast(cv)).select(
+        "vec_id",
+        F.col("label").alias("own"),
+        "other",
+        F.expr(
+            f"CASE WHEN other = label"
+            f" THEN 1 - ({dot_usv} - {dot_uu}) / (n - 1)"
+            f" ELSE 1 - {dot_usv} / n END"
+        ).alias("mean_d"),
+    )
+    ab = md.groupBy("vec_id", "own").agg(
         F.max(
             F.when(F.col("other") == F.col("own"), F.col("mean_d"))
         ).alias("a_mean"),
@@ -2063,11 +2111,124 @@ def s19(spark, sf):
         ).alias("nb"),
     )
     return ab.select(
-        F.col("aid").alias("vec_id"),
+        "vec_id",
         F.col("own").cast("int").alias("cluster"),
         F.col("nb.l").cast("int").alias("nearest_other"),
         F.expr(
             "CAST(floor(1000000 * (nb.m - a_mean)"
             " / greatest(a_mean, nb.m)) AS BIGINT)"
         ).alias("sil_micro"),
+    )
+
+
+# ---------------------------------------------------------------- s20
+# Maximum-inner-product search via norm augmentation (public:
+# Shrivastava & Li 2014, asymmetric LSH for MIPS; the Bachrach et al.
+# 2014 Euclidean reduction): recommender-style scoring is argmax of
+# the RAW inner product, which no metric index serves directly — but
+# augmenting each item x with an extra coordinate sqrt(M^2 - |x|^2)
+# (M = the corpus max norm, one allreduce) and the query with 0 makes
+# augmented-cosine order IDENTICAL to inner-product order, so every
+# metric ANN structure in this engine (s02 LSH, s04 IVF, s17 graph)
+# serves MIPS unchanged.  The query emits BOTH rankings per pair —
+# the raw-dot rank and the augmented-cosine rank — and the equality
+# of the two columns IS the theorem, value-hash-pinned cross-engine.
+_S20_K = 5  # top-k per query
+
+
+_S20_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+m AS (
+  SELECT max(sqrt(list_inner_product(v, v))) AS mx FROM e
+),
+qs AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 101 = 7
+),
+scored AS (
+  SELECT qs.qid, e.vec_id,
+         list_inner_product(e.v, qs.qv) AS dot,
+         list_cosine_similarity(
+           list_append(e.v,
+             sqrt(greatest(m.mx * m.mx
+                           - list_inner_product(e.v, e.v), 0))),
+           list_append(qs.qv, 0.0)) AS aug_cos
+  FROM e, qs, m
+  WHERE e.vec_id <> qs.qid
+),
+rk AS (
+  SELECT qid, vec_id, dot,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dot DESC, vec_id) AS dot_rank,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY aug_cos DESC, vec_id) AS aug_rank
+  FROM scored
+)
+SELECT qid, vec_id, dot, CAST(dot_rank AS INTEGER) AS dot_rank,
+       CAST(aug_rank AS INTEGER) AS aug_rank,
+       dot_rank = aug_rank AS ranks_agree
+FROM rk WHERE dot_rank <= {_S20_K}
+"""
+
+
+@q("s20_mips_norm_augment", oracle=_S20_ORACLE)
+def s20(spark, sf):
+    """MIPS via norm augmentation: top-5 by RAW inner product per
+    query, each row carrying both its inner-product rank and its
+    rank under the augmented-cosine reduction ([x, sqrt(M^2-|x|^2)]
+    vs [q, 0]) — the two columns agreeing is the reduction theorem
+    holding on real data, and it is what lets every metric ANN
+    structure here (LSH buckets, IVF cells, the s17 graph) serve
+    recommender-style MIPS unchanged.
+
+    Scale shape: M is ONE scalar allreduce (broadcast back); the
+    augmentation is a scan-local array append; scoring is the s05
+    broadcast-query pattern — the item table never shuffles, only
+    the per-query top-k window does."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
+    mx = e.agg(
+        F.max(F.sqrt(F.expr(_DOT_SQL.format(a="v", b="v")))).alias("mx")
+    )
+    qs = e.filter(F.col("vec_id") % 101 == 7).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    aug_item = F.expr(
+        "concat(v, array(sqrt(greatest(mx * mx - "
+        + _DOT_SQL.format(a="v", b="v")
+        + ", 0D))))"
+    )
+    aug_query = F.expr("concat(qv, array(0.0D))")
+    scored = (
+        e.filter(F.col("vec_id").isNotNull())
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(_DOT_SQL.format(a="v", b="qv")).alias("dot"),
+            aug_item.alias("av"),
+            aug_query.alias("aq"),
+        )
+        .select("qid", "vec_id", "dot", _cos("av", "aq").alias("aug_cos"))
+    )
+    wd = W.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vec_id"))
+    wa = W.partitionBy("qid").orderBy(F.desc("aug_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("dot_rank", F.row_number().over(wd))
+        .withColumn("aug_rank", F.row_number().over(wa))
+        .filter(F.col("dot_rank") <= _S20_K)
+        .select(
+            "qid",
+            "vec_id",
+            "dot",
+            F.col("dot_rank").cast("int"),
+            F.col("aug_rank").cast("int"),
+            (F.col("dot_rank") == F.col("aug_rank")).alias(
+                "ranks_agree"
+            ),
+        )
     )

@@ -555,6 +555,10 @@ UNION ALL
 SELECT 'silhouette', vec_id, CAST(cluster AS BIGINT),
        CAST(nearest_other AS BIGINT), CAST(sil_micro AS DOUBLE)
 FROM {_sub(similarity, "s19_silhouette")} _s
+UNION ALL
+SELECT 'mips', qid, vec_id,
+       CAST(dot_rank * 100 + aug_rank AS BIGINT), dot
+FROM {_sub(similarity, "s20_mips_norm_augment")} _t
 """,
 )
 def s01_suite(spark, sf):
@@ -591,7 +595,10 @@ def s01_suite(spark, sf):
     audit (s18: nDCG@5 + MRR of s17's ranking vs the exact one;
     aux1 = ppm nDCG, aux2 = micro RR, score = micro DCG), and the
     silhouette clustering audit (s19: aux1 = cluster, aux2 = nearest
-    other cluster, score = micro silhouette) —
+    other cluster, score = micro silhouette), and MIPS via norm
+    augmentation (s20: aux1 = the retrieved item, aux2 = dot rank x
+    100 + augmented-cosine rank — equal digits being the reduction
+    theorem, score = the raw inner product) —
     tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -731,6 +738,15 @@ def s01_suite(spark, sf):
         F.col("nearest_other").cast("long").alias("aux2"),
         F.col("sil_micro").cast("double").alias("score"),
     )
+    mip = similarity.QUERIES["s20_mips_norm_augment"](spark, sf).select(
+        F.lit("mips").alias("fam"),
+        F.col("qid").alias("id"),
+        F.col("vec_id").cast("long").alias("aux1"),
+        (F.col("dot_rank") * 100 + F.col("aug_rank"))
+        .cast("long")
+        .alias("aux2"),
+        F.col("dot").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
@@ -738,6 +754,7 @@ def s01_suite(spark, sf):
         .unionByName(k).unionByName(ll).unionByName(m)
         .unionByName(n).unionByName(o).unionByName(p)
         .unionByName(qgb).unionByName(rim).unionByName(sil)
+        .unionByName(mip)
     )
 
 
@@ -1681,6 +1698,11 @@ SELECT 'v13_fd', fd,
        viol_ppm, holds
 FROM {_sub(validation_q, "v13_fd_audit")} _v13
 UNION ALL
+SELECT 'v14_mad', CAST(o_orderkey AS VARCHAR),
+       o_orderpriority || '#' || CAST(cents AS VARCHAR),
+       z_milli, NOT outlier
+FROM {_sub(validation_q, "v14_mad_outliers")} _v14
+UNION ALL
 SELECT 'x20_manifest', lang || '#' || CAST(bin AS VARCHAR),
        digest || '#' || CAST(n_train AS VARCHAR) || '#'
          || CAST(n_val AS VARCHAR) || '#' || CAST(n_test AS VARCHAR),
@@ -1933,6 +1955,15 @@ def v01_suite(spark, sf):
         F.col("viol_ppm").alias("n"),
         F.col("holds").alias("ok"),
     )
+    v14 = validation_q.QUERIES["v14_mad_outliers"](spark, sf).select(
+        F.lit("v14_mad").alias("fam"),
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.concat_ws(
+            "#", "o_orderpriority", F.col("cents").cast("string")
+        ).alias("info"),
+        F.col("z_milli").alias("n"),
+        (~F.col("outlier")).alias("ok"),
+    )
     x20 = QUERIES["x20_shard_manifest"](spark, sf).select(
         F.lit("x20_manifest").alias("fam"),
         F.concat_ws("#", "lang", F.col("bin").cast("string")).alias(
@@ -1955,7 +1986,7 @@ def v01_suite(spark, sf):
         .unionByName(v11).unionByName(f).unionByName(g)
         .unionByName(v12).unionByName(x18).unionByName(x19)
         .unionByName(q51).unionByName(q52).unionByName(q53)
-        .unionByName(v13).unionByName(x20)
+        .unionByName(v13).unionByName(v14).unionByName(x20)
     )
 
 

@@ -1242,3 +1242,83 @@ def v13(spark, sf):
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------------------------------------------------------------- v14
+# Robust outlier detection (public: Iglewicz & Hoaglin 1993 modified
+# z-score; the MAD-based screen Deequ-class quality suites run where
+# mean/stddev break under the very outliers being hunted): per
+# priority group over order totals, med = exact median, MAD =
+# median(|x - med|), z = 0.6745 |x - med| / MAD, flag at z > 3.5.
+# Totals compare as integer cents; a deterministic population
+# (o_orderkey % 997 == 0 -> cents x 50, the t10/t11 injection
+# pattern) keeps the outlier branch live on the uniform-ish corpus.
+_V14_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           * (CASE WHEN o_orderkey % 997 = 0 THEN 50 ELSE 1 END)
+           AS cents
+  FROM orders
+),
+med AS (
+  SELECT o_orderpriority, quantile_cont(cents, 0.5) AS med
+  FROM base GROUP BY o_orderpriority
+),
+dev AS (
+  SELECT b.*, m.med, abs(b.cents - m.med) AS adev
+  FROM base b JOIN med m USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY o_orderpriority
+)
+SELECT d.o_orderkey, d.o_orderpriority, d.cents,
+       CAST(floor(1000 * 0.6745 * d.adev / a.mad) AS BIGINT)
+         AS z_milli,
+       0.6745 * d.adev / a.mad > 3.5 AS outlier
+FROM dev d JOIN mad a USING (o_orderpriority)
+"""
+
+
+@q("v14_mad_outliers", oracle=_V14_ORACLE)
+def v14(spark, sf):
+    """MAD-based robust outlier screen: per priority group the exact
+    median and median-absolute-deviation of order totals (integer
+    cents), each order's milli modified z-score, and the z > 3.5
+    outlier flag — the quality gate that survives the outliers
+    themselves (mean/stddev screens don't).
+
+    Scale shape: two group-grain aggregates (exact percentile here;
+    approx_percentile is the documented 100-TB swap — same plan, one
+    config) broadcast back onto the scan; no row-stream window, no
+    second scan.  The group medians are interpolated doubles computed
+    from identical integer inputs in both engines (t18's quantile
+    precedent), so z compares exactly at the milli freeze."""
+    from pyspark.sql import functions as F
+
+    base = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            * F.when(F.col("o_orderkey") % 997 == 0, 50).otherwise(1)
+        ).alias("cents"),
+    )
+    med = base.groupBy("o_orderpriority").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = base.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    z = 0.6745 * F.col("adev") / F.col("mad")
+    return dev.join(F.broadcast(mad), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.floor(1000 * z).cast("long").alias("z_milli"),
+        (z > 3.5).alias("outlier"),
+    )

@@ -439,3 +439,43 @@ def test_v13_fd_audit_verdicts(spark):
         )
         assert got[name] == expect, name
     assert {got[n][3] for n in got} == {True, False}
+
+
+def test_v14_mad_outliers_match_python_reference(spark):
+    """v14: medians, MADs, z-scores and the outlier flags match a
+    Python statistics.median reference over the injected cents; the
+    injected population is exactly the flagged set."""
+    import math
+    import statistics
+
+    import duckdb
+
+    from pdf_ocr_spark.queries.validation_q import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["o_orderkey"]: (r["cents"], r["z_milli"], r["outlier"])
+        for r in QUERIES["v14_mad_outliers"](spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_orderpriority,"
+        f" CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        f" FROM '{sf}/orders.parquet'"
+    ).fetchall()
+    groups = {}
+    for k, p, c in rows:
+        cents = c * (50 if k % 997 == 0 else 1)
+        groups.setdefault(p, []).append((k, cents))
+    n_out = 0
+    for p, members in groups.items():
+        med = statistics.median(c for _k, c in members)
+        mad = statistics.median(abs(c - med) for _k, c in members)
+        for k, c in members:
+            z = 0.6745 * abs(c - med) / mad
+            expect = (c, math.floor(1000 * z), z > 3.5)
+            assert got[k] == expect, k
+            n_out += expect[2]
+    assert n_out > 0
+    assert {k for k, v in got.items() if v[2]} == {
+        k for k, _p, _c in rows if k % 997 == 0
+    }
