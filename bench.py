@@ -123,6 +123,8 @@ HEADLINE = [
     "s18_retrieval_metrics",
     "s19_silhouette",
     "s20_mips_norm_augment",
+    "s21_jl_projection",
+    "t35_vocab_growth",
     "q55_sequence_pattern",
     "v14_mad_outliers",
     "h04_fuzzy_schema_match",

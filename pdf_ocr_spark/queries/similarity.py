@@ -2232,3 +2232,109 @@ def s20(spark, sf):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- s21
+# Random-projection dimensionality reduction (public: Johnson &
+# Lindenstrauss 1984; Achlioptas 2003 database-friendly projections)
+# — the compression pass embedding pipelines run before ANN indexing:
+# project 64-dim vectors onto K=16 fixed random directions and AUDIT
+# the distance preservation the lemma promises on a deterministic
+# pair sample.  The projection matrix is literal doubles from a
+# fixed seed inlined into BOTH engines (the HYPERPLANES pattern);
+# entries are uniform(-1,1) with variance 1/3, so the unbiased
+# squared-distance estimator is 3/K x |P(a-b)|^2.
+_S21_K = 16  # projected dimensions
+_s21_rng = random.Random(20260821)
+S21_PLANES = [
+    [round(_s21_rng.uniform(-1.0, 1.0), 9) for _ in range(DIM)]
+    for _ in range(_S21_K)
+]
+
+
+def _s21_lit_spark(j):
+    return "array(" + ", ".join(f"{v!r}D" for v in S21_PLANES[j]) + ")"
+
+
+def _s21_lit_duck(j):
+    return "[" + ", ".join(repr(v) for v in S21_PLANES[j]) + "]"
+
+
+def _s21_proj(vec, lit):
+    """SQL list of K projection coordinates dot(vec, R_j)."""
+    return [
+        _DOT_SQL.format(a=vec, b=lit(j)) for j in range(_S21_K)
+    ]
+
+
+_S21_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_transform(
+           list_zip(a.v, b.v), p -> p[1] - p[2]) AS dv
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 250
+  WHERE a.vec_id % 10 = 0
+)
+SELECT id_a, id_b,
+       list_inner_product(dv, dv) AS orig_d2,
+       3.0 / {_S21_K} * ({" + ".join(
+         f"pow(list_inner_product(dv, {_s21_lit_duck(j)}), 2)"
+         for j in range(_S21_K))}) AS est_d2,
+       CAST(floor(1000 *
+         (3.0 / {_S21_K} * ({" + ".join(
+            f"pow(list_inner_product(dv, {_s21_lit_duck(j)}), 2)"
+            for j in range(_S21_K))}))
+         / list_inner_product(dv, dv)) AS BIGINT)
+         AS distortion_milli
+FROM pairs
+"""
+
+
+@q("s21_jl_projection", oracle=_S21_ORACLE)
+def s21(spark, sf):
+    """Johnson-Lindenstrauss projection audit: for a deterministic
+    pair sample, the original squared distance, the 3/K-scaled
+    squared distance of the K=16-dim projection, and the milli
+    distortion ratio — the check that a 4x-compressed index still
+    orders neighbors faithfully before ANN structures are built on
+    the projected vectors.
+
+    Scale shape: the projection is a scan-local fold against K
+    literal direction vectors (zero shuffle, s02's bucket plan); the
+    audit pairs come from an equi-join on a shifted key (never
+    all-pairs).  At production the projected vectors are WRITTEN as
+    the index input — this query is the audit that gates that
+    write."""
+    e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.filter(F.col("id_a") % 10 == 0)
+        .join(b, F.col("id_b") == F.col("id_a") + 250)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("zip_with(va, vb, (x, y) -> x - y)").alias("dv"),
+        )
+    )
+    est = (
+        f"3.0D / {_S21_K} * ("
+        + " + ".join(
+            f"pow({_DOT_SQL.format(a='dv', b=_s21_lit_spark(j))}, 2)"
+            for j in range(_S21_K)
+        )
+        + ")"
+    )
+    orig = _DOT_SQL.format(a="dv", b="dv")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.expr(orig).alias("orig_d2"),
+        F.expr(est).alias("est_d2"),
+        F.expr(
+            f"CAST(floor(1000 * ({est}) / ({orig})) AS BIGINT)"
+        ).alias("distortion_milli"),
+    )

@@ -559,6 +559,9 @@ UNION ALL
 SELECT 'mips', qid, vec_id,
        CAST(dot_rank * 100 + aug_rank AS BIGINT), dot
 FROM {_sub(similarity, "s20_mips_norm_augment")} _t
+UNION ALL
+SELECT 'jl', id_a, id_b, distortion_milli, est_d2
+FROM {_sub(similarity, "s21_jl_projection")} _u
 """,
 )
 def s01_suite(spark, sf):
@@ -598,7 +601,9 @@ def s01_suite(spark, sf):
     other cluster, score = micro silhouette), and MIPS via norm
     augmentation (s20: aux1 = the retrieved item, aux2 = dot rank x
     100 + augmented-cosine rank — equal digits being the reduction
-    theorem, score = the raw inner product) —
+    theorem, score = the raw inner product), and the JL projection
+    audit (s21: aux1 = the pair's other end, aux2 = milli
+    distortion, score = estimated d^2) —
     tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -747,6 +752,13 @@ def s01_suite(spark, sf):
         .alias("aux2"),
         F.col("dot").alias("score"),
     )
+    jl = similarity.QUERIES["s21_jl_projection"](spark, sf).select(
+        F.lit("jl").alias("fam"),
+        F.col("id_a").alias("id"),
+        F.col("id_b").cast("long").alias("aux1"),
+        F.col("distortion_milli").cast("long").alias("aux2"),
+        F.col("est_d2").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
@@ -754,7 +766,7 @@ def s01_suite(spark, sf):
         .unionByName(k).unionByName(ll).unionByName(m)
         .unionByName(n).unionByName(o).unionByName(p)
         .unionByName(qgb).unionByName(rim).unionByName(sil)
-        .unionByName(mip)
+        .unionByName(mip).unionByName(jl)
     )
 
 
@@ -968,6 +980,10 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t34.canon_url AS url_canon,
        t34.n_sharing AS url_n_sharing,
        t34.url_keeper AS url_keeper,
+       t35.cum_tok AS vg_cum_tok,
+       t35.cum_vocab AS vg_cum_vocab,
+       t35.n_new_types AS vg_new_types,
+       t35.ttr_milli AS vg_ttr_milli,
        t9.top2_frac, t9.top3_frac, t9.dup2_frac,
        t10.n_email, t10.n_ipv4, t10.n_phone, t10.masked,
        f2.header_color, f2.visual_hdr_rows, f2.text_hdr_rows,
@@ -1028,6 +1044,8 @@ JOIN {_sub(textstats, "t33_script_profile")} t33
   ON t33.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t34_url_canonicalize")} t34
   ON t34.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t35_vocab_growth")} t35
+  ON t35.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t09_repetition_profile")} t9 ON t9.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t10_pii_scrub")} t10 ON t10.doc_id = t1.doc_id
 JOIN {_sub(fonts_q, "f02_color_semantics")} f2 ON f2.doc_id = t1.doc_id
@@ -1075,7 +1093,8 @@ def t01_suite(spark, sf):
     outside the weighted sample), script-mixing/homoglyph profile
     (t33; scr_nonlatin/scr_confusable/scr_mixed/scr_keep), URL
     canonicalization + URL-keyed dedup prep (t34;
-    url_canon/url_n_sharing/url_keeper), Gopher-style
+    url_canon/url_n_sharing/url_keeper), the Heaps-law vocabulary
+    growth curve (t35; vg_* cumulative columns), Gopher-style
     repetition signals (t09), PII scrub counts + masked text (t10),
     FH5/VH6 color semantics (f02: header color, exception-color
     counts, visual-vs-text header verdict), the full Gopher + C4
@@ -1148,6 +1167,13 @@ def t01_suite(spark, sf):
         F.col("canon_url").alias("url_canon"),
         F.col("n_sharing").alias("url_n_sharing"),
         "url_keeper",
+    )
+    t35 = textstats.QUERIES["t35_vocab_growth"](spark, sf).select(
+        "doc_id",
+        F.col("cum_tok").alias("vg_cum_tok"),
+        F.col("cum_vocab").alias("vg_cum_vocab"),
+        F.col("n_new_types").alias("vg_new_types"),
+        F.col("ttr_milli").alias("vg_ttr_milli"),
     )
     t9 = textstats.QUERIES["t09_repetition_profile"](spark, sf)
     t10 = textstats.QUERIES["t10_pii_scrub"](spark, sf)
@@ -1269,6 +1295,7 @@ def t01_suite(spark, sf):
         )
         .join(t33, "doc_id")
         .join(t34, "doc_id")
+        .join(t35, "doc_id")
         .join(t9, "doc_id")
         .join(t10, "doc_id")
         .join(f2, "doc_id")

@@ -3352,3 +3352,90 @@ def t34(spark, sf):
         F.count("*").over(wc).cast("long").alias("n_sharing"),
         (F.row_number().over(wr) == 1).alias("url_keeper"),
     )
+
+
+# ------------------------------------------------------------- t35
+# Vocabulary-growth curve (public: Heaps' law / Herdan's law — the
+# corpus-statistics audit behind tokenizer sizing and dedup health:
+# a corpus whose vocabulary stops growing is repeating itself).  In
+# deterministic ingest order (doc_id), each document's row carries
+# the cumulative token count, the cumulative DISTINCT vocabulary, the
+# number of never-seen-before types it contributed, and the milli
+# type-token ratio.  The distributed trick: "running distinct" needs
+# no sequential state — a type's FIRST document is min(doc_id) over
+# its postings, so cum_vocab(d) = count of types with first_doc <= d,
+# a groupBy + one cumulative window over DOC-grain rows.
+_T35_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS tok
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+),
+first_seen AS (
+  SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+),
+new_types AS (
+  SELECT first_doc AS doc_id, count(*) AS n_new
+  FROM first_seen GROUP BY first_doc
+)
+SELECT p.doc_id,
+       CAST(sum(p.n_tok) OVER w AS BIGINT) AS cum_tok,
+       CAST(sum(COALESCE(n.n_new, 0)) OVER w AS BIGINT) AS cum_vocab,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_types,
+       CAST(1000 * sum(COALESCE(n.n_new, 0)) OVER w
+            // sum(p.n_tok) OVER w AS BIGINT) AS ttr_milli
+FROM per_doc p LEFT JOIN new_types n ON n.doc_id = p.doc_id
+WINDOW w AS (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@q("t35_vocab_growth", oracle=_T35_ORACLE)
+def t35(spark, sf):
+    """Heaps-law vocabulary growth in ingest order: per document the
+    cumulative token count, cumulative distinct vocabulary, its
+    never-seen-before type contribution, and the milli type-token
+    ratio — the corpus-health curve (flat vocabulary growth means
+    the crawl is repeating itself; TTR collapse flags template
+    spam).
+
+    Scale shape: no sequential "running distinct" state — a type's
+    first document is min(doc_id) over its postings (one shuffle on
+    token, t23's inverted-index exchange), folded to doc-grain
+    new-type counts; the cumulative window then runs over DOC-grain
+    rows only (at production: per-partition partial sums + broadcast
+    prefix offsets, the classic two-level scan — never a row-stream
+    sort)."""
+    from pyspark.sql import Window as W
+
+    from .dedup import _tokens
+
+    toks = t(spark, sf, "documents").select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    new_types = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_new"))
+    )
+    j = per_doc.join(new_types, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        "doc_id",
+        F.sum("n_tok").over(w).cast("long").alias("cum_tok"),
+        F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
+        F.col("n_new").cast("long").alias("n_new_types"),
+        F.expr(
+            "CAST(1000 * sum(n_new) OVER (ORDER BY doc_id"
+            " ROWS UNBOUNDED PRECEDING) div sum(n_tok) OVER"
+            " (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)"
+        ).alias("ttr_milli"),
+    )

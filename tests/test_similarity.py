@@ -939,3 +939,51 @@ def test_s20_mips_reduction_theorem(spark):
         )[:5]
         expect = [(i + 1, o) for i, (_d, o) in enumerate(order)]
         assert sorted(got[qid]) == expect, qid
+
+
+def test_s21_jl_projection_matches_python_reference(spark):
+    """s21: per-pair estimates match a Python replication against the
+    same literal projection matrix, and the MEAN distortion over the
+    sample sits near 1.0 (the JL unbiasedness), though single pairs
+    vary widely at K=16."""
+    import math
+
+    import duckdb
+
+    from pdf_ocr_spark.queries.similarity import _S21_K, QUERIES, S21_PLANES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["orig_d2"], r["est_d2"], r["distortion_milli"]
+        )
+        for r in QUERIES["s21_jl_projection"](spark, sf).collect()
+    }
+    vecs = {
+        int(v): list(map(float, e))
+        for v, e in duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    n = ratio_sum = 0
+    for a in sorted(vecs):
+        if a % 10 != 0 or a + 250 not in vecs:
+            continue
+        dv = [x - y for x, y in zip(vecs[a], vecs[a + 250])]
+        orig = dot(dv, dv)
+        est = 3.0 / _S21_K * sum(
+            dot(dv, S21_PLANES[j]) ** 2 for j in range(_S21_K)
+        )
+        expect = (orig, est, math.floor(1000 * est / orig))
+        assert got[(a, a + 250)] == expect, a
+        ratio_sum += est / orig
+        n += 1
+    assert n == len(got) > 0
+    assert 0.7 < ratio_sum / n < 1.3, ratio_sum / n

@@ -1585,3 +1585,46 @@ def test_t34_url_canonicalize_matches_urllib_reference(spark):
     assert sum(1 for v in by_canon.values() if len(v) > 1) > 0, (
         "distinct messy forms must collapse"
     )
+
+
+def test_t35_vocab_growth_matches_sequential_scan(spark):
+    """t35: the distributed first-occurrence formulation equals a
+    sequential running-set scan of the corpus in doc order, and the
+    curve is concave (new-type contribution trends down)."""
+    import re as _re
+
+    import duckdb
+
+    from pdf_ocr_spark.queries.textstats import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (
+            r["cum_tok"], r["cum_vocab"], r["n_new_types"],
+            r["ttr_milli"],
+        )
+        for r in QUERIES["t35_vocab_growth"](spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+        f" ORDER BY doc_id"
+    ).fetchall()
+    seen = set()
+    cum_tok = 0
+    tok_re = _re.compile("[a-z0-9]+")
+    first_half_new = second_half_new = 0
+    for i, (doc_id, text) in enumerate(rows):
+        toks = tok_re.findall(text.lower())
+        cum_tok += len(toks)
+        new = {t for t in toks if t not in seen}
+        seen |= new
+        expect = (
+            cum_tok, len(seen), len(new),
+            1000 * len(seen) // cum_tok,
+        )
+        assert got[doc_id] == expect, doc_id
+        if i < len(rows) // 2:
+            first_half_new += len(new)
+        else:
+            second_half_new += len(new)
+    assert first_half_new > second_half_new, "growth must be concave"
