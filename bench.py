@@ -50,6 +50,7 @@ HEADLINE = [
     "d10_substring_dedup",
     "d11_incremental_dedup",
     "d13_incremental_lsh",
+    "d14_lsh_quality",
     "s01_ann_bruteforce_topk",
     "s03_ivf_centroids",
     "s06_semdedup",

@@ -1280,3 +1280,145 @@ def d13(spark, sf):
         .cast("int")
         .alias("best_jac_milli"),
     )
+
+
+# -------------------------------------------------------------- d14
+# LSH quality audit (public: the banding S-curve analysis from Mining
+# of Massive Datasets ch.3 — every LSH deployment validates its
+# (bands, rows) choice empirically): compare d02's banded CANDIDATE
+# pairs against the exact-Jaccard TRUTH pairs at the verify
+# threshold, per pair — the false-negative pairs (truth the bands
+# missed) and false-positive candidates (bucket collisions below
+# threshold) are exactly what the S-curve trades.  Truth enumeration
+# rides the inverted-index join (only pairs sharing >= 1 shingle can
+# have jac > 0 — d04's machinery and its df-cap note apply at
+# scale); no all-pairs stage anywhere.
+_D14_TH_MILLI = 20  # the d12/d13 verify threshold
+
+
+_D14_ORACLE = f"""
+WITH doc_sh AS ({SQL_DOC_SHINGLES}),
+sig AS ({_sql_minhash_sig()}),
+bands AS ({_sql_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
+shared AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+  FROM doc_sh sa
+  JOIN doc_sh sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT s.doc_a, s.doc_b,
+         CAST(1000 * s.n_inter //
+              (za.n + zb.n - s.n_inter) AS INTEGER) AS jac_milli
+  FROM shared s
+  JOIN sizes za ON za.doc_id = s.doc_a
+  JOIN sizes zb ON zb.doc_id = s.doc_b
+),
+uni AS (
+  SELECT COALESCE(j.doc_a, c.doc_a) AS doc_a,
+         COALESCE(j.doc_b, c.doc_b) AS doc_b,
+         COALESCE(j.jac_milli, 0) AS jac_milli,
+         COALESCE(j.jac_milli, 0) >= {_D14_TH_MILLI} AS is_truth,
+         c.doc_a IS NOT NULL AS is_cand
+  FROM jac j FULL JOIN cand c
+    ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+)
+SELECT doc_a, doc_b, jac_milli, is_truth, is_cand
+FROM uni WHERE is_truth OR is_cand
+"""
+
+
+@q("d14_lsh_quality", oracle=_D14_ORACLE)
+def d14(spark, sf):
+    """LSH parameter validation: every pair that is exact-Jaccard
+    truth (>= the verify threshold) OR a banded candidate, flagged
+    with both memberships and its exact milli Jaccard — recall
+    misses (truth without candidate) and bucket false positives
+    (candidate below threshold) are read directly off the flags,
+    which is how a production pipeline validates its (bands, rows)
+    choice against the S-curve before committing to an index build.
+
+    Scale shape: candidates are d02's banded equi-join; truth pairs
+    come from the shingle inverted-index join (pairs sharing >= 1
+    shingle only; d04's df-cap prunes degenerate shingles at scale);
+    ONE full outer join at pair grain merges the two sets.  The
+    shingle relation feeds signatures, sizes, and the truth join —
+    persisted once, like d02."""
+    doc_sh = _doc_shingles(spark, sf).drop("lang").persist()
+    sig = doc_sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}#"), F.col("sh")))
+            ).alias(f"h{i}")
+            for i in range(_N_HASH)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{j}, md5(concat(h{2 * j}, h{2 * j + 1}))" for j in range(_BANDS)
+    )
+    bands = sig.select(
+        "doc_id",
+        F.expr(f"stack({_BANDS}, {stack_args}) AS (band_id, band_key)"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa, sb = doc_sh.alias("sa"), doc_sh.alias("sb")
+    jac = (
+        sa.join(
+            sb,
+            (F.col("sb.sh") == F.col("sa.sh"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n", "na")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n", "nb")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(1000 * n_inter div (na + nb - n_inter) AS INT)"
+            ).alias("jac_milli"),
+        )
+    )
+    j, c = jac.alias("j"), cand.alias("c")
+    uni = j.join(
+        c,
+        (F.col("c.doc_a") == F.col("j.doc_a"))
+        & (F.col("c.doc_b") == F.col("j.doc_b")),
+        "full",
+    ).select(
+        F.coalesce("j.doc_a", "c.doc_a").alias("doc_a"),
+        F.coalesce("j.doc_b", "c.doc_b").alias("doc_b"),
+        F.coalesce("j.jac_milli", F.lit(0)).alias("jac_milli"),
+        (
+            F.coalesce("j.jac_milli", F.lit(0)) >= _D14_TH_MILLI
+        ).alias("is_truth"),
+        F.col("c.doc_a").isNotNull().alias("is_cand"),
+    )
+    return uni.filter(F.col("is_truth") | F.col("is_cand"))

@@ -808,6 +808,12 @@ UNION ALL
 SELECT 'd13' AS fam, doc_id AS doc_a, holder AS doc_b,
        CAST(best_jac_milli AS INTEGER) AS hamming, verdict AS txt
 FROM {_sub(dedup, "d13_incremental_lsh")} _h
+UNION ALL
+SELECT 'd14' AS fam, doc_a, doc_b,
+       CAST(jac_milli AS INTEGER) AS hamming,
+       CASE WHEN is_truth AND is_cand THEN 'hit'
+            WHEN is_truth THEN 'miss' ELSE 'fp' END AS txt
+FROM {_sub(dedup, "d14_lsh_quality")} _i
 """,
 )
 def d06_suite(spark, sf):
@@ -829,7 +835,10 @@ def d06_suite(spark, sf):
     txt = keep/dup verdict), and incremental LSH dedup (d13: new
     batch vs the prior snapshot's materialized band index; doc_b =
     holder, hamming = best milli Jaccard, txt = the
-    dup_prior/dup_batch/kept verdict)."""
+    dup_prior/dup_batch/kept verdict), and the LSH quality audit
+    (d14: banded candidates vs exact-Jaccard truth per pair;
+    hamming = milli Jaccard, txt = hit/miss/fp — the banding
+    S-curve read off real data)."""
     d6 = dedup.QUERIES["d06_simhash_bucketed"](spark, sf).select(
         F.lit("d06").alias("fam"), "doc_a", "doc_b",
         F.col("hamming").cast("int").alias("hamming"),
@@ -886,6 +895,16 @@ def d06_suite(spark, sf):
         F.col("best_jac_milli").cast("int").alias("hamming"),
         F.col("verdict").alias("txt"),
     )
+    d14 = dedup.QUERIES["d14_lsh_quality"](spark, sf).select(
+        F.lit("d14").alias("fam"),
+        "doc_a",
+        "doc_b",
+        F.col("jac_milli").cast("int").alias("hamming"),
+        F.when(F.col("is_truth") & F.col("is_cand"), "hit")
+        .when(F.col("is_truth"), "miss")
+        .otherwise("fp")
+        .alias("txt"),
+    )
     return (
         d6.unionByName(d7)
         .unionByName(d8)
@@ -894,6 +913,7 @@ def d06_suite(spark, sf):
         .unionByName(d11)
         .unionByName(d12)
         .unionByName(d13)
+        .unionByName(d14)
     )
 
 

@@ -152,3 +152,53 @@ def test_d13_incremental_lsh_agrees_with_d02_pairs(spark):
         else:
             assert r["verdict"] == "kept" and r["holder"] == doc_id, doc_id
     assert verdicts == {"kept", "dup_prior", "dup_batch"}
+
+
+def test_d14_lsh_quality_audit(spark):
+    """d14: truth pairs match a pure-Python exact-Jaccard scan over
+    the shared shingle definition; banded recall is PERFECT for
+    genuinely similar pairs (jac >= 0.1) and collapses at the weak
+    0.02 floor — the banding S-curve doing its job."""
+    import re as _re
+
+    import duckdb
+
+    from pdf_ocr_spark.queries.dedup import _D14_TH_MILLI, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["d14_lsh_quality"](spark, sf).collect()
+    got_truth = {
+        (r["doc_a"], r["doc_b"]): r["jac_milli"]
+        for r in rows
+        if r["is_truth"]
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    tok_re = _re.compile("[a-z0-9]+")
+    sh = {}
+    for d, text in docs:
+        toks = tok_re.findall(text.lower())
+        sh[d] = {
+            " ".join(toks[i : i + 3])
+            for i in range(len(toks) - 2)
+        }
+    expect = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            jac = 1000 * inter // (len(sh[a]) + len(sh[b]) - inter)
+            if jac >= _D14_TH_MILLI:
+                expect[(a, b)] = jac
+    assert got_truth == expect
+    strong = [r for r in rows if r["is_truth"] and r["jac_milli"] >= 100]
+    assert strong and all(r["is_cand"] for r in strong), (
+        "bands must catch every strong pair"
+    )
+    weak_recall = sum(
+        1 for r in rows if r["is_truth"] and r["is_cand"]
+    ) / len(got_truth)
+    assert weak_recall < 0.5, "the weak floor must show S-curve misses"
