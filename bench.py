@@ -126,6 +126,7 @@ HEADLINE = [
     "s20_mips_norm_augment",
     "s21_jl_projection",
     "t35_vocab_growth",
+    "t36_langid_confusion",
     "q55_sequence_pattern",
     "v14_mad_outliers",
     "h04_fuzzy_schema_match",

@@ -2429,6 +2429,11 @@ UNION ALL
 SELECT 'pmi', c_xy, w1 || ' ' || w2, CAST(pmi_milli AS DOUBLE),
        CAST(least(c_x, c_y) AS INTEGER), is_collocation
 FROM {_sub(textstats, "t28_pmi_collocations")} _d
+UNION ALL
+SELECT 'lang_cm', n, labeled_lang || '>' || pred_lang,
+       CAST(cell_ppm AS DOUBLE), CAST(precision_ppm AS INTEGER),
+       is_diag
+FROM {_sub(textstats, "t36_langid_confusion")} _e
 """,
 )
 def t06_term_mining_suite(spark, sf):
@@ -2475,4 +2480,14 @@ def t06_term_mining_suite(spark, sf):
         F.least("c_x", "c_y").cast("int").alias("rk"),
         F.col("is_collocation").alias("flag"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    e = textstats.QUERIES["t36_langid_confusion"](spark, sf).select(
+        F.lit("lang_cm").alias("fam"),
+        F.col("n").alias("id"),
+        F.concat_ws(">", "labeled_lang", "pred_lang").alias("term"),
+        F.col("cell_ppm").cast("double").alias("score"),
+        F.col("precision_ppm").cast("int").alias("rk"),
+        F.col("is_diag").alias("flag"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    )

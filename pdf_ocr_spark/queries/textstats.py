@@ -3439,3 +3439,75 @@ def t35(spark, sf):
             " (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)"
         ).alias("ttr_milli"),
     )
+
+
+# ------------------------------------------------------------- t36
+# Language-ID confusion matrix (public: the standard classifier
+# audit): t01's predicted language crossed with the corpus label —
+# per (labeled, pred) cell the count and ppm share, plus the labeled
+# class's recall and the predicted class's precision attached to
+# every cell (integer ppm; a class's metric repeats on each of its
+# cells so the relation stays one clean grain).  This is the eval
+# loop that gates a lang-ID model swap before it re-routes a corpus.
+_T36_ORACLE = None  # assigned below once t01's oracle exists
+
+
+@q("t36_langid_confusion")
+def t36(spark, sf):
+    """Confusion-matrix audit of the t01 language classifier: per
+    (labeled, pred) cell its count, ppm share of the corpus, the
+    labeled class's recall, the predicted class's precision, and the
+    diagonal flag.
+
+    Scale shape: one groupBy over t01's doc-grain output (the cells
+    relation is |langs|^2 rows at any corpus size) + two tiny
+    window/agg passes at cell grain for the class totals — nothing
+    row-scale after the first aggregate."""
+    t1 = QUERIES["t01_language_id"](spark, sf).select(
+        "labeled_lang", "pred_lang"
+    )
+    cells = t1.groupBy("labeled_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    return cells.select(
+        "labeled_lang",
+        "pred_lang",
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(1000000 * n div sum(n) OVER () AS BIGINT)"
+        ).alias("cell_ppm"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN labeled_lang = pred_lang"
+            " THEN n ELSE 0 END) OVER (PARTITION BY labeled_lang)"
+            " div sum(n) OVER (PARTITION BY labeled_lang) AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN labeled_lang = pred_lang"
+            " THEN n ELSE 0 END) OVER (PARTITION BY pred_lang)"
+            " div sum(n) OVER (PARTITION BY pred_lang) AS BIGINT)"
+        ).alias("precision_ppm"),
+        (F.col("labeled_lang") == F.col("pred_lang")).alias("is_diag"),
+    )
+
+
+ORACLE["t36_langid_confusion"] = f"""
+WITH t1 AS ({ORACLE["t01_language_id"]}),
+cells AS (
+  SELECT labeled_lang, pred_lang, count(*) AS n
+  FROM t1 GROUP BY labeled_lang, pred_lang
+)
+SELECT labeled_lang, pred_lang, CAST(n AS BIGINT) AS n,
+       CAST(1000000 * n // sum(n) OVER () AS BIGINT) AS cell_ppm,
+       CAST(1000000 * sum(CASE WHEN labeled_lang = pred_lang
+                       THEN n ELSE 0 END)
+            OVER (PARTITION BY labeled_lang)
+            // sum(n) OVER (PARTITION BY labeled_lang) AS BIGINT)
+         AS recall_ppm,
+       CAST(1000000 * sum(CASE WHEN labeled_lang = pred_lang
+                       THEN n ELSE 0 END)
+            OVER (PARTITION BY pred_lang)
+            // sum(n) OVER (PARTITION BY pred_lang) AS BIGINT)
+         AS precision_ppm,
+       labeled_lang = pred_lang AS is_diag
+FROM cells
+"""

@@ -1628,3 +1628,43 @@ def test_t35_vocab_growth_matches_sequential_scan(spark):
         else:
             second_half_new += len(new)
     assert first_half_new > second_half_new, "growth must be concave"
+
+
+def test_t36_confusion_matrix_matches_python_recount(spark):
+    """t36: cells, shares, and per-class precision/recall equal a
+    Python recount of t01's collected predictions; the corpus
+    exercises both a perfect and a zero-recall class."""
+    from pdf_ocr_spark.queries.textstats import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    preds = [
+        (r["labeled_lang"], r["pred_lang"])
+        for r in QUERIES["t01_language_id"](spark, sf).collect()
+    ]
+    got = {
+        (r["labeled_lang"], r["pred_lang"]): (
+            r["n"], r["cell_ppm"], r["recall_ppm"],
+            r["precision_ppm"], r["is_diag"],
+        )
+        for r in QUERIES["t36_langid_confusion"](spark, sf).collect()
+    }
+    from collections import Counter
+
+    cells = Counter(preds)
+    total = sum(cells.values())
+    lab_tot = Counter(l for l, _p in preds)
+    prd_tot = Counter(p for _l, p in preds)
+    diag = {c: cells.get((c, c), 0) for c in set(lab_tot) | set(prd_tot)}
+    assert set(got) == set(cells)
+    recalls = set()
+    for (l, p), n in cells.items():
+        expect = (
+            n,
+            1_000_000 * n // total,
+            1_000_000 * diag[l] // lab_tot[l],
+            1_000_000 * diag[p] // prd_tot[p],
+            l == p,
+        )
+        assert got[(l, p)] == expect, (l, p)
+        recalls.add(expect[2])
+    assert 1_000_000 in recalls and 0 in recalls
