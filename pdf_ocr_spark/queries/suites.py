@@ -1611,7 +1611,7 @@ GROUP BY s.lang, s.bin
 
 
 @q("x20_shard_manifest", oracle=_X20_ORACLE)
-def x20(spark, sf):
+def x20(spark, sf, shards=None):
     """Per-shard manifest over the packed curation output (x17): doc
     and token counts, the ordered-member md5 digest that pins the
     exact shard composition across re-runs, and the shard's
@@ -1623,7 +1623,8 @@ def x20(spark, sf):
     few hundred members); the split column broadcasts from the
     scan-local t19 assignment; the digest's collect_list is bounded
     by the shard's member cap, never corpus-sized."""
-    shards = QUERIES["x17_curation_shards"](spark, sf)
+    if shards is None:
+        shards = QUERIES["x17_curation_shards"](spark, sf)
     sp = textstats.QUERIES["t19_split_leakage"](spark, sf).select(
         "doc_id", "split"
     )
@@ -1923,7 +1924,8 @@ def v01_suite(spark, sf):
             & (F.expr("min_y div 16") == F.expr("max_y div 16"))
         ).alias("ok"),
     )
-    g = QUERIES["x17_curation_shards"](spark, sf).select(
+    shards_df = QUERIES["x17_curation_shards"](spark, sf).persist()
+    g = shards_df.select(
         F.lit("x17_shard").alias("fam"),
         F.col("doc_id").cast("string").alias("key"),
         F.concat_ws("#", "lang", "bin").alias("info"),
@@ -2011,7 +2013,7 @@ def v01_suite(spark, sf):
         F.col("z_milli").alias("n"),
         (~F.col("outlier")).alias("ok"),
     )
-    x20 = QUERIES["x20_shard_manifest"](spark, sf).select(
+    x20 = QUERIES["x20_shard_manifest"](spark, sf, shards_df).select(
         F.lit("x20_manifest").alias("fam"),
         F.concat_ws("#", "lang", F.col("bin").cast("string")).alias(
             "key"

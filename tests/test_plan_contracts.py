@@ -274,3 +274,53 @@ def test_t31_texttiling_is_scan_local(spark):
     plan = _plan(FULL_QUERIES["t31_texttiling"](spark, SF))
     assert _exchanges(plan) == [], _exchanges(plan)
     assert "Join" not in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The scale notes throughout PLANS.md lean on 'on a bucketed
+    lakehouse table the exchange disappears' — this pins it in a real
+    executed plan: both join sides written bucketBy(orderkey), the
+    broadcast path disabled, and the join must contain a SortMergeJoin
+    with ZERO shuffle Exchange; results equal the plain join."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp_path}'"
+    )
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        li.write.bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).mode("overwrite").saveAsTable("bdb.li_b")
+        orders.write.bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).mode("overwrite").saveAsTable("bdb.ord_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bdb.li_b").join(
+            spark.table("bdb.ord_b"),
+            spark.table("bdb.li_b").l_orderkey
+            == spark.table("bdb.ord_b").o_orderkey,
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert _exchanges(plan) == [], _exchanges(plan)
+        assert "BroadcastExchange" not in plan
+        # same rows as the plain (shuffling) parquet join
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert j.count() == plain.count()
+        from pyspark.sql import functions as F
+
+        s_b = j.agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        ).collect()[0][0]
+        s_p = plain.agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        ).collect()[0][0]
+        assert s_b == s_p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
