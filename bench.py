@@ -125,6 +125,7 @@ HEADLINE = [
     "s19_silhouette",
     "s20_mips_norm_augment",
     "s21_jl_projection",
+    "s22_cluster_stability",
     "t35_vocab_growth",
     "t36_langid_confusion",
     "q55_sequence_pattern",

@@ -1919,7 +1919,7 @@ GROUP BY qid
 
 
 @q("s18_retrieval_metrics", oracle=_S18_ORACLE)
-def s18(spark, sf):
+def s18(spark, sf, retr=None):
     """nDCG@5 + MRR audit of the s17 graph-ANN ranking against the
     exact cosine ranking (rel = 6 - exact_rank for the exact top-5):
     per query the relevant-found count, integer-micro DCG, ppm nDCG,
@@ -1932,9 +1932,9 @@ def s18(spark, sf):
     as the golden set at toy SF — one broadcast-query window, s05's
     plan).  The discount table and IDCG are inlined integer literals
     shared with the oracle — no float log2 in either engine."""
-    retr = QUERIES["s17_graph_beam_search"](spark, sf).select(
-        "qid", "rank", "vec_id"
-    )
+    if retr is None:
+        retr = QUERIES["s17_graph_beam_search"](spark, sf)
+    retr = retr.select("qid", "rank", "vec_id")
     e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
     qs = e.filter(F.col("vec_id") % 97 == 3).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
@@ -2337,4 +2337,101 @@ def s21(spark, sf):
         F.expr(
             f"CAST(floor(1000 * ({est}) / ({orig})) AS BIGINT)"
         ).alias("distortion_milli"),
+    )
+
+
+# ---------------------------------------------------------------- s22
+# Cluster-stability audit (public: Hubert & Arabie 1985, Adjusted
+# Rand Index) — the agreement metric between two clusterings of the
+# same corpus, run whenever an index is re-clustered (s08 kmeans vs
+# the serving assignment): does the new clustering actually move
+# points, or only relabel?  ARI here is EXACT INTEGER arithmetic end
+# to end: the pair-counting form uses only binomial sums of
+# contingency counts, and clearing denominators gives
+#   ARI = 2 (a n2 - b c) / (n2 (b + c) - 2 b c)
+# with a = sum C(n_ij,2), b = sum C(n_i.,2), c = sum C(n_.j,2),
+# n2 = C(n,2) — every term a BIGINT, frozen to micro by integer
+# division, no floats in either engine.
+_S22_ORACLE = f"""
+WITH km AS (SELECT vec_id, cluster FROM ({_S08_ORACLE}) _k),
+e AS (SELECT vec_id, label FROM embeddings),
+cell AS (
+  SELECT e.label, km.cluster, count(*) AS n_ij
+  FROM e JOIN km ON km.vec_id = e.vec_id
+  GROUP BY e.label, km.cluster
+),
+tot AS (
+  SELECT
+    CAST(sum(n_ij * (n_ij - 1) // 2) AS BIGINT) AS a,
+    (SELECT CAST(sum(r * (r - 1) // 2) AS BIGINT) FROM
+       (SELECT sum(n_ij) AS r FROM cell GROUP BY label)) AS b,
+    (SELECT CAST(sum(cc * (cc - 1) // 2) AS BIGINT) FROM
+       (SELECT sum(n_ij) AS cc FROM cell GROUP BY cluster)) AS c,
+    CAST(sum(n_ij) * (sum(n_ij) - 1) // 2 AS BIGINT) AS n2
+  FROM cell
+)
+SELECT cell.label, cell.cluster, CAST(cell.n_ij AS BIGINT) AS n_ij,
+       CAST(1000000 * 2 * (t.a * t.n2 - t.b * t.c)
+            // (t.n2 * (t.b + t.c) - 2 * t.b * t.c) AS BIGINT)
+         AS ari_micro
+FROM cell, tot t
+"""
+
+
+@q("s22_cluster_stability", oracle=_S22_ORACLE)
+def s22(spark, sf, km=None):
+    """Cluster-stability audit: the label-vs-kmeans contingency table
+    with the exact integer-micro Adjusted Rand Index attached to
+    every cell — the re-clustering gate that distinguishes "the new
+    index moved the points" from "it only renamed the cells".
+
+    Scale shape: one join at vector grain (kmeans output ⋈ labels)
+    into a groupBy whose result is |labels| x k rows; every ARI term
+    is an aggregate of that tiny relation (broadcast back onto the
+    cells).  All arithmetic is BIGINT binomial sums — the metric is
+    exact under any partitioning, cross-engine, with no float
+    anywhere."""
+    if km is None:
+        km = QUERIES["s08_kmeans"](spark, sf)
+    km = km.select("vec_id", "cluster")
+    e = t(spark, sf, "embeddings").select("vec_id", "label")
+    cell = (
+        e.join(km, "vec_id")
+        .groupBy("label", "cluster")
+        .agg(F.count("*").alias("n_ij"))
+        .persist()
+    )
+    a_n2 = cell.agg(
+        F.expr("CAST(sum(n_ij * (n_ij - 1) div 2) AS BIGINT)").alias(
+            "a"
+        ),
+        F.expr(
+            "CAST(sum(n_ij) * (sum(n_ij) - 1) div 2 AS BIGINT)"
+        ).alias("n2"),
+    )
+    b_ = (
+        cell.groupBy("label")
+        .agg(F.sum("n_ij").alias("r"))
+        .agg(
+            F.expr("CAST(sum(r * (r - 1) div 2) AS BIGINT)").alias("b")
+        )
+    )
+    c_ = (
+        cell.groupBy("cluster")
+        .agg(F.sum("n_ij").alias("cc"))
+        .agg(
+            F.expr(
+                "CAST(sum(cc * (cc - 1) div 2) AS BIGINT)"
+            ).alias("c")
+        )
+    )
+    tot = a_n2.crossJoin(b_).crossJoin(c_)
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "cluster",
+        F.col("n_ij").cast("long").alias("n_ij"),
+        F.expr(
+            "CAST(1000000 * 2 * (a * n2 - b * c)"
+            " div (n2 * (b + c) - 2 * b * c) AS BIGINT)"
+        ).alias("ari_micro"),
     )

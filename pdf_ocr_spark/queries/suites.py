@@ -562,6 +562,10 @@ FROM {_sub(similarity, "s20_mips_norm_augment")} _t
 UNION ALL
 SELECT 'jl', id_a, id_b, distortion_milli, est_d2
 FROM {_sub(similarity, "s21_jl_projection")} _u
+UNION ALL
+SELECT 'ari', CAST(label AS BIGINT), CAST(cluster AS BIGINT),
+       ari_micro, CAST(n_ij AS DOUBLE)
+FROM {_sub(similarity, "s22_cluster_stability")} _v
 """,
 )
 def s01_suite(spark, sf):
@@ -603,7 +607,9 @@ def s01_suite(spark, sf):
     100 + augmented-cosine rank — equal digits being the reduction
     theorem, score = the raw inner product), and the JL projection
     audit (s21: aux1 = the pair's other end, aux2 = milli
-    distortion, score = estimated d^2) —
+    distortion, score = estimated d^2), and the cluster-stability
+    audit (s22: label-vs-kmeans contingency; aux2 = the exact
+    integer-micro Adjusted Rand Index, score = cell count) —
     tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -654,7 +660,8 @@ def s01_suite(spark, sf):
         F.lit(0).cast("long").alias("aux2"),
         F.col("max_err").alias("score"),
     )
-    h = similarity.QUERIES["s08_kmeans"](spark, sf).select(
+    s08_df = similarity.QUERIES["s08_kmeans"](spark, sf).persist()
+    h = s08_df.select(
         F.lit("kmeans").alias("fam"),
         F.col("vec_id").alias("id"),
         F.col("cluster").cast("long").alias("aux1"),
@@ -722,14 +729,19 @@ def s01_suite(spark, sf):
         ),
         F.col("margin").cast("double").alias("score"),
     )
-    qgb = similarity.QUERIES["s17_graph_beam_search"](spark, sf).select(
+    s17_df = similarity.QUERIES["s17_graph_beam_search"](
+        spark, sf
+    ).persist()
+    qgb = s17_df.select(
         F.lit("graph_beam").alias("fam"),
         F.col("qid").alias("id"),
         F.col("vec_id").cast("long").alias("aux1"),
         F.col("rank").cast("long").alias("aux2"),
         F.col("cosine").alias("score"),
     )
-    rim = similarity.QUERIES["s18_retrieval_metrics"](spark, sf).select(
+    rim = similarity.QUERIES["s18_retrieval_metrics"](
+        spark, sf, s17_df
+    ).select(
         F.lit("ir_metrics").alias("fam"),
         F.col("qid").alias("id"),
         F.col("ndcg_ppm").cast("long").alias("aux1"),
@@ -759,6 +771,15 @@ def s01_suite(spark, sf):
         F.col("distortion_milli").cast("long").alias("aux2"),
         F.col("est_d2").alias("score"),
     )
+    ari = similarity.QUERIES["s22_cluster_stability"](
+        spark, sf, s08_df
+    ).select(
+        F.lit("ari").alias("fam"),
+        F.col("label").cast("long").alias("id"),
+        F.col("cluster").cast("long").alias("aux1"),
+        F.col("ari_micro").cast("long").alias("aux2"),
+        F.col("n_ij").cast("double").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
@@ -766,7 +787,7 @@ def s01_suite(spark, sf):
         .unionByName(k).unionByName(ll).unionByName(m)
         .unionByName(n).unionByName(o).unionByName(p)
         .unionByName(qgb).unionByName(rim).unionByName(sil)
-        .unionByName(mip).unionByName(jl)
+        .unionByName(mip).unionByName(jl).unionByName(ari)
     )
 
 

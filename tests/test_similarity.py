@@ -987,3 +987,47 @@ def test_s21_jl_projection_matches_python_reference(spark):
         n += 1
     assert n == len(got) > 0
     assert 0.7 < ratio_sum / n < 1.3, ratio_sum / n
+
+
+def test_s22_ari_matches_python_reference(spark):
+    """s22: the contingency table and the exact integer ARI match a
+    pure-Python pair-counting computation from the collected s08
+    assignments and corpus labels."""
+    import duckdb
+
+    from pdf_ocr_spark.queries.similarity import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    km = {
+        r["vec_id"]: r["cluster"]
+        for r in QUERIES["s08_kmeans"](spark, sf).collect()
+    }
+    lab = {
+        int(v): int(lb)
+        for v, lb in duckdb.sql(
+            f"SELECT vec_id, label FROM '{sf}/embeddings.parquet'"
+        ).fetchall()
+    }
+    got = {
+        (r["label"], r["cluster"]): (r["n_ij"], r["ari_micro"])
+        for r in QUERIES["s22_cluster_stability"](spark, sf).collect()
+    }
+    from collections import Counter
+
+    cells = Counter((lab[v], km[v]) for v in lab)
+    rows = Counter(lab.values())
+    cols = Counter(km.values())
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    a = sum(c2(n) for n in cells.values())
+    b = sum(c2(n) for n in rows.values())
+    c = sum(c2(n) for n in cols.values())
+    n2 = c2(len(lab))
+    ari = 1_000_000 * 2 * (a * n2 - b * c) // (
+        n2 * (b + c) - 2 * b * c
+    )
+    assert set(got) == set(cells)
+    for k, n in cells.items():
+        assert got[k] == (n, ari), k
