@@ -129,6 +129,7 @@ HEADLINE = [
     "t35_vocab_growth",
     "t36_langid_confusion",
     "q55_sequence_pattern",
+    "q56_triangle_census",
     "v14_mad_outliers",
     "h04_fuzzy_schema_match",
     "v12_benford_audit",

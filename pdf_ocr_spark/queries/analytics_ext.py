@@ -934,3 +934,111 @@ def q54(spark, sf):
     ).filter(F.col("p_size") == F.col("gmax")).select(
         "p_brand", "p_partkey", "cents", "p_size"
     )
+
+
+# ---------------------------------------------------------------- q56
+# Triangle census (public: the standard distributed triangle count —
+# node-iterator with ordered edges, e.g. Suri & Vassilvitskii 2011
+# "Counting Triangles and the Curse of the Last Reducer") over the
+# near-dup candidate graph: triangles distinguish dup CLUSTERS
+# (dense, transitive — safe to collapse to one canonical doc) from
+# dup CHAINS (A~B~C without A~C — collapsing loses documents), the
+# QA signal for d12's connected-component collapse policy.  The
+# graph is d02's verified pair relation with canonical a < b
+# orientation, so each triangle (a < b < c) is counted exactly once
+# by two equi-joins — never an all-pairs stage.
+_Q56_ORACLE = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({{d02}}) _p
+),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+tcount AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT doc_a AS node FROM pairs
+    UNION ALL SELECT doc_b FROM pairs
+  ) GROUP BY node
+)
+SELECT d.node AS doc_id, CAST(d.degree AS INTEGER) AS degree,
+       CAST(COALESCE(t.n_tri, 0) AS INTEGER) AS n_triangles,
+       CAST(CASE WHEN d.degree < 2 THEN 0
+            ELSE 1000000 * 2 * COALESCE(t.n_tri, 0)
+                 // (d.degree * (d.degree - 1)) END AS BIGINT)
+         AS clustering_ppm
+FROM deg d LEFT JOIN tcount t ON t.node = d.node
+"""
+
+
+@q("q56_triangle_census")
+def q56(spark, sf):
+    """Triangle census over the near-dup candidate graph: per
+    document its degree, triangle participation count, and
+    integer-ppm local clustering coefficient — dense transitive dup
+    clusters read ~1.0, chains read 0, which is the QA gate on the
+    connected-component collapse policy (d12).
+
+    Scale shape: ordered edges (a < b) make each triangle countable
+    by exactly TWO equi-joins on node ids (the node-iterator
+    algorithm); at web scale the standard high-degree mitigation
+    (orient edges low-degree -> high-degree first) drops in without
+    changing the result.  The edge relation is d02's verified-pair
+    output — candidate-bounded, never all-pairs."""
+    from .dedup import QUERIES as DQ
+
+    pairs = DQ["d02_minhash_lsh_dedup"](spark, sf).select(
+        "doc_a", "doc_b"
+    ).persist()
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    tcount = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.join(tcount, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.col("degree").cast("int").alias("degree"),
+        F.coalesce("n_tri", F.lit(0)).cast("int").alias("n_triangles"),
+        F.expr(
+            "CAST(CASE WHEN degree < 2 THEN 0"
+            " ELSE 1000000 * 2 * COALESCE(n_tri, 0)"
+            " div (degree * (degree - 1)) END AS BIGINT)"
+        ).alias("clustering_ppm"),
+    )
+
+from .dedup import ORACLE as _DORACLE  # noqa: E402  (d02's oracle text)
+
+ORACLE["q56_triangle_census"] = _Q56_ORACLE.format(
+    d02=_DORACLE["d02_minhash_lsh_dedup"]
+)

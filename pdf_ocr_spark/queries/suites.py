@@ -1772,6 +1772,11 @@ SELECT 'v14_mad', CAST(o_orderkey AS VARCHAR),
        z_milli, NOT outlier
 FROM {_sub(validation_q, "v14_mad_outliers")} _v14
 UNION ALL
+SELECT 'q56_tri', CAST(doc_id AS VARCHAR),
+       CAST(degree AS VARCHAR) || '#' || CAST(n_triangles AS VARCHAR),
+       clustering_ppm, true
+FROM {_sub(analytics_ext, "q56_triangle_census")} _q56
+UNION ALL
 SELECT 'x20_manifest', lang || '#' || CAST(bin AS VARCHAR),
        digest || '#' || CAST(n_train AS VARCHAR) || '#'
          || CAST(n_val AS VARCHAR) || '#' || CAST(n_test AS VARCHAR),
@@ -2034,6 +2039,17 @@ def v01_suite(spark, sf):
         F.col("z_milli").alias("n"),
         (~F.col("outlier")).alias("ok"),
     )
+    q56 = analytics_ext.QUERIES["q56_triangle_census"](spark, sf).select(
+        F.lit("q56_tri").alias("fam"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.concat_ws(
+            "#",
+            F.col("degree").cast("string"),
+            F.col("n_triangles").cast("string"),
+        ).alias("info"),
+        F.col("clustering_ppm").alias("n"),
+        F.lit(True).alias("ok"),
+    )
     x20 = QUERIES["x20_shard_manifest"](spark, sf, shards_df).select(
         F.lit("x20_manifest").alias("fam"),
         F.concat_ws("#", "lang", F.col("bin").cast("string")).alias(
@@ -2057,6 +2073,7 @@ def v01_suite(spark, sf):
         .unionByName(v12).unionByName(x18).unionByName(x19)
         .unionByName(q51).unionByName(q52).unionByName(q53)
         .unionByName(v13).unionByName(v14).unionByName(x20)
+        .unionByName(q56)
     )
 
 

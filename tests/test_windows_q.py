@@ -502,3 +502,50 @@ def test_q55_sequence_pattern_matches_python_scan(spark):
             expect[u] = (len(hits), hits[0])
     assert got == expect
     assert any(n > 1 for n, _e in expect.values())
+
+
+def test_q56_triangles_match_python_reference(spark):
+    """q56: degrees, per-node triangle counts, and clustering
+    coefficients match a Python recomputation from the collected d02
+    pair graph; both a triangle and a chain occur."""
+    from pdf_ocr_spark.queries.analytics_ext import QUERIES
+    from pdf_ocr_spark.queries.dedup import QUERIES as DQ
+
+    sf = "/root/testdata/sf0.001"
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in DQ["d02_minhash_lsh_dedup"](spark, sf).collect()
+    }
+    got = {
+        r["doc_id"]: (
+            r["degree"], r["n_triangles"], r["clustering_ppm"]
+        )
+        for r in QUERIES["q56_triangle_census"](spark, sf).collect()
+    }
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    tri = defaultdict(int)
+    for a, b in pairs:
+        for c in nbrs[a] & nbrs[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    # each triangle touched via its 3 edges -> counted 3x per node
+    expect = {}
+    for node, ns in nbrs.items():
+        d = len(ns)
+        t3 = tri[node] // 3
+        cc = (
+            0 if d < 2 else 1_000_000 * 2 * t3 // (d * (d - 1))
+        )
+        expect[node] = (d, t3, cc)
+    assert got == expect
+    assert any(t3 > 0 for _d, t3, _c in got.values())
+    # the near-dup graph is transitively dense where it matters:
+    # fully-closed nodes exist alongside degree-1 leaves
+    assert any(c == 1_000_000 for _d, _t, c in got.values())
+    assert any(d == 1 for d, _t, _c in got.values())
