@@ -128,6 +128,7 @@ HEADLINE = [
     "s22_cluster_stability",
     "t35_vocab_growth",
     "t36_langid_confusion",
+    "t37_rake_keyphrases",
     "q55_sequence_pattern",
     "q56_triangle_census",
     "v14_mad_outliers",

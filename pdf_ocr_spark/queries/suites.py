@@ -2474,6 +2474,10 @@ SELECT 'lang_cm', n, labeled_lang || '>' || pred_lang,
        CAST(cell_ppm AS DOUBLE), CAST(precision_ppm AS INTEGER),
        is_diag
 FROM {_sub(textstats, "t36_langid_confusion")} _e
+UNION ALL
+SELECT 'rake', doc_id, phrase, CAST(score_milli AS DOUBLE),
+       CAST(rank AS INTEGER), rank = 1
+FROM {_sub(textstats, "t37_rake_keyphrases")} _f
 """,
 )
 def t06_term_mining_suite(spark, sf):
@@ -2528,6 +2532,15 @@ def t06_term_mining_suite(spark, sf):
         F.col("precision_ppm").cast("int").alias("rk"),
         F.col("is_diag").alias("flag"),
     )
+    f = textstats.QUERIES["t37_rake_keyphrases"](spark, sf).select(
+        F.lit("rake").alias("fam"),
+        F.col("doc_id").alias("id"),
+        F.col("phrase").alias("term"),
+        F.col("score_milli").cast("double").alias("score"),
+        F.col("rank").cast("int").alias("rk"),
+        (F.col("rank") == 1).alias("flag"),
+    )
     return (
-        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .unionByName(e).unionByName(f)
     )

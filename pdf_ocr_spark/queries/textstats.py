@@ -3511,3 +3511,134 @@ SELECT labeled_lang, pred_lang, CAST(n AS BIGINT) AS n,
        labeled_lang = pred_lang AS is_diag
 FROM cells
 """
+
+
+# ------------------------------------------------------------- t37
+# RAKE keyphrase extraction (public: Rose et al. 2010, "Automatic
+# Keyword Extraction from Individual Documents") — the tagging /
+# search-indexing pass: candidate phrases are maximal token runs
+# between delimiters (punctuation or a stopword — t11's stopword
+# lexicon, shared verbatim), each word scores deg/freq over the
+# document's phrases (deg = sum of lengths of phrases containing the
+# word), and a phrase scores the sum of its word scores.  Word scores
+# are frozen to integer milli BEFORE the phrase sum (t14's pattern),
+# so ranking is exact integer arithmetic cross-engine; top-3 phrases
+# per doc, ties broken by phrase text.  The delimiter regex chain is
+# the SAME pattern text in both engines (RE2 and Java both support
+# ASCII \b).
+_T37_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have",
+                   "with")
+_T37_STOP_RE = r"\b(" + "|".join(_T37_STOP_WORDS) + r")\b"
+_T37_PHRASE_RE = "[a-z0-9]+( +[a-z0-9]+)*"
+_T37_K = 3
+
+
+_T37_ORACLE = f"""
+WITH ph AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(
+           regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '.', 'g'),
+             '{_T37_STOP_RE}', '.', 'g'),
+           '{_T37_PHRASE_RE}')) AS phrase
+  FROM documents
+),
+pw AS (
+  SELECT doc_id, phrase,
+         len(string_split_regex(phrase, ' +')) AS plen,
+         unnest(string_split_regex(phrase, ' +')) AS w
+  FROM ph
+),
+ws AS (
+  SELECT doc_id, w,
+         CAST(1000 * sum(plen) // count(*) AS BIGINT) AS w_milli
+  FROM pw GROUP BY doc_id, w
+),
+cand AS (SELECT DISTINCT doc_id, phrase FROM ph),
+cw AS (
+  SELECT doc_id, phrase,
+         unnest(string_split_regex(phrase, ' +')) AS w
+  FROM cand
+),
+du AS (
+  SELECT cw.doc_id, cw.phrase,
+         CAST(sum(ws.w_milli) AS BIGINT) AS score_milli
+  FROM cw JOIN ws ON ws.doc_id = cw.doc_id AND ws.w = cw.w
+  GROUP BY cw.doc_id, cw.phrase
+),
+rk AS (
+  SELECT doc_id, phrase, score_milli,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_milli DESC, phrase)
+           AS rank
+  FROM du
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, phrase, score_milli
+FROM rk WHERE rank <= {_T37_K}
+"""
+
+
+@q("t37_rake_keyphrases", oracle=_T37_ORACLE)
+def t37(spark, sf):
+    """RAKE keyphrases: top-3 candidate phrases per document by the
+    deg/freq co-occurrence score — the document-local keyword
+    extraction behind tagging and sparse search indexing, with no
+    model and no corpus pass.
+
+    Scale shape: phrase splitting is a scan-local regex chain; word
+    stats and phrase scores are two doc-grain groupBys (one shuffle
+    each on (doc, word) / (doc, phrase) — both bounded by document
+    length); the top-3 window runs per doc.  Word deg/freq stats
+    run over ALL phrase instances (RAKE's definition) while each
+    distinct CANDIDATE scores once — repeated phrases raise their
+    words' degrees, not the candidate's score directly."""
+    from pyspark.sql import Window as W
+
+    ph = t(spark, sf, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "regexp_extract_all(regexp_replace(regexp_replace("
+                f"lower(text), '[^a-z0-9 ]', '.'),"
+                f" '{_T37_STOP_RE.replace(chr(92), chr(92) * 2)}',"
+                f" '.'), '{_T37_PHRASE_RE}', 0)"
+            )
+        ).alias("phrase"),
+    )
+    pw = ph.select(
+        "doc_id",
+        "phrase",
+        F.expr("size(split(phrase, ' +'))").alias("plen"),
+        F.explode(F.expr("split(phrase, ' +')")).alias("w"),
+    )
+    ws = pw.groupBy("doc_id", "w").agg(
+        F.expr(
+            "CAST(1000 * sum(plen) div count(*) AS BIGINT)"
+        ).alias("w_milli")
+    )
+    cand = ph.select("doc_id", "phrase").distinct()
+    cw = cand.select(
+        "doc_id",
+        "phrase",
+        F.explode(F.expr("split(phrase, ' +')")).alias("w"),
+    )
+    du = (
+        cw.join(ws, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase")
+        .agg(F.sum("w_milli").cast("long").alias("score_milli"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(
+            F.desc("score_milli"), F.asc("phrase")
+        )
+    )
+    return (
+        du.withColumn("rank", rk)
+        .filter(F.col("rank") <= _T37_K)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "phrase",
+            "score_milli",
+        )
+    )

@@ -1668,3 +1668,56 @@ def test_t36_confusion_matrix_matches_python_recount(spark):
         assert got[(l, p)] == expect, (l, p)
         recalls.add(expect[2])
     assert 1_000_000 in recalls and 0 in recalls
+
+
+def test_t37_rake_matches_python_reference(spark):
+    """t37: phrases, word deg/freq scores, and the top-3 ranking match
+    a pure-Python RAKE over the same delimiter rules; multi-word
+    phrases dominate."""
+    import re as _re
+
+    import duckdb
+
+    from pdf_ocr_spark.queries.textstats import (
+        _T37_K,
+        _T37_STOP_WORDS,
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {}
+    for r in QUERIES["t37_rake_keyphrases"](spark, sf).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["phrase"], r["score_milli"])
+        )
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    stop_re = _re.compile(
+        r"\b(" + "|".join(_T37_STOP_WORDS) + r")\b"
+    )
+    n_multi = 0
+    for doc_id, text in rows:
+        s = _re.sub(r"[^a-z0-9 ]", ".", text.lower())
+        s = stop_re.sub(".", s)
+        phrases = _re.findall(r"[a-z0-9]+(?: +[a-z0-9]+)*", s)
+        freq = {}
+        deg = {}
+        for p in phrases:
+            ws = p.split()
+            for w in ws:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(ws)
+        w_milli = {w: 1000 * deg[w] // freq[w] for w in freq}
+        cand = {}
+        for p in set(phrases):
+            cand[p] = sum(w_milli[w] for w in p.split())
+        top = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_T37_K
+        ]
+        expect = [
+            (i + 1, p, sc) for i, (p, sc) in enumerate(top)
+        ]
+        assert sorted(got.get(doc_id, [])) == expect, doc_id
+        n_multi += sum(1 for _r, p, _s in expect if " " in p)
+    assert n_multi > len(rows), "multi-word phrases must dominate"
