@@ -126,6 +126,7 @@ HEADLINE = [
     "s20_mips_norm_augment",
     "s21_jl_projection",
     "s22_cluster_stability",
+    "s23_ivf_probe_sweep",
     "t35_vocab_growth",
     "t36_langid_confusion",
     "t37_rake_keyphrases",

@@ -2435,3 +2435,143 @@ def s22(spark, sf, km=None):
             " div (n2 * (b + c) - 2 * b * c) AS BIGINT)"
         ).alias("ari_micro"),
     )
+
+
+# ---------------------------------------------------------------- s23
+# IVF probe-count sweep (public: the nprobe tuning curve every
+# FAISS-style deployment measures): for each query, rank the k cells
+# by centroid cosine, and for nprobe P = 1..3 report how many of the
+# EXACT top-5 neighbors live inside the P probed cells — recall as a
+# function of probe budget, the curve that picks nprobe before an
+# index ships (d14 is the same audit for the LSH family, s09 for
+# hash buckets).  No per-P re-ranking is needed: a vector is
+# "reachable at P" iff its own cell's rank for that query is <= P,
+# so one global exact-rank window + one cell-rank window answer
+# every P.
+_S23_PROBES = (1, 2, 3)
+_S23_K = 5
+
+
+_S23_ORACLE = f"""
+WITH {_SQL_CENTROIDS},
+e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+qs AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 97 = 3
+),
+cellrank AS (
+  SELECT qs.qid, c.label,
+         row_number() OVER (PARTITION BY qs.qid ORDER BY
+           list_cosine_similarity(c.cv, qs.qv) DESC, c.label)
+           AS cell_rk
+  FROM cvec c, qs
+),
+exact AS (
+  SELECT qs.qid, e.vec_id, e.label,
+         row_number() OVER (PARTITION BY qs.qid ORDER BY
+           list_cosine_similarity(e.v, qs.qv) DESC, e.vec_id)
+           AS exact_rk
+  FROM e, qs WHERE e.vec_id <> qs.qid
+),
+joined AS (
+  SELECT x.qid, x.vec_id, x.exact_rk, cr.cell_rk
+  FROM exact x
+  JOIN cellrank cr ON cr.qid = x.qid AND cr.label = x.label
+),
+probes AS (SELECT unnest([{", ".join(map(str, _S23_PROBES))}]) AS p)
+SELECT j.qid, p.p AS nprobe,
+       CAST(sum(CASE WHEN j.cell_rk <= p.p THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_reachable,
+       CAST(sum(CASE WHEN j.exact_rk <= {_S23_K}
+                     AND j.cell_rk <= p.p THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(1000000 * sum(CASE WHEN j.exact_rk <= {_S23_K}
+                               AND j.cell_rk <= p.p THEN 1 ELSE 0 END)
+            // {_S23_K} AS BIGINT) AS recall_ppm
+FROM joined j, probes p
+GROUP BY j.qid, p.p
+"""
+
+
+@q("s23_ivf_probe_sweep", oracle=_S23_ORACLE)
+def s23(spark, sf):
+    """The nprobe tuning curve: per query and probe budget P = 1..3,
+    how many corpus vectors the P probed IVF cells reach and how many
+    of the exact top-5 neighbors they contain (ppm recall) — the
+    measurement that picks nprobe before a vector index ships,
+    completing the per-family quality audits (s09 hash buckets, d14
+    LSH bands, s18 rank quality, this one IVF routing).
+
+    Scale shape: the cell-rank window is (queries x k) rows; the
+    exact ranking doubles as the golden set (sampled at production,
+    s18's note); membership at every P falls out of ONE join between
+    the two rank relations — no per-P re-ranking, no per-P scan.
+    The probe axis is a 3-row literal explode."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", "label", _vd().alias("v")
+    )
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos0", "val"))
+        .groupBy("label", F.col("pos0").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,9)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    cvec = cent.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"
+        ).alias("cv")
+    )
+    qs = e.filter(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    wc = W.partitionBy("qid").orderBy(F.desc("c_cos"), F.asc("label"))
+    cellrank = (
+        cvec.crossJoin(F.broadcast(qs))
+        .select("qid", "label", _cos("cv", "qv").alias("c_cos"))
+        .withColumn("cell_rk", F.row_number().over(wc))
+        .select("qid", "label", "cell_rk")
+    )
+    wx = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "label", _cos("v", "qv").alias("cosine"))
+        .withColumn("exact_rk", F.row_number().over(wx))
+        .select("qid", "vec_id", "label", "exact_rk")
+    )
+    joined = exact.join(F.broadcast(cellrank), ["qid", "label"])
+    probes = ", ".join(map(str, _S23_PROBES))
+    fanned = joined.crossJoin(
+        F.broadcast(
+            joined.sparkSession.range(1)
+            .select(F.expr(f"explode(array({probes}))").alias("nprobe"))
+        )
+    )
+    return fanned.groupBy("qid", "nprobe").agg(
+        F.sum(
+            F.when(F.col("cell_rk") <= F.col("nprobe"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_reachable"),
+        F.sum(
+            F.when(
+                (F.col("exact_rk") <= _S23_K)
+                & (F.col("cell_rk") <= F.col("nprobe")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hit"),
+        F.expr(
+            f"CAST(1000000 * sum(CASE WHEN exact_rk <= {_S23_K}"
+            f" AND cell_rk <= nprobe THEN 1 ELSE 0 END)"
+            f" div {_S23_K} AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

@@ -566,6 +566,10 @@ UNION ALL
 SELECT 'ari', CAST(label AS BIGINT), CAST(cluster AS BIGINT),
        ari_micro, CAST(n_ij AS DOUBLE)
 FROM {_sub(similarity, "s22_cluster_stability")} _v
+UNION ALL
+SELECT 'nprobe', qid, CAST(nprobe AS BIGINT), recall_ppm,
+       CAST(n_reachable AS DOUBLE)
+FROM {_sub(similarity, "s23_ivf_probe_sweep")} _w
 """,
 )
 def s01_suite(spark, sf):
@@ -609,7 +613,9 @@ def s01_suite(spark, sf):
     audit (s21: aux1 = the pair's other end, aux2 = milli
     distortion, score = estimated d^2), and the cluster-stability
     audit (s22: label-vs-kmeans contingency; aux2 = the exact
-    integer-micro Adjusted Rand Index, score = cell count) —
+    integer-micro Adjusted Rand Index, score = cell count), and the
+    IVF nprobe tuning sweep (s23: aux1 = probe budget, aux2 = ppm
+    recall of the exact top-5, score = vectors reachable) —
     tagged union on (fam, id, aux1, aux2, score)."""
     a = similarity.QUERIES["s01_ann_bruteforce_topk"](spark, sf).select(
         F.lit("bf_topk").alias("fam"),
@@ -780,6 +786,13 @@ def s01_suite(spark, sf):
         F.col("ari_micro").cast("long").alias("aux2"),
         F.col("n_ij").cast("double").alias("score"),
     )
+    npb = similarity.QUERIES["s23_ivf_probe_sweep"](spark, sf).select(
+        F.lit("nprobe").alias("fam"),
+        F.col("qid").alias("id"),
+        F.col("nprobe").cast("long").alias("aux1"),
+        F.col("recall_ppm").cast("long").alias("aux2"),
+        F.col("n_reachable").cast("double").alias("score"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f).unionByName(g)
@@ -788,6 +801,7 @@ def s01_suite(spark, sf):
         .unionByName(n).unionByName(o).unionByName(p)
         .unionByName(qgb).unionByName(rim).unionByName(sil)
         .unionByName(mip).unionByName(jl).unionByName(ari)
+        .unionByName(npb)
     )
 
 

@@ -1031,3 +1031,72 @@ def test_s22_ari_matches_python_reference(spark):
     assert set(got) == set(cells)
     for k, n in cells.items():
         assert got[k] == (n, ari), k
+
+
+def test_s23_probe_sweep_matches_python_reference(spark):
+    """s23: reachable counts and recall match a Python recomputation
+    of cell ranks + exact ranks; the curve is monotone in the probe
+    budget for every query."""
+    import duckdb
+
+    from pdf_ocr_spark.queries.similarity import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["qid"], r["nprobe"]): (
+            r["n_reachable"], r["n_hit"], r["recall_ppm"]
+        )
+        for r in QUERIES["s23_ivf_probe_sweep"](spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, embedding"
+        f" FROM '{sf}/embeddings.parquet'"
+    ).fetchall()
+    lab = {int(v): int(lb) for v, lb, _e in rows}
+    vec = {int(v): list(map(float, e)) for v, _lb, e in rows}
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / ((na ** 0.5) * (nb ** 0.5))
+
+    from collections import defaultdict
+
+    by_label = defaultdict(list)
+    for v in vec:
+        by_label[lab[v]].append(v)
+    dim = len(next(iter(vec.values())))
+    cents = {
+        lb: [
+            sum(vec[v][i] for v in vs) / len(vs) for i in range(dim)
+        ]
+        for lb, vs in by_label.items()
+    }
+    qids = [v for v in vec if v % 97 == 3]
+    for qid in qids:
+        qv = vec[qid]
+        cell_rk = {
+            lb: i + 1
+            for i, (_c, lb) in enumerate(
+                sorted((-cos(cents[lb], qv), lb) for lb in cents)
+            )
+        }
+        order = sorted(
+            (-cos(vec[o], qv), o) for o in vec if o != qid
+        )
+        exact5 = {o for _c, o in order[:5]}
+        prev_recall = -1
+        for p in (1, 2, 3):
+            reach = sum(
+                1 for o in vec if o != qid and cell_rk[lab[o]] <= p
+            )
+            hit = sum(1 for o in exact5 if cell_rk[lab[o]] <= p)
+            expect = (reach, hit, 1_000_000 * hit // 5)
+            assert got[(qid, p)] == expect, (qid, p)
+            assert expect[2] >= prev_recall
+            prev_recall = expect[2]
