@@ -51,6 +51,7 @@ HEADLINE = [
     "d11_incremental_dedup",
     "d13_incremental_lsh",
     "d14_lsh_quality",
+    "d15_bbit_minhash",
     "s01_ann_bruteforce_topk",
     "s03_ivf_centroids",
     "s06_semdedup",

@@ -1422,3 +1422,181 @@ def d14(spark, sf):
         F.col("c.doc_a").isNotNull().alias("is_cand"),
     )
     return uni.filter(F.col("is_truth") | F.col("is_cand"))
+
+
+# -------------------------------------------------------------- d15
+# b-bit minwise hashing (public: Li & König 2010, "b-Bit Minwise
+# Hashing") — the signature-compression production trick: store only
+# the LOWEST bit of each minhash (64 hashes -> one 64-bit word per
+# doc, ~32x smaller than the 16x128-bit md5 signatures), and
+# estimate resemblance from bit agreement with the b=1 closed form
+# E[agree/n] = (1+J)/2  =>  J_est = 2*agree/n - 1.  The audit runs
+# the estimator against EXACT Jaccard on d02's candidate pairs —
+# estimation error per pair, integer milli throughout.
+_D15_N = 64  # minhashes (bits per signature)
+
+
+def _d15_bits_sql() -> str:
+    """DuckDB: 64 parity bits of the per-seed minimum md5."""
+    return ", ".join(
+        f"('0x' || substr(min(md5({i} || '#' || sh)), 32, 1))::BIGINT"
+        f" % 2 AS b{i}"
+        for i in range(_D15_N)
+    )
+
+
+_D15_ORACLE = f"""
+WITH doc_sh AS ({SQL_DOC_SHINGLES}),
+sig AS (
+  SELECT doc_id, {_d15_bits_sql()}
+  FROM doc_sh GROUP BY doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
+msig AS ({_sql_minhash_sig()}),
+bands AS ({_sql_bands().replace("FROM sig", "FROM msig")}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         {" + ".join(
+           f"CASE WHEN sa.b{i} = sb.b{i} THEN 1 ELSE 0 END"
+           for i in range(_D15_N))} AS n_agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+),
+exact AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(1000 * count(*) //
+              (za.n + zb.n - count(*)) AS BIGINT) AS jac_milli
+  FROM cand c
+  JOIN doc_sh sa ON sa.doc_id = c.doc_a
+  JOIN doc_sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+  GROUP BY c.doc_a, c.doc_b, za.n, zb.n
+)
+SELECT a.doc_a, a.doc_b, CAST(a.n_agree AS INTEGER) AS n_agree,
+       CAST(2000 * a.n_agree // {_D15_N} - 1000 AS BIGINT)
+         AS est_milli,
+       COALESCE(x.jac_milli, 0) AS jac_milli,
+       CAST(2000 * a.n_agree // {_D15_N} - 1000
+            - COALESCE(x.jac_milli, 0) AS BIGINT) AS err_milli
+FROM agree a
+LEFT JOIN exact x ON x.doc_a = a.doc_a AND x.doc_b = a.doc_b
+"""
+
+
+@q("d15_bbit_minhash", oracle=_D15_ORACLE)
+def d15(spark, sf):
+    """b-bit minwise signatures: 64 one-bit minhashes per document
+    (a single 64-bit word at rest — ~32x smaller than full md5
+    signatures), the closed-form resemblance estimate
+    J = 2*agree/64 - 1 per candidate pair, and its milli error
+    against exact Jaccard — the compression-vs-accuracy audit run
+    before swapping full signatures for b-bit ones.
+
+    Scale shape: signatures are ONE groupBy over the shingle stream
+    (64 min-aggs in one pass, the d02 signature exchange); agreement
+    is a signature-width projection on candidate pairs only; the
+    exact side reuses d02's candidate-restricted verify joins.  At
+    rest the 64 bits pack into one BIGINT — the estimator's input is
+    popcount(xor) of two words."""
+    doc_sh = _doc_shingles(spark, sf).drop("lang").persist()
+    sig = doc_sh.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"CAST(conv(substring(min(md5(concat('{i}', '#', sh))),"
+                f" 32, 1), 16, 10) AS BIGINT) % 2"
+            ).alias(f"b{i}")
+            for i in range(_D15_N)
+        ]
+    )
+    msig = doc_sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}#"), F.col("sh")))
+            ).alias(f"h{i}")
+            for i in range(_N_HASH)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{j}, md5(concat(h{2 * j}, h{2 * j + 1}))" for j in range(_BANDS)
+    )
+    bands = msig.select(
+        "doc_id",
+        F.expr(f"stack({_BANDS}, {stack_args}) AS (band_id, band_key)"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(_D15_N)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(_D15_N)],
+    )
+    agree_expr = " + ".join(
+        f"CASE WHEN a{i} = c{i} THEN 1 ELSE 0 END"
+        for i in range(_D15_N)
+    )
+    agree = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST({agree_expr} AS INT)").alias("n_agree"),
+        )
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    xa, xb = doc_sh.alias("xa"), doc_sh.alias("xb")
+    exact = (
+        cand.join(xa, F.col("xa.doc_id") == F.col("doc_a"))
+        .join(
+            xb,
+            (F.col("xb.doc_id") == F.col("doc_b"))
+            & (F.col("xb.sh") == F.col("xa.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n", "na")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n", "nb")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(1000 * n_inter div (na + nb - n_inter) AS BIGINT)"
+            ).alias("jac_milli"),
+        )
+    )
+    est = F.expr(f"CAST(2000 * n_agree div {_D15_N} - 1000 AS BIGINT)")
+    return agree.join(exact, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "n_agree",
+        est.alias("est_milli"),
+        F.coalesce("jac_milli", F.lit(0)).alias("jac_milli"),
+        (est - F.coalesce("jac_milli", F.lit(0)))
+        .cast("long")
+        .alias("err_milli"),
+    )

@@ -849,6 +849,12 @@ SELECT 'd14' AS fam, doc_a, doc_b,
        CASE WHEN is_truth AND is_cand THEN 'hit'
             WHEN is_truth THEN 'miss' ELSE 'fp' END AS txt
 FROM {_sub(dedup, "d14_lsh_quality")} _i
+UNION ALL
+SELECT 'd15' AS fam, doc_a, doc_b,
+       CAST(n_agree AS INTEGER) AS hamming,
+       CAST(est_milli AS VARCHAR) || '#' || CAST(jac_milli AS VARCHAR)
+         || '#' || CAST(err_milli AS VARCHAR) AS txt
+FROM {_sub(dedup, "d15_bbit_minhash")} _j
 """,
 )
 def d06_suite(spark, sf):
@@ -940,6 +946,18 @@ def d06_suite(spark, sf):
         .otherwise("fp")
         .alias("txt"),
     )
+    d15 = dedup.QUERIES["d15_bbit_minhash"](spark, sf).select(
+        F.lit("d15").alias("fam"),
+        "doc_a",
+        "doc_b",
+        F.col("n_agree").cast("int").alias("hamming"),
+        F.concat_ws(
+            "#",
+            F.col("est_milli").cast("string"),
+            F.col("jac_milli").cast("string"),
+            F.col("err_milli").cast("string"),
+        ).alias("txt"),
+    )
     return (
         d6.unionByName(d7)
         .unionByName(d8)
@@ -949,6 +967,7 @@ def d06_suite(spark, sf):
         .unionByName(d12)
         .unionByName(d13)
         .unionByName(d14)
+        .unionByName(d15)
     )
 
 

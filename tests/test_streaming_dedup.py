@@ -202,3 +202,58 @@ def test_d14_lsh_quality_audit(spark):
         1 for r in rows if r["is_truth"] and r["is_cand"]
     ) / len(got_truth)
     assert weak_recall < 0.5, "the weak floor must show S-curve misses"
+
+
+def test_d15_bbit_estimator_matches_python(spark):
+    """d15: the 1-bit signatures, agreements, and the closed-form
+    resemblance estimates match a hashlib replication; the estimator
+    tracks exact Jaccard within the b=1/n=64 variance envelope."""
+    import hashlib
+    import re as _re
+
+    import duckdb
+
+    from pdf_ocr_spark.queries.dedup import _D15_N, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["d15_bbit_minhash"](spark, sf).collect()
+    assert rows
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    tok_re = _re.compile("[a-z0-9]+")
+    sh = {}
+    for d, text in docs:
+        toks = tok_re.findall(text.lower())
+        sh[d] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def bits(doc):
+        out = []
+        for i in range(_D15_N):
+            m = min(
+                hashlib.md5(f"{i}#{s}".encode()).hexdigest()
+                for s in sh[doc]
+            )
+            out.append(int(m[-1], 16) % 2)
+        return out
+
+    cache = {}
+    for r in rows:
+        a, b = r["doc_a"], r["doc_b"]
+        for d in (a, b):
+            if d not in cache:
+                cache[d] = bits(d)
+        agree = sum(
+            1 for x, y in zip(cache[a], cache[b]) if x == y
+        )
+        assert r["n_agree"] == agree, (a, b)
+        assert r["est_milli"] == 2000 * agree // _D15_N - 1000
+        inter = len(sh[a] & sh[b])
+        jac = 1000 * inter // (len(sh[a]) + len(sh[b]) - inter)
+        assert r["jac_milli"] == jac
+        assert r["err_milli"] == r["est_milli"] - jac
+        # b=1/n=64 variance: |err| stays inside ~4 sigma of the
+        # binomial envelope (sigma_est ~ 2*sqrt(p(1-p)/64) <= 0.125)
+        assert abs(r["err_milli"]) <= 500, (a, b, r["err_milli"])
