@@ -134,6 +134,7 @@ HEADLINE = [
     "q55_sequence_pattern",
     "q56_triangle_census",
     "v14_mad_outliers",
+    "v15_column_histograms",
     "h04_fuzzy_schema_match",
     "v12_benford_audit",
     "x18_interleaved_pairs",

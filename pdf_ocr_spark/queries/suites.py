@@ -1810,6 +1810,12 @@ SELECT 'q56_tri', CAST(doc_id AS VARCHAR),
        clustering_ppm, true
 FROM {_sub(analytics_ext, "q56_triangle_census")} _q56
 UNION ALL
+SELECT 'v15_hist',
+       col_name || '#' || kind || '#' || CAST(bucket AS VARCHAR),
+       CAST(lo AS VARCHAR) || '#' || CAST(hi AS VARCHAR),
+       n_rows, true
+FROM {_sub(validation_q, "v15_column_histograms")} _v15
+UNION ALL
 SELECT 'x20_manifest', lang || '#' || CAST(bin AS VARCHAR),
        digest || '#' || CAST(n_train AS VARCHAR) || '#'
          || CAST(n_val AS VARCHAR) || '#' || CAST(n_test AS VARCHAR),
@@ -2083,6 +2089,19 @@ def v01_suite(spark, sf):
         F.col("clustering_ppm").alias("n"),
         F.lit(True).alias("ok"),
     )
+    v15 = validation_q.QUERIES["v15_column_histograms"](
+        spark, sf
+    ).select(
+        F.lit("v15_hist").alias("fam"),
+        F.concat_ws(
+            "#", "col_name", "kind", F.col("bucket").cast("string")
+        ).alias("key"),
+        F.concat_ws(
+            "#", F.col("lo").cast("string"), F.col("hi").cast("string")
+        ).alias("info"),
+        F.col("n_rows").alias("n"),
+        F.lit(True).alias("ok"),
+    )
     x20 = QUERIES["x20_shard_manifest"](spark, sf, shards_df).select(
         F.lit("x20_manifest").alias("fam"),
         F.concat_ws("#", "lang", F.col("bin").cast("string")).alias(
@@ -2106,7 +2125,7 @@ def v01_suite(spark, sf):
         .unionByName(v12).unionByName(x18).unionByName(x19)
         .unionByName(q51).unionByName(q52).unionByName(q53)
         .unionByName(v13).unionByName(v14).unionByName(x20)
-        .unionByName(q56)
+        .unionByName(q56).unionByName(v15)
     )
 
 

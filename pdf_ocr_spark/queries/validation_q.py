@@ -1322,3 +1322,122 @@ def v14(spark, sf):
         F.floor(1000 * z).cast("long").alias("z_milli"),
         (z > 3.5).alias("outlier"),
     )
+
+
+# ---------------------------------------------------------------- v15
+# Optimizer-statistics histograms (public: the ANALYZE TABLE ... FOR
+# COLUMNS output every cost-based optimizer consumes — Spark's own
+# CBO stores exactly these): per monitored column both an EQUI-WIDTH
+# histogram (8 fixed-width buckets over [min, max]) and an
+# EQUI-DEPTH one (8 ntile tiles with their value boundaries) — width
+# answers "where is the data", depth answers "where are the
+# quantiles", and selectivity estimation needs both.  Values compare
+# as exact integer cents/units, bucket math is integer throughout.
+_V15_BUCKETS = 8
+_V15_COLS = (
+    ("o_totalprice_cents", "orders",
+     "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
+    ("o_shippriority_key", "orders",
+     "CAST(o_orderkey % 1000 AS BIGINT)"),
+)
+
+
+def _v15_arm_sql(cname, table, expr):
+    b = _V15_BUCKETS
+    return f"""
+SELECT '{cname}' AS col_name, 'width' AS kind,
+       CAST(least({b - 1}, ({b} * (v - mn)) // nullif(mx - mn, 0))
+            AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+FROM (SELECT {expr} AS v FROM {table}),
+     (SELECT min({expr}) AS mn, max({expr}) AS mx FROM {table})
+GROUP BY 3
+UNION ALL
+SELECT '{cname}', 'depth', CAST(tile - 1 AS INTEGER),
+       CAST(count(*) AS BIGINT),
+       CAST(min(v) AS BIGINT), CAST(max(v) AS BIGINT)
+FROM (
+  SELECT v, ntile({b}) OVER (ORDER BY v) AS tile
+  FROM (SELECT {expr} AS v FROM {table})
+)
+GROUP BY 3"""
+
+
+_V15_ORACLE = "\nUNION ALL\n".join(
+    _v15_arm_sql(*c) for c in _V15_COLS
+)
+
+
+@q("v15_column_histograms", oracle=_V15_ORACLE)
+def v15(spark, sf):
+    """CBO column statistics: for each monitored column an equi-width
+    histogram (where the mass sits) and an equi-depth histogram
+    (where the quantile boundaries sit), each bucket carrying its row
+    count and value bounds — the ANALYZE output selectivity
+    estimation reads.
+
+    Scale shape: equi-width is scan-local bucket math + one tiny
+    aggregate (min/max broadcast from a single-row agg); the exact
+    ntile is the toy-SF spelling of equi-depth — at 100 TB the
+    boundaries come from approx_percentile (one aggregate, no global
+    sort) and the bucket assignment stays scan-local; same output
+    contract."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    b = _V15_BUCKETS
+    outs = []
+    for cname, table, expr in _V15_COLS:
+        v = t(spark, sf, table).select(F.expr(expr).alias("v"))
+        mm = v.agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx")
+        )
+        width = (
+            v.crossJoin(F.broadcast(mm))
+            .select(
+                F.expr(
+                    f"CAST(least({b - 1}, ({b} * (v - mn))"
+                    f" div nullif(mx - mn, 0)) AS INT)"
+                ).alias("bucket"),
+                "v",
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .select(
+                F.lit(cname).alias("col_name"),
+                F.lit("width").alias("kind"),
+                "bucket",
+                F.col("n_rows").cast("long"),
+                F.col("lo").cast("long"),
+                F.col("hi").cast("long"),
+            )
+        )
+        depth = (
+            v.withColumn(
+                "tile", F.ntile(b).over(W.orderBy("v"))
+            )
+            .groupBy((F.col("tile") - 1).cast("int").alias("bucket"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .select(
+                F.lit(cname).alias("col_name"),
+                F.lit("depth").alias("kind"),
+                "bucket",
+                F.col("n_rows").cast("long"),
+                F.col("lo").cast("long"),
+                F.col("hi").cast("long"),
+            )
+        )
+        outs.append(width.unionByName(depth))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

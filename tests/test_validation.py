@@ -479,3 +479,56 @@ def test_v14_mad_outliers_match_python_reference(spark):
     assert {k for k, v in got.items() if v[2]} == {
         k for k, _p, _c in rows if k % 997 == 0
     }
+
+
+def test_v15_histograms_match_python_reference(spark):
+    """v15: equi-width bucket math and equi-depth tile counts/bounds
+    match a Python recomputation (ties at tile boundaries are
+    value-identical, so bounds are tie-insensitive)."""
+    import duckdb
+
+    from pdf_ocr_spark.queries.validation_q import (
+        _V15_BUCKETS,
+        _V15_COLS,
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["col_name"], r["kind"], r["bucket"]): (
+            r["n_rows"], r["lo"], r["hi"]
+        )
+        for r in QUERIES["v15_column_histograms"](spark, sf).collect()
+    }
+    b = _V15_BUCKETS
+    n_checked = 0
+    for cname, table, expr in _V15_COLS:
+        vals = sorted(
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT {expr} FROM '{sf}/{table}.parquet'"
+            ).fetchall()
+        )
+        mn, mx = vals[0], vals[-1]
+        width = {}
+        for v in vals:
+            k = min(b - 1, b * (v - mn) // (mx - mn))
+            lst = width.setdefault(k, [])
+            lst.append(v)
+        for k, vs in width.items():
+            assert got[(cname, "width", k)] == (
+                len(vs), min(vs), max(vs)
+            ), (cname, k)
+            n_checked += 1
+        n = len(vals)
+        base, extra = divmod(n, b)
+        i = 0
+        for tile in range(b):
+            size = base + (1 if tile < extra else 0)
+            vs = vals[i : i + size]
+            i += size
+            assert got[(cname, "depth", tile)] == (
+                len(vs), vs[0], vs[-1]
+            ), (cname, tile)
+            n_checked += 1
+    assert n_checked == len(got)
