@@ -893,6 +893,30 @@ WHERE b.p_size = f.gmax AND (f.run IS NULL OR f.gmax > f.run)
 """
 
 
+def pareto_skyline(base, part_col, cost_col, gain_col):
+    """2-D skyline of ``base`` per ``part_col``: rows not dominated on
+    (minimize cost_col, maximize gain_col).  The one-window
+    formulation q54 documents; reusable over any relation."""
+    from pyspark.sql import Window as W
+
+    grp = base.groupBy(part_col, cost_col).agg(
+        F.max(gain_col).alias("gmax")
+    )
+    w = (
+        W.partitionBy(part_col)
+        .orderBy(cost_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    front = (
+        grp.withColumn("run", F.max("gmax").over(w))
+        .filter(F.col("run").isNull() | (F.col("gmax") > F.col("run")))
+        .select(part_col, cost_col, "gmax")
+    )
+    return base.join(F.broadcast(front), [part_col, cost_col]).filter(
+        F.col(gain_col) == F.col("gmax")
+    )
+
+
 @q("q54_pareto_skyline", oracle=_Q54_ORACLE)
 def q54(spark, sf):
     """Per-brand Pareto skyline on (min price, max size) via the 2-D
@@ -906,8 +930,6 @@ def q54(spark, sf):
     window-sorted; higher dimensions (k-D skylines) decompose into
     block-local skylines unioned then re-skylined — the same
     partial/final split as any algebraic aggregate."""
-    from pyspark.sql import Window as W
-
     base = t(spark, sf, "part").select(
         "p_brand",
         "p_partkey",
@@ -916,22 +938,7 @@ def q54(spark, sf):
             "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"
         ).alias("cents"),
     )
-    grp = base.groupBy("p_brand", "cents").agg(
-        F.max("p_size").alias("gmax")
-    )
-    w = (
-        W.partitionBy("p_brand")
-        .orderBy("cents")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    front = (
-        grp.withColumn("run", F.max("gmax").over(w))
-        .filter(F.col("run").isNull() | (F.col("gmax") > F.col("run")))
-        .select("p_brand", "cents", "gmax")
-    )
-    return base.join(
-        F.broadcast(front), ["p_brand", "cents"]
-    ).filter(F.col("p_size") == F.col("gmax")).select(
+    return pareto_skyline(base, "p_brand", "cents", "p_size").select(
         "p_brand", "p_partkey", "cents", "p_size"
     )
 

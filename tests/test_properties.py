@@ -96,3 +96,47 @@ def test_page_split_equals_whole_doc(doc_id):
     merged, mm = reassemble_pages([(pg, o, m) for pg, o, m in parts])
     assert merged == whole
     assert mm["dropped"] == wm["dropped"]
+
+
+# ---------------------------------------------------------- skyline
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_sky_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),      # partition (brand)
+        st.integers(0, 20),     # cost
+        st.integers(0, 20),     # gain
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=20, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(rows=_sky_rows)
+def test_pareto_skyline_property(spark, rows):
+    """pareto_skyline equals the O(N^2) dominance definition on
+    arbitrary (partition, cost, gain) multisets — duplicates of a
+    frontier point all survive, dominated rows never do."""
+    from pdf_ocr_spark.queries.analytics_ext import pareto_skyline
+
+    df = spark.createDataFrame(
+        [(i, b, c, g) for i, (b, c, g) in enumerate(rows)],
+        "rid long, brand int, cost int, gain int",
+    )
+    got = {
+        r["rid"]
+        for r in pareto_skyline(df, "brand", "cost", "gain").collect()
+    }
+    expect = set()
+    for i, (b, c, g) in enumerate(rows):
+        dominated = any(
+            b2 == b and c2 <= c and g2 >= g and (c2 < c or g2 > g)
+            for _j, (b2, c2, g2) in enumerate(rows)
+        )
+        if not dominated:
+            expect.add(i)
+    assert got == expect, rows
