@@ -918,6 +918,27 @@ FROM s WHERE strpos(seq, 'vcp') > 0
 """
 
 
+def sequence_matches(events, stages):
+    """MATCH_RECOGNIZE-style detector for an arbitrary consecutive
+    stage tuple: per user the match count and first matching final
+    event.  The lag chain extends with the pattern length — still
+    ONE window."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = events.select("user_id", "event_id", "ts", "event_type")
+    cond = F.col("event_type") == stages[-1]
+    for i, stage in enumerate(reversed(stages[:-1]), start=1):
+        e = e.withColumn(f"l{i}", F.lag("event_type", i).over(w))
+        cond = cond & (F.col(f"l{i}") == stage)
+    return e.filter(cond).groupBy("user_id").agg(
+        F.count("*").cast("int").alias("n_matches"),
+        F.min(F.struct("ts", "event_id"))
+        .getField("event_id")
+        .alias("first_match_event_id"),
+    )
+
+
 @q("q55_sequence_pattern", oracle=_Q55_ORACLE)
 def q55(spark, sf):
     """MATCH_RECOGNIZE-style sequence detection: per user the count
@@ -933,23 +954,6 @@ def q55(spark, sf):
     stream variant — all still one window.  The oracle's
     string-fold formulation is the cross-check, not the scale path
     (it materializes whole user histories)."""
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    e = (
-        t(spark, sf, "events")
-        .select("user_id", "event_id", "ts", "event_type")
-        .withColumn("l1", F.lag("event_type", 1).over(w))
-        .withColumn("l2", F.lag("event_type", 2).over(w))
-    )
-    hits = e.filter(
-        (F.col("event_type") == "purchase")
-        & (F.col("l1") == "click")
-        & (F.col("l2") == "view")
-    )
-    return hits.groupBy("user_id").agg(
-        F.count("*").cast("int").alias("n_matches"),
-        F.min(F.struct("ts", "event_id"))
-        .getField("event_id")
-        .alias("first_match_event_id"),
+    return sequence_matches(
+        t(spark, sf, "events"), ("view", "click", "purchase")
     )

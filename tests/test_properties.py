@@ -140,3 +140,67 @@ def test_pareto_skyline_property(spark, rows):
         if not dominated:
             expect.add(i)
     assert got == expect, rows
+
+
+# --------------------------------------------------- sequence match
+import datetime as _dt
+
+_seq_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),                      # user
+        st.integers(0, 59),                     # minute
+        st.sampled_from(["a", "b", "c", "x"]),  # type incl. noise
+    ),
+    min_size=1,
+    max_size=30,
+)
+_patterns = st.sampled_from([("a", "b"), ("a", "b", "c"), ("b", "b")])
+
+
+@settings(
+    max_examples=20, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(rows=_seq_events, pattern=_patterns)
+def test_sequence_matches_property(spark, rows, pattern):
+    """sequence_matches equals a sequential Python scan for arbitrary
+    event streams and patterns, including repeated-stage patterns and
+    same-minute ties (resolved by event_id in both)."""
+    from pdf_ocr_spark.queries.windows import sequence_matches
+
+    data = [
+        (eid, _dt.datetime(2024, 1, 1, 12, m), u, ty, None)
+        for eid, (u, m, ty) in enumerate(rows)
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    got = {
+        r["user_id"]: (r["n_matches"], r["first_match_event_id"])
+        for r in sequence_matches(
+            spark.createDataFrame(data, schema), pattern
+        ).collect()
+    }
+    streams = {}
+    for eid, (u, m, ty) in enumerate(rows):
+        streams.setdefault(u, []).append((m, eid, ty))
+    expect = {}
+    k = len(pattern)
+    for u, evs in streams.items():
+        evs.sort()
+        hits = [
+            evs[i][1]
+            for i in range(k - 1, len(evs))
+            if tuple(evs[i - k + 1 + j][2] for j in range(k))
+            == pattern
+        ]
+        if hits:
+            expect[u] = (len(hits), hits[0])
+    assert got == expect, (rows, pattern)
