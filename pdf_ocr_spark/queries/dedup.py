@@ -1427,28 +1427,29 @@ def d14(spark, sf):
 # -------------------------------------------------------------- d15
 # b-bit minwise hashing (public: Li & König 2010, "b-Bit Minwise
 # Hashing") — the signature-compression production trick: store only
-# the LOWEST bit of each minhash (64 hashes -> one 64-bit word per
-# doc, ~32x smaller than the 16x128-bit md5 signatures), and
-# estimate resemblance from bit agreement with the b=1 closed form
-# E[agree/n] = (1+J)/2  =>  J_est = 2*agree/n - 1.  The audit runs
-# the estimator against EXACT Jaccard on d02's candidate pairs —
-# estimation error per pair, integer milli throughout.
+# the LOWEST bit of each of 64 minhashes, packed into two 32-bit
+# words per document (~32x smaller than the full md5 signatures),
+# and estimate resemblance from bit agreement with the b=1 closed
+# form E[agree/n] = (1+J)/2  =>  J_est = 2*agree/n - 1, where
+# agree = 64 - popcount(xor(words)) — the production estimator
+# spelled identically in BOTH engines.  The audit runs it against
+# EXACT Jaccard on d02's candidate pairs, integer milli throughout.
 _D15_N = 64  # minhashes (bits per signature)
 
 
-def _d15_bits_sql() -> str:
-    """DuckDB: 64 parity bits of the per-seed minimum md5."""
-    return ", ".join(
-        f"('0x' || substr(min(md5({i} || '#' || sh)), 32, 1))::BIGINT"
-        f" % 2 AS b{i}"
-        for i in range(_D15_N)
+def _d15_word_sql(lo: int) -> str:
+    """DuckDB: 32 parity bits of per-seed minimum md5s, packed."""
+    return " + ".join(
+        f"(('0x' || substr(min(md5({lo + i} || '#' || sh)), 32, 1))"
+        f"::BIGINT % 2) * {1 << i}"
+        for i in range(32)
     )
 
 
 _D15_ORACLE = f"""
 WITH doc_sh AS ({SQL_DOC_SHINGLES}),
 sig AS (
-  SELECT doc_id, {_d15_bits_sql()}
+  SELECT doc_id, {_d15_word_sql(0)} AS w0, {_d15_word_sql(32)} AS w1
   FROM doc_sh GROUP BY doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
@@ -1462,9 +1463,8 @@ cand AS (
 ),
 agree AS (
   SELECT c.doc_a, c.doc_b,
-         {" + ".join(
-           f"CASE WHEN sa.b{i} = sb.b{i} THEN 1 ELSE 0 END"
-           for i in range(_D15_N))} AS n_agree
+         {_D15_N} - bit_count(xor(sa.w0, sb.w0))
+                  - bit_count(xor(sa.w1, sb.w1)) AS n_agree
   FROM cand c
   JOIN sig sa ON sa.doc_id = c.doc_a
   JOIN sig sb ON sb.doc_id = c.doc_b
@@ -1494,27 +1494,30 @@ LEFT JOIN exact x ON x.doc_a = a.doc_a AND x.doc_b = a.doc_b
 @q("d15_bbit_minhash", oracle=_D15_ORACLE)
 def d15(spark, sf):
     """b-bit minwise signatures: 64 one-bit minhashes per document
-    (a single 64-bit word at rest — ~32x smaller than full md5
-    signatures), the closed-form resemblance estimate
-    J = 2*agree/64 - 1 per candidate pair, and its milli error
-    against exact Jaccard — the compression-vs-accuracy audit run
-    before swapping full signatures for b-bit ones.
+    packed into two 32-bit words (the at-rest form, ~32x smaller
+    than full md5 signatures), the closed-form resemblance estimate
+    J = 2*agree/64 - 1 with agree = 64 - popcount(xor) per candidate
+    pair, and its milli error against exact Jaccard — the
+    compression-vs-accuracy audit run before swapping full
+    signatures for b-bit ones.
 
     Scale shape: signatures are ONE groupBy over the shingle stream
-    (64 min-aggs in one pass, the d02 signature exchange); agreement
-    is a signature-width projection on candidate pairs only; the
-    exact side reuses d02's candidate-restricted verify joins.  At
-    rest the 64 bits pack into one BIGINT — the estimator's input is
-    popcount(xor) of two words."""
+    (64 min-aggs folded straight into two packed words — nothing
+    wider than (doc_id, w0, w1) ever shuffles or joins); agreement
+    is popcount(xor) on the two-word join, the production estimator
+    verbatim; the exact side reuses d02's candidate-restricted
+    verify joins."""
     doc_sh = _doc_shingles(spark, sf).drop("lang").persist()
+
+    def word(lo):
+        return " + ".join(
+            f"(CAST(conv(substring(min(md5(concat('{lo + i}', '#',"
+            f" sh))), 32, 1), 16, 10) AS BIGINT) % 2) * {1 << i}"
+            for i in range(32)
+        )
+
     sig = doc_sh.groupBy("doc_id").agg(
-        *[
-            F.expr(
-                f"CAST(conv(substring(min(md5(concat('{i}', '#', sh))),"
-                f" 32, 1), 16, 10) AS BIGINT) % 2"
-            ).alias(f"b{i}")
-            for i in range(_D15_N)
-        ]
+        F.expr(word(0)).alias("w0"), F.expr(word(32)).alias("w1")
     )
     msig = doc_sh.groupBy("doc_id").agg(
         *[
@@ -1547,15 +1550,13 @@ def d15(spark, sf):
     )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
-        *[F.col(f"b{i}").alias(f"a{i}") for i in range(_D15_N)],
+        F.col("w0").alias("aw0"),
+        F.col("w1").alias("aw1"),
     )
     sb = sig.select(
         F.col("doc_id").alias("doc_b"),
-        *[F.col(f"b{i}").alias(f"c{i}") for i in range(_D15_N)],
-    )
-    agree_expr = " + ".join(
-        f"CASE WHEN a{i} = c{i} THEN 1 ELSE 0 END"
-        for i in range(_D15_N)
+        F.col("w0").alias("cw0"),
+        F.col("w1").alias("cw1"),
     )
     agree = (
         cand.join(sa, "doc_a")
@@ -1563,7 +1564,10 @@ def d15(spark, sf):
         .select(
             "doc_a",
             "doc_b",
-            F.expr(f"CAST({agree_expr} AS INT)").alias("n_agree"),
+            F.expr(
+                f"CAST({_D15_N} - bit_count(aw0 ^ cw0)"
+                f" - bit_count(aw1 ^ cw1) AS INT)"
+            ).alias("n_agree"),
         )
     )
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
