@@ -854,8 +854,9 @@ u AS (
 )
 SELECT doc_id,
        CAST(len(urls) AS INTEGER) AS n_urls,
-       list_transform(urls,
-         x -> regexp_extract(x, 'https?://([a-z0-9.\\-]+)', 1)) AS domains,
+       array_to_string(list_transform(urls,
+         x -> regexp_extract(x, 'https?://([a-z0-9.\\-]+)', 1)), '|')
+         AS domains,
        CAST(len(list_filter(urls,
          x -> list_contains({list(_T12_BLOCK)},
                 regexp_extract(x, 'https?://([a-z0-9.\\-]+)', 1))))
@@ -880,7 +881,12 @@ def t12(spark, sf):
     against a literal blocklist — zero shuffle.  At production the
     blocklist is millions of domains: the same plan swaps the literal
     array for a broadcast hash join on the parsed host (d09's
-    blocklist shape); the extraction stays scan-local either way."""
+    blocklist shape); the extraction stays scan-local either way.
+
+    ``domains`` is the ordered host list joined with '|' into one
+    scalar string — the round-driver's row canonicalizer hashes
+    scalar cells only (array cells raise ``unhashable type: 'list'``
+    there), so every driver-registered output must stay flat."""
     blk = ", ".join(f"'{d}'" for d in _T12_BLOCK)
     d = t(spark, sf, "documents").select(
         "doc_id", F.expr(_t12_decor_spark()).alias("d")
@@ -897,7 +903,7 @@ def t12(spark, sf):
     return u.select(
         "doc_id",
         F.size("urls").cast("int").alias("n_urls"),
-        F.expr(f"transform(urls, {host})").alias("domains"),
+        F.expr(f"concat_ws('|', transform(urls, {host}))").alias("domains"),
         blocked.cast("int").alias("n_blocked"),
         (blocked == 0).cast("int").alias("url_keep"),
     )

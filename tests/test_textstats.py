@@ -308,7 +308,8 @@ def test_t12_url_filter_blocklist_and_domains(spark, tmp_path):
         exp_domains = [_T12_DOMAINS[i % 7]]
         if i % 4 == 0:
             exp_domains.append(_T12_DOMAINS[(i + 3) % 7])
-        assert list(r["domains"]) == exp_domains, (i, r)
+        # scalar pipe-joined form (driver-canon contract: no array cells)
+        assert r["domains"] == "|".join(exp_domains), (i, r)
         assert r["n_urls"] == len(exp_domains)
         exp_blocked = sum(1 for d in exp_domains if d in _T12_BLOCK)
         assert r["n_blocked"] == exp_blocked

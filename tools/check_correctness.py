@@ -42,10 +42,18 @@ def _norm_cell(v):
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if type(v).__name__ == "ndarray":  # duckdb->pandas list columns
-        return "[" + ",".join(_norm_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+        # The round-driver's canonicalizer (pandas sort_values ->
+        # factorize) dies on unhashable list cells. Mirror its
+        # strictness: a driver-registered query must emit scalars only
+        # (see round-3 t01 regression). Fail loudly instead of
+        # stringifying, so a local sweep can never read green where
+        # the driver reads red.
+        raise TypeError(
+            f"non-scalar cell {type(v).__name__} in query output — "
+            "driver canon cannot hash array/map/struct columns; "
+            "project a scalar (e.g. concat_ws) on both engines"
+        )
     return str(v)
 
 
