@@ -1237,38 +1237,53 @@ def s12(spark, sf):
 
     Scale shape: the lexical arm is t16's zero-shuffle scoring pass;
     the vector arm is s01's broadcast-query scan; each arm ranks its
-    candidate set (top-{top} capped — production rankers emit bounded
-    result sets; at corpus scale the global row_number becomes s09's
-    two-phase partition-local top-k merge, same output).  The fusion
-    join touches 2x{top} rows — driver-trivial at any corpus size."""
-    from pyspark.sql import Window as W
-
+    top-{top} candidates with s09's TWO-PHASE top-k (bounded local
+    top-k per input partition, ONE merge of partition-count-bounded
+    partial lists — never a global row_number window, which would
+    sort every scored row through one partition).  Ties break by
+    (score DESC, doc_id) inside the sorted struct, so the ranks are a
+    deterministic function of the data under any partitioning.  The
+    fusion join touches 2x{top} rows — driver-trivial at any corpus
+    size."""
     from . import textstats
 
-    bm = textstats.QUERIES["t16_bm25_score"](spark, sf)
-    lex = (
-        bm.filter((F.col("bm25") > 0) & (F.col("doc_id") != 0))
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
-            .alias("lr"),
+    def _ranked_arm(df, score, rank_name):
+        s = df.select(
+            F.struct((-F.col(score)).alias("ns"), "doc_id").alias("s")
         )
-        .filter(F.col("lr") <= _S12_TOP)
+        p1 = s.groupBy(F.spark_partition_id().alias("pid")).agg(
+            F.slice(F.sort_array(F.collect_list("s")), 1, _S12_TOP).alias(
+                "part"
+            )
+        )
+        p2 = p1.groupBy().agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("part"))),
+                1,
+                _S12_TOP,
+            ).alias("top")
+        )
+        return p2.select(F.posexplode("top").alias("pos", "s")).select(
+            F.col("s.doc_id").alias("doc_id"),
+            (F.col("pos") + 1).alias(rank_name),
+        )
+
+    bm = textstats.QUERIES["t16_bm25_score"](spark, sf)
+    lex = _ranked_arm(
+        bm.filter((F.col("bm25") > 0) & (F.col("doc_id") != 0)),
+        "bm25",
+        "lr",
     )
     e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
     qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    vec = (
+    vec = _ranked_arm(
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
-        .select(F.col("vec_id").alias("doc_id"), _cos("v", "qv").alias("cos"))
         .select(
-            "doc_id",
-            F.row_number()
-            .over(W.orderBy(F.desc("cos"), F.asc("doc_id")))
-            .alias("vr"),
-        )
-        .filter(F.col("vr") <= _S12_TOP)
+            F.col("vec_id").alias("doc_id"), _cos("v", "qv").alias("cos")
+        ),
+        "cos",
+        "vr",
     )
     rrf = F.expr(_s12_rrf_sql("lr")) + F.expr(_s12_rrf_sql("vr"))
     return (

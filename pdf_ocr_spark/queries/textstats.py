@@ -3110,14 +3110,17 @@ def t32(spark, sf):
     ln(u)/w with u = (md5(doc_id)[:8] + 1) / 2^32.
 
     Scale shape: the key is a scan-local expression (no shuffle to
-    compute); the global top-k is ONE window at toy SF and a
-    map-side-top-k + single-reducer merge at 100 TB (k rows per
-    partition feed the final sort — t08's documented quota pattern;
-    Spark's takeOrdered shape).  Re-runs reproduce the same sample
-    with no seed exchange — the hash IS the randomness, exactly like
-    t08's stratified quota draw (this is its weighted sibling)."""
-    from pyspark.sql import Window as W
-
+    compute); the global top-k is s09's TWO-PHASE merge (Spark's
+    takeOrdered shape): bounded top-k per input partition, then ONE
+    merge of partition-count-bounded partial lists — never a global
+    row_number window (which would sort the whole corpus through one
+    partition).  Which rows meet in a phase-1 group depends on
+    physical partitioning, but the merged top-k is a deterministic
+    function of the data (ties break by (key_micro DESC, doc_id)
+    inside the sorted struct), so any partitioning yields identical
+    output.  Re-runs reproduce the same sample with no seed exchange
+    — the hash IS the randomness, exactly like t08's stratified
+    quota draw (this is its weighted sibling)."""
     keyed = t(spark, sf, "documents").select(
         "doc_id",
         F.col("n_chars").cast("long").alias("weight"),
@@ -3127,18 +3130,29 @@ def t32(spark, sf):
             " + 1) / 4294967296.0) / greatest(n_chars, 1)) AS BIGINT)"
         ).alias("key_micro"),
     )
-    rk = F.row_number().over(
-        W.orderBy(F.desc("key_micro"), F.asc("doc_id"))
-    )
-    return (
-        keyed.withColumn("sample_rank", rk)
-        .filter(F.col("sample_rank") <= _T32_K)
-        .select(
+    s = keyed.select(
+        F.struct(
+            (-F.col("key_micro")).alias("nk"),
             "doc_id",
             "weight",
             "key_micro",
-            F.col("sample_rank").cast("int").alias("sample_rank"),
-        )
+        ).alias("s")
+    )
+    p1 = s.groupBy(F.spark_partition_id().alias("pid")).agg(
+        F.slice(F.sort_array(F.collect_list("s")), 1, _T32_K).alias("part")
+    )
+    p2 = p1.groupBy().agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("part"))), 1, _T32_K
+        ).alias("top")
+    )
+    return p2.select(
+        F.posexplode("top").alias("pos", "s")
+    ).select(
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.weight").alias("weight"),
+        F.col("s.key_micro").alias("key_micro"),
+        (F.col("pos") + 1).cast("int").alias("sample_rank"),
     )
 
 
@@ -3398,6 +3412,9 @@ WINDOW w AS (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
 """
 
 
+_T35_CHUNK = 1024  # docs per prefix-sum chunk (production: ~2^20)
+
+
 @q("t35_vocab_growth", oracle=_T35_ORACLE)
 def t35(spark, sf):
     """Heaps-law vocabulary growth in ingest order: per document the
@@ -3410,10 +3427,15 @@ def t35(spark, sf):
     Scale shape: no sequential "running distinct" state — a type's
     first document is min(doc_id) over its postings (one shuffle on
     token, t23's inverted-index exchange), folded to doc-grain
-    new-type counts; the cumulative window then runs over DOC-grain
-    rows only (at production: per-partition partial sums + broadcast
-    prefix offsets, the classic two-level scan — never a row-stream
-    sort)."""
+    new-type counts; the cumulative curve is then the classic
+    TWO-LEVEL scan, never a global window: docs chunk by doc_id
+    value (``doc_id div _T35_CHUNK``), a PARTITIONED window computes
+    the prefix inside each chunk in parallel, and the cross-chunk
+    offsets come from the chunk-grain totals (|chunks| rows — at
+    10^12 docs pick a ~2^20 chunk width so the totals stay
+    driver-bounded), prefix-summed once and broadcast-joined back.
+    The chunk key is a pure function of doc_id, so the decomposition
+    is deterministic under any physical partitioning."""
     from pyspark.sql import Window as W
 
     from .dedup import _tokens
@@ -3432,17 +3454,46 @@ def t35(spark, sf):
         "doc_id",
         "n_tok",
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.expr(f"doc_id div {_T35_CHUNK}").alias("chunk"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    return j.select(
+    wloc = (
+        W.partitionBy("chunk")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    loc = j.select(
         "doc_id",
-        F.sum("n_tok").over(w).cast("long").alias("cum_tok"),
-        F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
+        "chunk",
+        "n_new",
+        F.sum("n_tok").over(wloc).alias("loc_tok"),
+        F.sum("n_new").over(wloc).alias("loc_new"),
+    )
+    # chunk-grain totals -> exclusive prefix offsets (driver-side over
+    # the bounded totals relation; the "broadcast prefix offsets" leg)
+    totals = sorted(
+        j.groupBy("chunk")
+        .agg(F.sum("n_tok").alias("ct"), F.sum("n_new").alias("cn"))
+        .collect(),
+        key=lambda r: r["chunk"],
+    )
+    offs, acc_t, acc_n = [], 0, 0
+    for r in totals:
+        offs.append((r["chunk"], acc_t, acc_n))
+        acc_t += r["ct"]
+        acc_n += r["cn"]
+    off = spark.createDataFrame(
+        offs or [(0, 0, 0)], "chunk long, off_tok long, off_new long"
+    )
+    cum_tok = F.col("off_tok") + F.col("loc_tok")
+    cum_voc = F.col("off_new") + F.col("loc_new")
+    return loc.join(F.broadcast(off), "chunk").select(
+        "doc_id",
+        cum_tok.cast("long").alias("cum_tok"),
+        cum_voc.cast("long").alias("cum_vocab"),
         F.col("n_new").cast("long").alias("n_new_types"),
         F.expr(
-            "CAST(1000 * sum(n_new) OVER (ORDER BY doc_id"
-            " ROWS UNBOUNDED PRECEDING) div sum(n_tok) OVER"
-            " (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)"
+            "CAST(1000 * (off_new + loc_new)"
+            " div (off_tok + loc_tok) AS BIGINT)"
         ).alias("ttr_milli"),
     )
 

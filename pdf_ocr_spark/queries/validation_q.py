@@ -1378,18 +1378,30 @@ def v15(spark, sf):
     estimation reads.
 
     Scale shape: equi-width is scan-local bucket math + one tiny
-    aggregate (min/max broadcast from a single-row agg); the exact
-    ntile is the toy-SF spelling of equi-depth — at 100 TB the
-    boundaries come from approx_percentile (one aggregate, no global
-    sort) and the bucket assignment stays scan-local; same output
-    contract."""
+    aggregate (min/max broadcast from a single-row agg).  Equi-depth
+    uses t18's VALUE-HISTOGRAM method, never a global ntile (which
+    sorts every row through one partition): one groupBy to the
+    (col_name, value) histogram — bounded by distinct values, not
+    rows — then cumulative rank ranges over the histogram with
+    windows PARTITIONED by col_name (col_name plays t18's lang
+    role), and each value explodes to the ntile buckets its rank
+    range [cum-c+1, cum] spans (≤ _V15_BUCKETS rows per value).
+    Bucket row counts are closed-form from n (the first n mod
+    _V15_BUCKETS tiles get one extra row), and tile lo/hi bounds
+    are min/max over spanning values —
+    identical output to the sort-based ntile for any tie layout,
+    because tied rows occupy a contiguous rank block wherever the
+    sort puts them individually."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     b = _V15_BUCKETS
     outs = []
+    vs = None
     for cname, table, expr in _V15_COLS:
         v = t(spark, sf, table).select(F.expr(expr).alias("v"))
+        tagged = v.select(F.lit(cname).alias("col_name"), "v")
+        vs = tagged if vs is None else vs.unionByName(tagged)
         mm = v.agg(
             F.min("v").alias("mn"), F.max("v").alias("mx")
         )
@@ -1417,26 +1429,60 @@ def v15(spark, sf):
                 F.col("hi").cast("long"),
             )
         )
-        depth = (
-            v.withColumn(
-                "tile", F.ntile(b).over(W.orderBy("v"))
-            )
-            .groupBy((F.col("tile") - 1).cast("int").alias("bucket"))
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.min("v").alias("lo"),
-                F.max("v").alias("hi"),
-            )
-            .select(
-                F.lit(cname).alias("col_name"),
-                F.lit("depth").alias("kind"),
-                "bucket",
-                F.col("n_rows").cast("long"),
-                F.col("lo").cast("long"),
-                F.col("hi").cast("long"),
-            )
+        outs.append(width)
+    h = vs.groupBy("col_name", "v").agg(F.count("*").alias("c"))
+    wcum = (
+        W.partitionBy("col_name")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy("col_name")
+    h = h.select(
+        "col_name",
+        "v",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    # 0-based ntile bucket of 1-based rank r, with q = n div b tiles of
+    # base size and the first m = n % b tiles holding one extra row
+    def _bkt(r: str) -> str:
+        return (
+            f"CASE WHEN {r} <= (n div {b} + 1) * (n % {b})"
+            f" THEN ({r} - 1) div (n div {b} + 1)"
+            f" ELSE (n % {b}) + ({r} - 1 - (n div {b} + 1) * (n % {b}))"
+            f" div greatest(n div {b}, 1) END"
         )
-        outs.append(width.unionByName(depth))
+
+    spans = h.select(
+        "col_name",
+        "v",
+        "n",
+        F.expr(
+            f"explode(sequence({_bkt('(cum - c + 1)')}, {_bkt('cum')}))"
+        ).alias("bucket"),
+    )
+    depth = (
+        spans.groupBy("col_name", "bucket")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "col_name",
+            F.lit("depth").alias("kind"),
+            F.col("bucket").cast("int").alias("bucket"),
+            F.expr(
+                f"CAST(CASE WHEN bucket < n % {b} THEN n div {b} + 1"
+                f" ELSE n div {b} END AS BIGINT)"
+            ).alias("n_rows"),
+            F.col("lo").cast("long"),
+            F.col("hi").cast("long"),
+        )
+    )
+    outs.append(depth)
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)

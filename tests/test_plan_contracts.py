@@ -324,3 +324,66 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
+# --------------------------------------------------------------------
+# Round-4 de-globalization contracts: the four former single-partition
+# window plans (s12/t32/t35/v15) must never again move a corpus-grain
+# row stream through one partition.  A "global window" is a Window
+# whose spec has no partition key — every token in its
+# windowspecdefinition (before the frame spec) carries an ASC/DESC
+# ordering direction.
+def _window_specs(plan: str) -> list[str]:
+    return re.findall(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+    )
+
+
+def _global_window_specs(plan: str) -> list[str]:
+    bad = []
+    for spec in _window_specs(plan):
+        toks = [x.strip() for x in spec.split(",") if x.strip()]
+        if not any(" ASC" not in x and " DESC" not in x for x in toks):
+            bad.append(spec)
+    return bad
+
+
+def test_s12_arm_ranking_is_two_phase_topk(spark):
+    """s12's per-arm top-100 is partition-local top-k + one bounded
+    merge: the plan must contain NO Window node at all (the old shape
+    was a global row_number over every scored doc)."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["s12_hybrid_rrf"](spark, SF))
+    assert _window_specs(plan) == [], _window_specs(plan)
+
+
+def test_t32_weighted_sample_is_two_phase_topk(spark):
+    """t32's A-ES global top-k is the s09 two-phase merge — no Window
+    node (the old shape was a global row_number over the corpus)."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["t32_weighted_sample"](spark, SF))
+    assert _window_specs(plan) == [], _window_specs(plan)
+
+
+def test_t35_prefix_sums_are_chunk_partitioned(spark):
+    """t35's cumulative curve = chunk-partitioned local prefix sums +
+    broadcast offsets: every Window must carry a partition key, and
+    the offsets side must come back as a broadcast."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["t35_vocab_growth"](spark, SF))
+    assert _global_window_specs(plan) == [], _global_window_specs(plan)
+    assert "BroadcastExchange" in plan
+
+
+def test_v15_depth_histogram_has_no_global_ntile(spark):
+    """v15's equi-depth arm runs on the value histogram with windows
+    partitioned by col_name — no global (unpartitioned) window, no
+    ntile over the row stream."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+
+    plan = _plan(FULL_QUERIES["v15_column_histograms"](spark, SF))
+    assert _global_window_specs(plan) == [], _global_window_specs(plan)
+    assert "ntile" not in plan.lower()
