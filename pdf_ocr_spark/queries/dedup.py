@@ -130,9 +130,13 @@ def _sql_minhash_sig() -> str:
     return f"SELECT doc_id, {mins}\n  FROM doc_sh GROUP BY doc_id"
 
 
-def _sql_bands() -> str:
+def _sql_bands(src: str = "sig") -> str:
+    """Banded-signature arms over the source CTE ``src`` (parameterized
+    so callers banding a differently-named signature CTE never resort
+    to textual surgery on the template)."""
     arms = "\n  UNION ALL\n  ".join(
-        f"SELECT doc_id, {j} AS band_id, md5(h{2 * j} || h{2 * j + 1}) AS band_key FROM sig"
+        f"SELECT doc_id, {j} AS band_id,"
+        f" md5(h{2 * j} || h{2 * j + 1}) AS band_key FROM {src}"
         for j in range(_BANDS)
     )
     return arms
@@ -1454,7 +1458,7 @@ sig AS (
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM doc_sh GROUP BY doc_id),
 msig AS ({_sql_minhash_sig()}),
-bands AS ({_sql_bands().replace("FROM sig", "FROM msig")}),
+bands AS ({_sql_bands(src="msig")}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b

@@ -1274,9 +1274,9 @@ mad AS (
   FROM dev GROUP BY o_orderpriority
 )
 SELECT d.o_orderkey, d.o_orderpriority, d.cents,
-       CAST(floor(1000 * 0.6745 * d.adev / a.mad) AS BIGINT)
+       CAST(floor(1000 * 0.6745 * d.adev / nullif(a.mad, 0)) AS BIGINT)
          AS z_milli,
-       0.6745 * d.adev / a.mad > 3.5 AS outlier
+       0.6745 * d.adev / nullif(a.mad, 0) > 3.5 AS outlier
 FROM dev d JOIN mad a USING (o_orderpriority)
 """
 
@@ -1287,7 +1287,10 @@ def v14(spark, sf):
     median and median-absolute-deviation of order totals (integer
     cents), each order's milli modified z-score, and the z > 3.5
     outlier flag — the quality gate that survives the outliers
-    themselves (mean/stddev screens don't).
+    themselves (mean/stddev screens don't).  A degenerate group with
+    MAD = 0 (most totals identical) yields NULL z and NULL verdict
+    on both engines: the screen abstains rather than divides by
+    zero.
 
     Scale shape: two group-grain aggregates (exact percentile here;
     approx_percentile is the documented 100-TB swap — same plan, one
@@ -1314,7 +1317,10 @@ def v14(spark, sf):
     mad = dev.groupBy("o_orderpriority").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
     )
-    z = 0.6745 * F.col("adev") / F.col("mad")
+    # MAD = 0 (a group where most totals share one cents value) emits
+    # NULL z / NULL verdict on BOTH engines — without the nullif,
+    # DuckDB's ANSI cast dies on floor(inf) while Spark returns a value
+    z = 0.6745 * F.col("adev") / F.expr("nullif(mad, 0)")
     return dev.join(F.broadcast(mad), "o_orderpriority").select(
         "o_orderkey",
         "o_orderpriority",

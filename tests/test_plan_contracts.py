@@ -387,3 +387,22 @@ def test_v15_depth_histogram_has_no_global_ntile(spark):
     plan = _plan(FULL_QUERIES["v15_column_histograms"](spark, SF))
     assert _global_window_specs(plan) == [], _global_window_specs(plan)
     assert "ntile" not in plan.lower()
+
+
+def test_s17_build_has_no_all_pairs_crossjoin(spark):
+    """Round-4 contract: s17's graph build is the LSH-seeded
+    NN-descent candidate join — no corpus x corpus crossJoin.  The
+    build is lineage-truncated (localCheckpoint), so assert at the
+    source level that the only crossJoin in the operator is the
+    broadcast beam0 fan-out, and at the plan level that the search
+    contains no CartesianProduct."""
+    import inspect
+
+    from pdf_ocr_spark.queries import FULL_QUERIES
+    from pdf_ocr_spark.queries.similarity import s17
+
+    src = inspect.getsource(s17)
+    for frag in src.split("crossJoin(")[1:]:
+        assert frag.lstrip().startswith("F.broadcast("), frag[:60]
+    plan = _plan(FULL_QUERIES["s17_graph_beam_search"](spark, SF))
+    assert "CartesianProduct" not in plan

@@ -675,13 +675,19 @@ def test_s16_margin_matches_numpy_reference(spark):
 
 
 def test_s17_graph_beam_matches_python_reference(spark):
-    """s17: the global kNN graph, per-label entry points, and all four
-    beam-search hops match a pure-Python replication of the same
-    procedure; results hit high exact-recall even though labels only
-    weakly predict cosine neighborhoods."""
+    """s17: the LSH-banded seed graph, the NN-descent refinement
+    round, per-label entry points, and all four beam-search hops
+    match a pure-Python replication of the same procedure; the
+    EXACT all-pairs kNN graph (the demoted N^2 build) stays here as
+    the recall oracle the seeded build is audited against."""
     import duckdb
 
-    from pdf_ocr_spark.queries.similarity import QUERIES
+    from pdf_ocr_spark.queries.similarity import (
+        HYPERPLANES,
+        QUERIES,
+        _S17_BANDS,
+        _S17_SEED_G,
+    )
 
     sf = "/root/testdata/sf0.001"
     got = {}
@@ -705,16 +711,53 @@ def test_s17_graph_beam_matches_python_reference(spark):
             nb += y * y
         return dot / ((na ** 0.5) * (nb ** 0.5))
 
+    def dot_fold(a, b):
+        # the engine's sequential left fold (aggregate/zip_with)
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
     ids = sorted(vecs)
-    graph = {
-        s: [
-            o
-            for _c, o in sorted(
-                ((-cos(vecs[s][1], vecs[o][1]), o) for o in ids if o != s)
-            )[:6]
-        ]
-        for s in ids
-    }
+
+    def top_g(cand, g):
+        return {
+            s: [
+                o
+                for _c, o in sorted(
+                    ((-cos(vecs[s][1], vecs[o][1]), o) for o in cand[s])
+                )[:g]
+            ]
+            for s in ids
+        }
+
+    # LSH-banded seed: one bucket per (band, signature); candidates =
+    # same-bucket peers in any band
+    cand = {s: set() for s in ids}
+    for lo, hi in _S17_BANDS:
+        buckets = {}
+        for s in ids:
+            sig = sum(
+                (1 << (j - lo))
+                for j in range(lo, hi)
+                if dot_fold(vecs[s][1], HYPERPLANES[j]) >= 0
+            )
+            buckets.setdefault(sig, []).append(s)
+        for members in buckets.values():
+            for s in members:
+                cand[s].update(o for o in members if o != s)
+    seed = top_g(cand, _S17_SEED_G)
+    # one NN-descent round: neighbors ∪ reverse-neighbors ∪
+    # neighbors-of-neighbors, re-ranked to the final out-degree
+    und = {s: set(seed[s]) for s in ids}
+    for s in ids:
+        for o in seed[s]:
+            und[o].add(s)
+    refined = {s: set(und[s]) for s in ids}
+    for s in ids:
+        for mid in und[s]:
+            refined[s].update(o for o in und[mid] if o != s)
+    graph = top_g(refined, 6)
     by_label = {}
     for vid, (lb, _v) in vecs.items():
         by_label.setdefault(lb, []).append(vid)
@@ -740,20 +783,23 @@ def test_s17_graph_beam_matches_python_reference(spark):
         exact = {
             c
             for _s, c in sorted(
-                ((-cos(vecs[c][1], qv), c) for c in ids)
+                ((-cos(vecs[c][1], qv), c) for c in ids if c != qid)
             )[:5]
         }
         n_hit += len(exact & {c for _r, c in expect})
         n_tot += 5
     assert set(got) == set(qids)
-    assert n_hit / n_tot >= 0.9, f"recall@5 too low: {n_hit}/{n_tot}"
+    # the seeded build trades the N^2 exact graph (30/30 here) for
+    # equi-join candidate generation; measured 24/30 on this corpus
+    assert n_hit / n_tot >= 0.75, f"recall@5 too low: {n_hit}/{n_tot}"
 
 
 def test_s18_metrics_match_python_reference(spark):
     """s18: nDCG@5 / MRR / DCG over the s17 ranking match a pure-Python
     recomputation from the collected s17 rows and the exact cosine
-    ranking; the sf0.01 corpus exercises a non-perfect row (s17 is
-    28/30 there vs 30/30 at sf0.001)."""
+    ranking (self-match excluded, like the engine); the sf0.01
+    corpus exercises non-perfect rows (the seeded s17 build is 23/30
+    there)."""
     import duckdb
 
     from pdf_ocr_spark.queries.similarity import (
@@ -797,7 +843,7 @@ def test_s18_metrics_match_python_reference(spark):
         exact = [
             c
             for _s, c in sorted(
-                ((-cos(vecs[c], qv), c) for c in ids)
+                ((-cos(vecs[c], qv), c) for c in ids if c != qid)
             )[:5]
         ]
         rel_of = {c: 5 - i + 1 for i, c in enumerate(exact, start=1)}
