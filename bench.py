@@ -196,23 +196,43 @@ def main() -> None:
     # SLOWER estimate. Set SPARK_GRAFT_BENCH_ROUNDS=2 for deep runs.
     rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "1"))
     times: dict[str, float] = {}
-    # x20 audits the x17 funnel output; production computes the funnel
-    # ONCE and feeds both the shard writer and the manifest (the v01
-    # suite path). Bench the same shared shape: materialize the funnel
-    # outside any timed region and pass it to x20, so the x20 number
-    # measures the manifest aggregate, not a second funnel run.
-    shared_shards = None
+    # x20 audits the x17 funnel output and s18 audits the s17 ranking;
+    # production computes the upstream relation ONCE and feeds both
+    # the writer and the audit (the v01/s01 suite paths). Bench the
+    # same shared shape: materialize the upstream outside any timed
+    # region and pass it in, so each audit's number measures the
+    # audit, not a second upstream run.
+    shared = {}
+
+    def _shared(key, builder):
+        if key not in shared:
+            df = builder().persist()
+            df.count()
+            shared[key] = df
+        return shared[key]
+
     for _ in range(rounds):
         for name in HEADLINE:
             fn = ALL_QUERIES[name]
             kwargs = {}
             if name == "x20_shard_manifest":
-                if shared_shards is None:
-                    shared_shards = ALL_QUERIES["x17_curation_shards"](
-                        spark, SF_DIR
-                    ).persist()
-                    shared_shards.count()
-                kwargs = {"shards": shared_shards}
+                kwargs = {
+                    "shards": _shared(
+                        "x17",
+                        lambda: ALL_QUERIES["x17_curation_shards"](
+                            spark, SF_DIR
+                        ),
+                    )
+                }
+            elif name == "s18_retrieval_metrics":
+                kwargs = {
+                    "retr": _shared(
+                        "s17",
+                        lambda: ALL_QUERIES["s17_graph_beam_search"](
+                            spark, SF_DIR
+                        ),
+                    )
+                }
             for _rep in range(2):
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR, **kwargs).write.format("noop").mode(

@@ -601,7 +601,8 @@ def s01_suite(spark, sf):
     ride the fine-grained twin), and margin-based bitext mining (s16:
     aux1 = the mined target, aux2 = the accept flag, score = the k=1
     margin ratio), and graph-navigation ANN (s17: NSW beam search
-    over the global kNN graph; aux1 = the retrieved vector, aux2 =
+    over the LSH-seeded NN-descent kNN graph; aux1 = the retrieved
+    vector, aux2 =
     its rank, score = cosine), and the rank-aware retrieval-quality
     audit (s18: nDCG@5 + MRR of s17's ranking vs the exact one;
     aux1 = ppm nDCG, aux2 = micro RR, score = micro DCG), and the
