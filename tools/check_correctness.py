@@ -27,7 +27,7 @@ TABLES = [
 ]
 
 
-def _norm_cell(v):
+def _norm_cell(v, permissive=False):
     if v is None:
         return "∅"
     if isinstance(v, bool):
@@ -42,25 +42,39 @@ def _norm_cell(v):
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
-        # The round-driver's canonicalizer (pandas sort_values ->
-        # factorize) dies on unhashable list cells. Mirror its
-        # strictness: a driver-registered query must emit scalars only
-        # (see round-3 t01 regression). Fail loudly instead of
-        # stringifying, so a local sweep can never read green where
-        # the driver reads red.
-        raise TypeError(
-            f"non-scalar cell {type(v).__name__} in query output — "
-            "driver canon cannot hash array/map/struct columns; "
-            "project a scalar (e.g. concat_ws) on both engines"
-        )
+    if isinstance(v, (list, tuple)):
+        if permissive:
+            return "[" + ",".join(_norm_cell(x, True) for x in v) + "]"
+        _reject_non_scalar(v)
+    if type(v).__name__ == "ndarray":  # duckdb->pandas list columns
+        if permissive:
+            return (
+                "[" + ",".join(_norm_cell(x, True) for x in v.tolist()) + "]"
+            )
+        _reject_non_scalar(v)
+    if isinstance(v, dict):
+        _reject_non_scalar(v)
     return str(v)
 
 
-def value_hash(rows: list[dict]) -> str:
+def _reject_non_scalar(v):
+    # The round-driver's canonicalizer (pandas sort_values ->
+    # factorize) dies on unhashable list cells. Mirror its strictness
+    # for DRIVER-REGISTERED queries: scalars only (the round-3 t01
+    # regression). Fine-grained non-driver entries may carry arrays —
+    # they get the permissive stringifying hash instead, so --full
+    # sweeps still value-check them.
+    raise TypeError(
+        f"non-scalar cell {type(v).__name__} in query output — "
+        "driver canon cannot hash array/map/struct columns; "
+        "project a scalar (e.g. concat_ws) on both engines"
+    )
+
+
+def value_hash(rows: list[dict], permissive: bool = False) -> str:
     cols = sorted(rows[0].keys()) if rows else []
     lines = sorted(
-        "|".join(_norm_cell(r[c]) for c in cols) for r in rows
+        "|".join(_norm_cell(r[c], permissive) for c in cols) for r in rows
     )
     h = hashlib.sha256()
     for ln in lines:
@@ -95,6 +109,7 @@ def main() -> int:
         queries = entry.queries()
         oracles = entry.oracle_sql()
     failures = []
+    driver_names = set(entry.queries())
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -121,7 +136,11 @@ def main() -> int:
         )
         ok_rows = len(srows) == len(orows)
         ok_cols = not (srows and orows) or scols == ocols
-        sh, oh = value_hash(srows), value_hash(orows)
+        # strict (driver-canon) hash for driver-registered entries;
+        # permissive (array-stringifying) hash for fine-grained ones
+        permissive = name not in driver_names
+        sh = value_hash(srows, permissive)
+        oh = value_hash(orows, permissive)
         ok_hash = sh == oh
         status = "PASS" if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
@@ -132,10 +151,14 @@ def main() -> int:
             f"hash={'ok' if ok_hash else f'{sh} vs {oh}'} [{time.time()-t0:.1f}s]"
         )
         if status == "FAIL" and srows and orows:
-            sset = {value_hash([r]) for r in srows}
-            oset = {value_hash([r]) for r in orows}
-            s_only = [r for r in srows if value_hash([r]) not in oset][:3]
-            o_only = [r for r in orows if value_hash([r]) not in sset][:3]
+            sset = {value_hash([r], permissive) for r in srows}
+            oset = {value_hash([r], permissive) for r in orows}
+            s_only = [
+                r for r in srows if value_hash([r], permissive) not in oset
+            ][:3]
+            o_only = [
+                r for r in orows if value_hash([r], permissive) not in sset
+            ][:3]
             for r in s_only:
                 print("   spark-only:", {k: r[k] for k in sorted(r)[:8]})
             for r in o_only:
