@@ -40,6 +40,27 @@ def global_window_specs(plan: str) -> list[str]:
     return bad
 
 
+# Global windows whose INPUT is provably bounded (not corpus-grain):
+# triaged round 4, reported as BOUNDED rather than FLAG.  Every entry
+# names the bounding argument; a NEW global window in any other query
+# is a real flag.
+BOUNDED_GLOBAL_WINDOWS = {
+    # row_number over an already-`limit(5)`-ed relation (the top-5 is
+    # a TakeOrderedAndProject; the window input is 5 rows)
+    "s11_ivfpq_search": 1,
+    # t20's top-20 ranking runs on the symbol-PAIR-VOCAB relation
+    # (thousands of rows at any corpus size — word frequency is a
+    # sufficient statistic; the merge PICK is already a 1-row
+    # allreduce, not a window)
+    "t20_bpe_merges": 2,
+    # confusion-cell grain: |langs|^2 rows at any corpus size
+    "t36_langid_confusion": 1,
+    # suite twins inherit their members' bounded windows
+    "s01_similarity_suite": 1,  # s11's 5-row ranking
+    "t06_term_mining_suite": 3,  # t20's pair-vocab rankings + t36
+}
+
+
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
@@ -63,11 +84,14 @@ def main() -> int:
             continue
         gw = global_window_specs(plan)
         cart = plan.count("CartesianProduct")
-        if gw or cart:
+        allowed = BOUNDED_GLOBAL_WINDOWS.get(name, 0)
+        if cart or len(gw) > allowed:
             flagged += 1
             print(f"FLAG  {name}: global_windows={len(gw)} cartesian={cart}")
             for s in gw:
                 print(f"        win: {s}")
+        elif gw:
+            print(f"BOUNDED {name}: global_windows={len(gw)} (triaged)")
         else:
             print(f"ok    {name}")
     print(f"\n{flagged} flagged")
