@@ -135,6 +135,7 @@ HEADLINE = [
     "q56_triangle_census",
     "v14_mad_outliers",
     "v15_column_histograms",
+    "v16_constraint_suggestion",
     "h04_fuzzy_schema_match",
     "v12_benford_audit",
     "x18_interleaved_pairs",

@@ -1817,6 +1817,11 @@ SELECT 'v15_hist',
        n_rows, true
 FROM {_sub(validation_q, "v15_column_histograms")} _v15
 UNION ALL
+SELECT 'v16_suggest', col_name || '#' || kind,
+       CAST(suggested AS VARCHAR) || '#' || param || '#' || verdict,
+       n_violations, verdict <> 'fail'
+FROM {_sub(validation_q, "v16_constraint_suggestion")} _v16
+UNION ALL
 SELECT 'x20_manifest', lang || '#' || CAST(bin AS VARCHAR),
        digest || '#' || CAST(n_train AS VARCHAR) || '#'
          || CAST(n_val AS VARCHAR) || '#' || CAST(n_test AS VARCHAR),
@@ -1867,7 +1872,11 @@ def v01_suite(spark, sf):
     doubling) + the functional-dependency audit (v13: key = the
     candidate A->B, info = groups#worst, n = ppm violations, ok =
     holds) + the shard manifest / data card (x20: key = lang#bin,
-    info = member digest + split mix, n = shard tokens)."""
+    info = member digest + split mix, n = shard tokens) + the
+    Deequ-style constraint suggestion/verification (v16: key =
+    column#kind, info = suggested#param#verdict, n = batch
+    violations, ok = the constraint did not fail on the corrupted
+    batch; the declined candidate reads -1/'not_checked')."""
     a = validation_q.QUERIES["v01_contract_validation"](spark, sf).select(
         F.lit("v01_doc").alias("fam"),
         F.col("doc_id").cast("string").alias("key"),
@@ -2118,6 +2127,17 @@ def v01_suite(spark, sf):
         F.col("n_tok").alias("n"),
         (F.col("n_docs") > 0).alias("ok"),
     )
+    v16 = validation_q.QUERIES["v16_constraint_suggestion"](
+        spark, sf
+    ).select(
+        F.lit("v16_suggest").alias("fam"),
+        F.concat_ws("#", "col_name", "kind").alias("key"),
+        F.concat_ws(
+            "#", F.col("suggested").cast("string"), "param", "verdict"
+        ).alias("info"),
+        F.col("n_violations").alias("n"),
+        (F.col("verdict") != "fail").alias("ok"),
+    )
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(v6).unionByName(v7)
@@ -2126,7 +2146,7 @@ def v01_suite(spark, sf):
         .unionByName(v12).unionByName(x18).unionByName(x19)
         .unionByName(q51).unionByName(q52).unionByName(q53)
         .unionByName(v13).unionByName(v14).unionByName(x20)
-        .unionByName(q56).unionByName(v15)
+        .unionByName(q56).unionByName(v15).unionByName(v16)
     )
 
 

@@ -1493,3 +1493,230 @@ def v15(spark, sf):
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------------------------------------------------------------- v16
+# Constraint suggestion -> verification (public: Schelter et al. 2018,
+# "Automating large-scale data quality verification", VLDB — Deequ's
+# ConstraintSuggestion + VerificationSuite flow): PROFILE a trusted
+# baseline table into candidate constraints (completeness, uniqueness,
+# numeric range, small-domain containment), keep the candidates the
+# baseline itself satisfies ("suggested"), then VERIFY a new batch
+# against the suggested set and report per-constraint violation counts
+# + hold verdicts.  A candidate the profiler declines (o_orderdate
+# in_set: cardinality above the domain threshold) is emitted with a
+# -1 violation sentinel and 'not_checked' verdict — not-suggested means
+# not-checked, and the negative branch stays live in every corpus
+# slice.  (-1, not NULL: a NULL BIGINT round-trips as NaN through
+# pandas and would hash-diverge between collection paths.)
+#
+# The "new batch" is the baseline decorated with DETERMINISTIC
+# corruptions (the t10/t11 injection pattern — the same expression
+# inlined in both engines), one per constraint family, on disjoint
+# modulus populations:
+#   o_orderkey % 1013 == 0 -> o_orderpriority := NULL (completeness)
+#   o_orderkey % 1021 == 0 -> o_orderkey := 1        (uniqueness dup)
+#   o_orderkey % 1009 == 0 -> cents := cents * 1000  (range escape)
+#   o_orderkey %  997 == 0 -> o_orderstatus := 'X'   (set escape)
+_V16_SET_MAX = 10  # in_set suggested only when baseline cardinality <=
+
+_V16_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(o_orderdate AS VARCHAR) AS odate, o_orderstatus,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+s AS (
+  SELECT count(*) AS n,
+         count(prio) AS nn_prio,
+         count(o_orderstatus) AS nn_status,
+         count(DISTINCT k) AS nd_key,
+         count(DISTINCT o_orderstatus) AS nd_status,
+         count(DISTINCT odate) AS nd_date,
+         min(cents) AS lo, max(cents) AS hi,
+         array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|')
+           AS status_set
+  FROM base
+),
+batch AS (
+  SELECT CASE WHEN k % 1021 = 0 THEN 1 ELSE k END AS k,
+         CASE WHEN k % 1013 = 0 THEN NULL ELSE prio END AS prio,
+         CASE WHEN k % 997 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN k % 1009 = 0 THEN cents * 1000 ELSE cents END AS cents
+  FROM base
+),
+b AS (
+  SELECT count(*) AS n,
+         count(batch.prio) AS nn_prio,
+         count(batch.o_orderstatus) AS nn_status,
+         count(DISTINCT batch.k) AS nd_key,
+         sum(CASE WHEN batch.cents < s.lo OR batch.cents > s.hi
+                  THEN 1 ELSE 0 END) AS range_viol,
+         sum(CASE WHEN NOT list_contains(
+                    string_split(s.status_set, '|'), batch.o_orderstatus)
+                  THEN 1 ELSE 0 END) AS set_viol
+  FROM batch, s
+)
+SELECT * FROM (
+SELECT 'o_orderpriority' AS col_name, 'complete' AS kind,
+       s.nn_prio = s.n AS suggested, '' AS param,
+       CAST(b.n - b.nn_prio AS BIGINT) AS n_violations,
+       CASE WHEN b.n - b.nn_prio = 0 THEN 'pass' ELSE 'fail' END AS verdict
+FROM s, b
+UNION ALL
+SELECT 'o_orderstatus', 'complete', s.nn_status = s.n, '',
+       CAST(b.n - b.nn_status AS BIGINT),
+       CASE WHEN b.n - b.nn_status = 0 THEN 'pass' ELSE 'fail' END
+FROM s, b
+UNION ALL
+SELECT 'o_orderkey', 'unique', s.nd_key = s.n, '',
+       CAST(b.n - b.nd_key AS BIGINT),
+       CASE WHEN b.n - b.nd_key = 0 THEN 'pass' ELSE 'fail' END
+FROM s, b
+UNION ALL
+SELECT 'o_totalprice_cents', 'range', TRUE,
+       CAST(s.lo AS VARCHAR) || '..' || CAST(s.hi AS VARCHAR),
+       CAST(b.range_viol AS BIGINT),
+       CASE WHEN b.range_viol = 0 THEN 'pass' ELSE 'fail' END
+FROM s, b
+UNION ALL
+SELECT 'o_orderstatus', 'in_set', s.nd_status <= {_V16_SET_MAX},
+       s.status_set, CAST(b.set_viol AS BIGINT),
+       CASE WHEN b.set_viol = 0 THEN 'pass' ELSE 'fail' END
+FROM s, b
+UNION ALL
+SELECT 'o_orderdate', 'in_set', s.nd_date <= {_V16_SET_MAX}, '',
+       CAST(-1 AS BIGINT), 'not_checked'
+FROM s, b
+)
+"""
+
+
+@q("v16_constraint_suggestion", oracle=_V16_ORACLE)
+def v16(spark, sf):
+    """Deequ-style constraint suggestion + verification: profile the
+    baseline orders table into candidate constraints (complete,
+    unique, numeric range, small-domain in_set), mark which the
+    baseline itself supports, then verify a deterministically
+    corrupted new batch against the suggested set — one row per
+    candidate with the violation count and pass/fail verdict (the
+    declined candidate reads -1 / 'not_checked': not suggested means
+    not checked; sentinels, not NULLs, so the row canon is identical
+    on every collection path).
+
+    Scale shape: the baseline profile is ONE wide aggregate over one
+    scan (v04's plan, folded to a single broadcastable stats row);
+    the batch verification is one more scan with the stats row
+    cross-joined as a broadcast (range/set bounds are per-row
+    constants) — two corpus scans, two single-row aggregates, zero
+    row-scale shuffles.  Exact count_distincts become
+    approx_count_distinct at 100 TB (same swap v04 documents)."""
+    from pyspark.sql import functions as F
+
+    base = t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("string").alias("odate"),
+        "o_orderstatus",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    s = base.agg(
+        F.count("*").alias("n"),
+        F.count("prio").alias("nn_prio"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.count_distinct("k").alias("nd_key"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.count_distinct("odate").alias("nd_date"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.expr(
+            "array_join(array_sort(collect_set(o_orderstatus)), '|')"
+        ).alias("status_set"),
+    )
+    batch = base.select(
+        F.expr("CASE WHEN k % 1021 = 0 THEN 1 ELSE k END").alias("k"),
+        F.expr(
+            "CASE WHEN k % 1013 = 0 THEN NULL ELSE prio END"
+        ).alias("prio"),
+        F.expr(
+            "CASE WHEN k % 997 = 0 THEN 'X' ELSE o_orderstatus END"
+        ).alias("o_orderstatus"),
+        F.expr(
+            "CASE WHEN k % 1009 = 0 THEN cents * 1000 ELSE cents END"
+        ).alias("cents"),
+    )
+    b = (
+        batch.crossJoin(F.broadcast(s.select("lo", "hi", "status_set")))
+        .agg(
+            F.count("*").alias("bn"),
+            F.count("prio").alias("bnn_prio"),
+            F.count("o_orderstatus").alias("bnn_status"),
+            F.count_distinct("k").alias("bnd_key"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END"
+                )
+            ).alias("range_viol"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN NOT array_contains("
+                    "split(status_set, '\\\\|'), o_orderstatus)"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("set_viol"),
+        )
+    )
+    j = s.crossJoin(F.broadcast(b))
+    rows = [
+        (
+            "'o_orderpriority'", "'complete'", "nn_prio = n", "''",
+            "CAST(bn - bnn_prio AS BIGINT)",
+            "CASE WHEN bn - bnn_prio = 0 THEN 'pass' ELSE 'fail' END",
+        ),
+        (
+            "'o_orderstatus'", "'complete'", "nn_status = n", "''",
+            "CAST(bn - bnn_status AS BIGINT)",
+            "CASE WHEN bn - bnn_status = 0 THEN 'pass' ELSE 'fail' END",
+        ),
+        (
+            "'o_orderkey'", "'unique'", "nd_key = n", "''",
+            "CAST(bn - bnd_key AS BIGINT)",
+            "CASE WHEN bn - bnd_key = 0 THEN 'pass' ELSE 'fail' END",
+        ),
+        (
+            "'o_totalprice_cents'", "'range'", "true",
+            "concat(CAST(lo AS STRING), '..', CAST(hi AS STRING))",
+            "CAST(range_viol AS BIGINT)",
+            "CASE WHEN range_viol = 0 THEN 'pass' ELSE 'fail' END",
+        ),
+        (
+            "'o_orderstatus'", "'in_set'",
+            f"nd_status <= {_V16_SET_MAX}", "status_set",
+            "CAST(set_viol AS BIGINT)",
+            "CASE WHEN set_viol = 0 THEN 'pass' ELSE 'fail' END",
+        ),
+        (
+            "'o_orderdate'", "'in_set'",
+            f"nd_date <= {_V16_SET_MAX}", "''",
+            "CAST(-1 AS BIGINT)", "'not_checked'",
+        ),
+    ]
+    arms = [
+        j.select(
+            F.expr(c).alias("col_name"),
+            F.expr(kd).alias("kind"),
+            F.expr(sg).alias("suggested"),
+            F.expr(pm).alias("param"),
+            F.expr(nv).alias("n_violations"),
+            F.expr(hd).alias("verdict"),
+        )
+        for c, kd, sg, pm, nv, hd in rows
+    ]
+    res = arms[0]
+    for a in arms[1:]:
+        res = res.unionByName(a)
+    return res

@@ -532,3 +532,75 @@ def test_v15_histograms_match_python_reference(spark):
             ), (cname, tile)
             n_checked += 1
     assert n_checked == len(got)
+
+
+def test_v16_constraint_suggestion_matches_python_reference(spark):
+    """v16: the suggested-constraint set and every batch verdict match
+    a pure-Python replication of the profile -> corrupt -> verify
+    flow over the raw parquet rows."""
+    import duckdb
+
+    from pdf_ocr_spark.queries.validation_q import QUERIES, _V16_SET_MAX
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["col_name"], r["kind"]): (
+            r["suggested"], r["param"], r["n_violations"], r["verdict"]
+        )
+        for r in QUERIES["v16_constraint_suggestion"](
+            spark, sf
+        ).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_orderpriority,"
+        f" CAST(o_orderdate AS VARCHAR), o_orderstatus,"
+        f" CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        f" FROM '{sf}/orders.parquet'"
+    ).fetchall()
+    n = len(rows)
+    keys = [r[0] for r in rows]
+    statuses = sorted({r[3] for r in rows})
+    lo = min(r[4] for r in rows)
+    hi = max(r[4] for r in rows)
+    # corrupted batch
+    bk = [1 if k % 1021 == 0 else k for k in keys]
+    bprio = [None if r[0] % 1013 == 0 else r[1] for r in rows]
+    bstat = ["X" if r[0] % 997 == 0 else r[3] for r in rows]
+    bcents = [c * 1000 if k % 1009 == 0 else c for k, c in
+              ((r[0], r[4]) for r in rows)]
+    exp = {
+        ("o_orderpriority", "complete"): (
+            all(r[1] is not None for r in rows),
+            "",
+            sum(1 for p in bprio if p is None),
+        ),
+        ("o_orderstatus", "complete"): (True, "", 0),
+        ("o_orderkey", "unique"): (
+            len(set(keys)) == n, "", n - len(set(bk)),
+        ),
+        ("o_totalprice_cents", "range"): (
+            True,
+            f"{lo}..{hi}",
+            sum(1 for c in bcents if c < lo or c > hi),
+        ),
+        ("o_orderstatus", "in_set"): (
+            len(statuses) <= _V16_SET_MAX,
+            "|".join(statuses),
+            sum(1 for st in bstat if st not in statuses),
+        ),
+    }
+    for key, (sugg, param, viol) in exp.items():
+        g = got[key]
+        assert g[0] == sugg, key
+        assert g[1] == param, key
+        assert g[2] == viol, key
+        assert g[3] == ("pass" if viol == 0 else "fail"), key
+    # the declined candidate: high-cardinality date domain
+    dd = got[("o_orderdate", "in_set")]
+    assert dd == (False, "", -1, "not_checked")
+    assert len(got) == 6
+    # every corruption population is live at this SF
+    assert exp[("o_orderpriority", "complete")][2] > 0
+    assert exp[("o_orderkey", "unique")][2] > 0
+    assert exp[("o_totalprice_cents", "range")][2] > 0
+    assert exp[("o_orderstatus", "in_set")][2] > 0
