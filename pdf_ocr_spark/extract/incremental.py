@@ -1,0 +1,127 @@
+"""Incremental re-extraction: content-hash CDC over the input corpus
+decides which documents go through the extraction kernels; unchanged
+documents carry their previous output forward untouched.
+
+north_rule extension (same family as checkpoint.py's resume): at 10^12
+documents a corpus refresh touches a tiny fraction of rows, and
+re-running the full extraction is not an option.  The incremental job
+
+  1. fingerprints each document's INPUT spans (sha256 over the
+     canonical JSON of the spans array — a scan-local expression, the
+     d01 content-hash idea applied to the extraction input);
+  2. diffs the fingerprints against the manifest the previous run
+     stored alongside its output (v07's snapshot-diff shape: one
+     full-outer-ish join on doc_id);
+  3. routes ONLY added/changed documents through ``extract``; deleted
+     documents drop; every unchanged document's output row is carried
+     forward by a semi join of the previous output (no kernel work,
+     no span recompute);
+  4. writes the merged output + refreshed manifest in the same
+     ``<out>/data`` layout ``checkpoint.read_output`` reads, so
+     incremental runs compose with each other and with resume.
+
+Scale shape: two scans (new corpus, previous output), one equi-join
+grain per step, extraction cost proportional to |changed| — never to
+|corpus|.  The manifest is (doc_id, fp): 2 thin columns at corpus
+grain, the same class as the d11 incremental-dedup ledger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .checkpoint import _bucketed
+from .pipeline import BIG_DOC_THRESHOLD, extract
+
+
+def input_fingerprint(df: DataFrame) -> DataFrame:
+    """(doc_id, spans, ...) -> (doc_id, fp): sha256 over the canonical
+    JSON form of the input spans (field order is pinned by the schema,
+    so the serialization — and the fingerprint — is deterministic)."""
+    return df.select(
+        "doc_id", F.sha2(F.to_json(F.col("spans")), 256).alias("fp")
+    )
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(f"{out_dir}/_manifest")
+    except Exception:
+        return None
+
+
+def run_incremental(
+    spark: SparkSession,
+    input_df: DataFrame,
+    out_dir: str,
+    prev_dir: str | None = None,
+    n_buckets: int = 32,
+    big_doc_threshold: int = BIG_DOC_THRESHOLD,
+    salt_partitions: int | None = None,
+) -> dict:
+    """Extract ``input_df`` into ``out_dir``, reusing ``prev_dir``'s
+    output for documents whose input fingerprint is unchanged.
+
+    With ``prev_dir=None`` (or a missing manifest) every document is
+    treated as changed — the cold-start run that seeds the manifest.
+    Returns {n_total, n_carried, n_reextracted, n_deleted}."""
+    if prev_dir == out_dir:
+        raise ValueError(
+            "out_dir must differ from prev_dir: the carried rows are "
+            "read lazily from prev_dir while out_dir is being written "
+            "(production alternates snapshot directories / Iceberg "
+            "snapshots)"
+        )
+    fp_new = input_fingerprint(input_df)
+    prev_m = read_manifest(spark, prev_dir) if prev_dir else None
+
+    if prev_m is None:
+        changed_ids = fp_new.select("doc_id")
+        carried = None
+        n_deleted = 0
+    else:
+        prev_m = prev_m.select(
+            F.col("doc_id").alias("p_doc_id"), F.col("fp").alias("p_fp")
+        )
+        diff = fp_new.join(
+            prev_m, fp_new.doc_id == prev_m.p_doc_id, "left"
+        )
+        changed_ids = diff.filter(
+            F.col("p_fp").isNull() | (F.col("fp") != F.col("p_fp"))
+        ).select("doc_id")
+        unchanged_ids = diff.filter(
+            F.col("fp") == F.col("p_fp")
+        ).select("doc_id")
+        from .checkpoint import read_output
+
+        carried = read_output(spark, prev_dir).join(
+            unchanged_ids, "doc_id", "semi"
+        )
+        n_deleted = (
+            prev_m.join(
+                fp_new, prev_m.p_doc_id == fp_new.doc_id, "anti"
+            ).count()
+        )
+
+    changed = input_df.join(changed_ids, "doc_id", "semi")
+    new_out = extract(
+        changed.select("doc_id", "spans"), big_doc_threshold, salt_partitions
+    )
+    merged = (
+        new_out if carried is None else new_out.unionByName(carried)
+    )
+    out = _bucketed(merged, n_buckets)
+    (
+        out.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/data")
+    )
+    fp_new.write.mode("overwrite").parquet(f"{out_dir}/_manifest")
+    n_total = spark.read.parquet(f"{out_dir}/data").count()
+    n_carried = 0 if carried is None else carried.count()
+    return {
+        "n_total": n_total,
+        "n_reextracted": n_total - n_carried,
+        "n_carried": n_carried,
+        "n_deleted": n_deleted,
+    }
