@@ -1,0 +1,88 @@
+"""Small-file compaction for the bucketed extraction output.
+
+Operational complement to checkpoint.py (resume) and incremental.py
+(refresh): every resumed chunk and every incremental run appends its
+own parquet files under ``<out>/data/bucket=N/``, and at 10^12-doc
+scale the accumulated small files dominate open/plan cost long before
+data volume does.  ``compact_output`` rewrites the data tree so each
+bucket directory holds ``files_per_bucket`` files — the
+Iceberg ``rewrite_data_files`` / Delta ``OPTIMIZE`` analogue for the
+plain-parquet layout this sandbox runs (sources/catalog.py documents
+the Iceberg branch).
+
+Safety: the compacted tree is written BESIDE the live one and swapped
+in with two directory renames (write → rename old away → rename new
+in → drop old), so a reader never observes a half-written tree and a
+crash mid-swap leaves either the old or the new complete tree on
+disk.  The ledger (``_progress``) and manifest (``_manifest``) are
+row-preserving metadata and are not touched.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def data_file_counts(out_dir: str) -> dict[int, int]:
+    """parquet file count per bucket directory."""
+    root = f"{out_dir}/data"
+    counts: dict[int, int] = {}
+    for name in os.listdir(root):
+        if not name.startswith("bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        counts[b] = sum(
+            1
+            for f in os.listdir(f"{root}/{name}")
+            if f.endswith(".parquet")
+        )
+    return counts
+
+
+def compact_output(
+    spark: SparkSession,
+    out_dir: str,
+    files_per_bucket: int = 1,
+) -> dict:
+    """Rewrite ``<out>/data`` so each bucket holds ``files_per_bucket``
+    parquet files.  Returns {n_rows, files_before, files_after}.
+
+    ``repartition(n_buckets * files_per_bucket, bucket)`` hash-routes
+    each bucket's rows to at most ``files_per_bucket`` tasks (plus a
+    salt when >1), so the partitioned write emits exactly that many
+    files per bucket directory; a hash collision merely makes one task
+    write two bucket directories — still one file each."""
+    data = f"{out_dir}/data"
+    before = data_file_counts(out_dir)
+    df = spark.read.parquet(data)
+    n_rows = df.count()
+    n_buckets = df.select(F.max("bucket")).collect()[0][0] + 1
+    keys = ["bucket"]
+    if files_per_bucket > 1:
+        df = df.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("doc_id"), F.lit(files_per_bucket)).cast(
+                "int"
+            ),
+        )
+        keys = ["bucket", "_salt"]
+    tmp = f"{out_dir}/data_compacting"
+    (
+        df.repartition(n_buckets * files_per_bucket, *keys)
+        .drop(*[k for k in keys if k != "bucket"])
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    old = f"{out_dir}/data_precompact"
+    os.rename(data, old)
+    os.rename(tmp, data)
+    shutil.rmtree(old)
+    return {
+        "n_rows": n_rows,
+        "files_before": sum(before.values()),
+        "files_after": sum(data_file_counts(out_dir).values()),
+    }

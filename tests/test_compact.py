@@ -1,0 +1,76 @@
+"""Small-file compaction (extract/compact.py): file counts shrink to
+the target, data survives bit-identically, metadata trees untouched."""
+
+from __future__ import annotations
+
+import os
+
+from tests.conftest import rows_to_tuples
+
+
+def _spans_by_doc(df):
+    return {
+        r["doc_id"]: rows_to_tuples(r["spans"]) for r in df.collect()
+    }
+
+
+def test_compaction_shrinks_files_and_preserves_rows(spark, tmp_path):
+    from pdf_ocr_spark.extract.checkpoint import read_output, run_resumable
+    from pdf_ocr_spark.extract.compact import (
+        compact_output,
+        data_file_counts,
+    )
+    from pdf_ocr_spark.sources.synthetic import write_corpus_table
+
+    src = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_corpus_table(spark, src, n_docs=24, skew_docs=1)
+    inp = spark.read.parquet(src)
+    # two chunked runs append multiple files per bucket
+    run_resumable(spark, inp, out, n_buckets=4, chunk_buckets=1)
+    before_rows = _spans_by_doc(read_output(spark, out))
+    before_files = data_file_counts(out)
+    assert sum(before_files.values()) > 4  # small-file problem is live
+
+    ledger_before = sorted(
+        map(tuple, spark.read.parquet(f"{out}/_progress").collect())
+    )
+    stats = compact_output(spark, out, files_per_bucket=1)
+    after_files = data_file_counts(out)
+    assert set(after_files) == set(before_files)  # same buckets
+    assert all(v == 1 for v in after_files.values()), after_files
+    assert stats["files_after"] == len(after_files)
+    assert stats["files_before"] == sum(before_files.values())
+    assert stats["n_rows"] == len(before_rows)
+
+    after_rows = _spans_by_doc(read_output(spark, out))
+    assert after_rows == before_rows
+    # ledger untouched; no leftover staging trees
+    assert (
+        sorted(
+            map(tuple, spark.read.parquet(f"{out}/_progress").collect())
+        )
+        == ledger_before
+    )
+    assert not os.path.exists(f"{out}/data_compacting")
+    assert not os.path.exists(f"{out}/data_precompact")
+
+
+def test_compaction_multi_file_target(spark, tmp_path):
+    from pdf_ocr_spark.extract.checkpoint import read_output, run_resumable
+    from pdf_ocr_spark.extract.compact import (
+        compact_output,
+        data_file_counts,
+    )
+    from pdf_ocr_spark.sources.synthetic import write_corpus_table
+
+    src = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_corpus_table(spark, src, n_docs=24, skew_docs=0)
+    inp = spark.read.parquet(src)
+    run_resumable(spark, inp, out, n_buckets=2, chunk_buckets=1)
+    before = _spans_by_doc(read_output(spark, out))
+    compact_output(spark, out, files_per_bucket=2)
+    counts = data_file_counts(out)
+    assert all(v <= 2 for v in counts.values()), counts
+    assert _spans_by_doc(read_output(spark, out)) == before
