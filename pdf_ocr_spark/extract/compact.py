@@ -11,11 +11,19 @@ plain-parquet layout this sandbox runs (sources/catalog.py documents
 the Iceberg branch).
 
 Safety: the compacted tree is written BESIDE the live one and swapped
-in with two directory renames (write → rename old away → rename new
-in → drop old), so a reader never observes a half-written tree and a
-crash mid-swap leaves either the old or the new complete tree on
-disk.  The ledger (``_progress``) and manifest (``_manifest``) are
-row-preserving metadata and are not touched.
+in with two directory renames, so at every instant a COMPLETE tree
+(old or new) exists on disk under some name — a crash never leaves a
+half-written ``data``.  The swap itself is not atomic: between the
+two renames there is an instant with no ``<out>/data`` (production
+swaps a catalog pointer instead — the Iceberg snapshot commit this
+models), and a crash in that window or during cleanup leaves a
+leftover staging tree.  ``_recover`` (run automatically at the start
+of every ``compact_output``) repairs all such states: a missing
+``data`` with a ``data_precompact`` present renames the old tree
+back, and stale staging trees are dropped — so the operation is
+re-runnable after any crash.  The ledger (``_progress``) and
+manifest (``_manifest``) are row-preserving metadata and are not
+touched.
 """
 
 from __future__ import annotations
@@ -42,6 +50,23 @@ def data_file_counts(out_dir: str) -> dict[int, int]:
     return counts
 
 
+def _recover(out_dir: str) -> None:
+    """Repair any state a crashed compaction can leave behind (see
+    module docstring); idempotent, cheap, safe to run anytime."""
+    data = f"{out_dir}/data"
+    old = f"{out_dir}/data_precompact"
+    tmp = f"{out_dir}/data_compacting"
+    if not os.path.exists(data) and os.path.exists(old):
+        # crashed between the two swap renames: the old tree is intact
+        os.rename(old, data)
+    if os.path.exists(old):
+        # crashed during final cleanup: the new tree is live, drop old
+        shutil.rmtree(old)
+    if os.path.exists(tmp):
+        # crashed mid-write: the staging tree is garbage
+        shutil.rmtree(tmp)
+
+
 def compact_output(
     spark: SparkSession,
     out_dir: str,
@@ -55,6 +80,7 @@ def compact_output(
     salt when >1), so the partitioned write emits exactly that many
     files per bucket directory; a hash collision merely makes one task
     write two bucket directories — still one file each."""
+    _recover(out_dir)
     data = f"{out_dir}/data"
     before = data_file_counts(out_dir)
     df = spark.read.parquet(data)

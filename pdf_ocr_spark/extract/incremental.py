@@ -65,7 +65,11 @@ def run_incremental(
     With ``prev_dir=None`` (or a missing manifest) every document is
     treated as changed — the cold-start run that seeds the manifest.
     Returns {n_total, n_carried, n_reextracted, n_deleted}."""
-    if prev_dir == out_dir:
+    import os
+
+    if prev_dir is not None and os.path.realpath(
+        prev_dir
+    ) == os.path.realpath(out_dir):
         raise ValueError(
             "out_dir must differ from prev_dir: the carried rows are "
             "read lazily from prev_dir while out_dir is being written "
@@ -113,6 +117,12 @@ def run_incremental(
     out = _bucketed(merged, n_buckets)
     (
         out.write.mode("overwrite")
+        # STATIC overwrite, explicitly: this is a full-snapshot write,
+        # and the session default is dynamic partition overwrite (the
+        # resume path's per-chunk replace). Under dynamic mode a
+        # reused out_dir would keep stale files in any bucket the new
+        # snapshot leaves empty — deleted docs would resurface.
+        .option("partitionOverwriteMode", "static")
         .partitionBy("bucket")
         .parquet(f"{out_dir}/data")
     )

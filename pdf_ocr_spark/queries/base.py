@@ -111,3 +111,54 @@ def min_label_components(edges: DataFrame) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def two_phase_topk(
+    df: DataFrame,
+    k: int,
+    score_col: str,
+    id_col: str,
+    rank_name: str,
+    extras: tuple[str, ...] = (),
+) -> DataFrame:
+    """Bounded global top-k with 1-based ranks, ordered by
+    (score DESC, id ASC) — the distributed takeOrdered shape.
+
+    Phase 1 ranks WITHIN each input partition via a
+    spark_partition_id-partitioned window (sort-based and spillable,
+    so per-task memory stays bounded no matter the partition size —
+    never a whole-partition collect_list buffer) and keeps k rows per
+    partition.  Phase 2 merges the <= partitions x k survivors in one
+    bounded sort+slice aggregation.  Which rows meet in phase 1
+    depends on physical partitioning, but the merged top-k is a
+    deterministic function of the data (ties break by (score DESC,
+    id ASC) in both phases), so any partitioning yields identical
+    output.  Scores are assumed non-NaN (every caller's score
+    expression guarantees it on this corpus): NaN would sort first in
+    the phase-1 window (Spark treats NaN as greatest) but last in the
+    phase-2 negated-struct sort.
+    """
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy(F.spark_partition_id()).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    p1 = (
+        df.withColumn("_lrk", F.row_number().over(wp))
+        .filter(F.col("_lrk") <= k)
+    )
+    s = p1.select(
+        F.struct(
+            (-F.col(score_col)).alias("ns"),
+            F.col(id_col).alias("id"),
+            *[F.col(c).alias(c) for c in extras],
+        ).alias("s")
+    )
+    p2 = s.groupBy().agg(
+        F.slice(F.sort_array(F.collect_list("s")), 1, k).alias("top")
+    )
+    return p2.select(F.posexplode("top").alias("pos", "s")).select(
+        F.col("s.id").alias(id_col),
+        *[F.col(f"s.{c}").alias(c) for c in extras],
+        (F.col("pos") + 1).alias(rank_name),
+    )

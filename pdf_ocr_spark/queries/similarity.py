@@ -1237,52 +1237,38 @@ def s12(spark, sf):
 
     Scale shape: the lexical arm is t16's zero-shuffle scoring pass;
     the vector arm is s01's broadcast-query scan; each arm ranks its
-    top-{top} candidates with s09's TWO-PHASE top-k (bounded local
-    top-k per input partition, ONE merge of partition-count-bounded
-    partial lists — never a global row_number window, which would
-    sort every scored row through one partition).  Ties break by
+    top-{top} candidates with the shared TWO-PHASE top-k
+    (base.two_phase_topk: a spark_partition_id-partitioned window —
+    sort-based and spillable, per-task memory bounded — keeps k per
+    partition, then ONE merge of partition-count-bounded partials;
+    never a global row_number window, which would sort every scored
+    row through one partition).  Ties break by
     (score DESC, doc_id) inside the sorted struct, so the ranks are a
     deterministic function of the data under any partitioning.  The
     fusion join touches 2x{top} rows — driver-trivial at any corpus
     size."""
     from . import textstats
-
-    def _ranked_arm(df, score, rank_name):
-        s = df.select(
-            F.struct((-F.col(score)).alias("ns"), "doc_id").alias("s")
-        )
-        p1 = s.groupBy(F.spark_partition_id().alias("pid")).agg(
-            F.slice(F.sort_array(F.collect_list("s")), 1, _S12_TOP).alias(
-                "part"
-            )
-        )
-        p2 = p1.groupBy().agg(
-            F.slice(
-                F.sort_array(F.flatten(F.collect_list("part"))),
-                1,
-                _S12_TOP,
-            ).alias("top")
-        )
-        return p2.select(F.posexplode("top").alias("pos", "s")).select(
-            F.col("s.doc_id").alias("doc_id"),
-            (F.col("pos") + 1).alias(rank_name),
-        )
+    from .base import two_phase_topk
 
     bm = textstats.QUERIES["t16_bm25_score"](spark, sf)
-    lex = _ranked_arm(
+    lex = two_phase_topk(
         bm.filter((F.col("bm25") > 0) & (F.col("doc_id") != 0)),
+        _S12_TOP,
         "bm25",
+        "doc_id",
         "lr",
     )
     e = t(spark, sf, "embeddings").select("vec_id", _vd().alias("v"))
     qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    vec = _ranked_arm(
+    vec = two_phase_topk(
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"), _cos("v", "qv").alias("cos")
         ),
+        _S12_TOP,
         "cos",
+        "doc_id",
         "vr",
     )
     rrf = F.expr(_s12_rrf_sql("lr")) + F.expr(_s12_rrf_sql("vr"))
@@ -1757,11 +1743,14 @@ def s16(spark, sf):
 # (cosine fold order shared with the oracle, vec_id tie-breaks), so
 # the DuckDB twin builds the same seeded graph and unrolls the same
 # refinement + H hops as CTEs — the two engines must agree
-# row-for-row, no "approximately right" escape hatch.  Measured
-# recall@5 vs the s01 exact scan on this corpus: 24/30 (sf0.001),
-# 23/30 (sf0.01) — the honest cost of dropping the N^2 build on a
-# corpus whose geometry gives LSH almost no locality to work with
-# (the exact build scored 30/30 and 28/30).
+# row-for-row, no "approximately right" escape hatch.  The emitted
+# top-5 excludes the trivial self-match and re-ranks (the query stays
+# in the BEAM — it is its own best navigation hub).  Measured
+# recall@5 vs the s01 exact scan on this corpus: 30/30 (sf0.001),
+# 27/30 (sf0.01) — matching the demoted N^2 exact build (30/30,
+# 28/30) to within one hit despite the sublinear candidate
+# generation, because excluding the self-match frees the result slot
+# it used to waste.
 _S17_G = 6  # graph out-degree
 _S17_BEAM = 8  # beam width per hop
 _S17_HOPS = 4  # navigation rounds
@@ -1873,8 +1862,12 @@ qs AS (
 ent AS (SELECT label, min(vec_id) AS entry_id FROM e GROUP BY label),
 beam0 AS (SELECT qs.qid, ent.entry_id AS cand FROM qs, ent),
 {_s17_hops_sql()}
-SELECT qid, rk AS rank, cand AS vec_id, cosine
-FROM s{_S17_HOPS} WHERE rk <= {_S17_K}
+SELECT qid, rk AS rank, cand AS vec_id, cosine FROM (
+  SELECT qid, cand, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           cosine DESC, cand) AS rk
+  FROM s{_S17_HOPS} WHERE cand <> qid
+) WHERE rk <= {_S17_K}
 """
 
 
@@ -1885,14 +1878,15 @@ def s17(spark, sf):
     deterministic spread entry set), then run 4 rounds of beam search
     (width 8) — each round expands the beam's graph neighbors,
     rescores against the query, keeps the top beam — and emit the
-    final top-5 per query.  Measured recall@5 vs the exact scan:
-    24/30 at sf0.001, 23/30 at sf0.01 — on a corpus whose labels
-    only weakly predict cosine neighborhoods (23% of exact top-5
-    share the query's label) AND whose near-uniform 64-dim geometry
-    gives LSH little locality, the worst case for a sublinear build
-    (the all-pairs exact graph scored 30/30 and 28/30; it remains
-    the unit-test oracle the seeded build's recall is audited
-    against).
+    final top-5 per query (self-match excluded from the emitted
+    results and survivors re-ranked; the query stays in the beam as
+    its own best navigation hub).  Measured recall@5 vs the exact
+    scan: 30/30 at sf0.001, 27/30 at sf0.01 — within one hit of the
+    all-pairs exact graph (30/30, 28/30; demoted to the unit-test
+    recall oracle) on a corpus whose labels only weakly predict
+    cosine neighborhoods (23% of exact top-5 share the query's
+    label) AND whose near-uniform 64-dim geometry gives LSH little
+    locality, the worst case for a sublinear build.
 
     Scale shape: per-query work is O(hops x beam x degree) rows
     REGARDLESS of corpus size — each hop is one equi-join of the thin
@@ -2022,11 +2016,22 @@ def s17(spark, sf):
         beam = scored.filter(F.col("rk") <= _S17_BEAM).select(
             "qid", "cand"
         )
-    return scored.filter(F.col("rk") <= _S17_K).select(
-        "qid",
-        F.col("rk").alias("rank"),
-        F.col("cand").alias("vec_id"),
-        "cosine",
+    # The query vector itself stays IN the beam — it is its own best
+    # navigation hub (self-exclusion there costs 10 recall points,
+    # measured) — but the trivial self-match is excluded from the
+    # EMITTED results and the survivors re-ranked, so rank 1 is a
+    # real neighbor and s18's (self-excluded) ground truth grades a
+    # perfect retrieval at nDCG 1.0.
+    return (
+        scored.filter(F.col("cand") != F.col("qid"))
+        .withColumn("frk", F.row_number().over(wb))
+        .filter(F.col("frk") <= _S17_K)
+        .select(
+            "qid",
+            F.col("frk").alias("rank"),
+            F.col("cand").alias("vec_id"),
+            "cosine",
+        )
     )
 
 

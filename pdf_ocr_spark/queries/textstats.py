@@ -3110,17 +3110,21 @@ def t32(spark, sf):
     ln(u)/w with u = (md5(doc_id)[:8] + 1) / 2^32.
 
     Scale shape: the key is a scan-local expression (no shuffle to
-    compute); the global top-k is s09's TWO-PHASE merge (Spark's
-    takeOrdered shape): bounded top-k per input partition, then ONE
-    merge of partition-count-bounded partial lists — never a global
-    row_number window (which would sort the whole corpus through one
-    partition).  Which rows meet in a phase-1 group depends on
-    physical partitioning, but the merged top-k is a deterministic
-    function of the data (ties break by (key_micro DESC, doc_id)
-    inside the sorted struct), so any partitioning yields identical
-    output.  Re-runs reproduce the same sample with no seed exchange
-    — the hash IS the randomness, exactly like t08's stratified
-    quota draw (this is its weighted sibling)."""
+    compute); the global top-k is the shared TWO-PHASE merge
+    (base.two_phase_topk, Spark's takeOrdered shape): a
+    spark_partition_id-partitioned window — sort-based and
+    spillable, per-task memory bounded — keeps k rows per input
+    partition, then ONE merge of partition-count-bounded partials;
+    never a global row_number window (which would sort the whole
+    corpus through one partition).  Which rows meet in phase 1
+    depends on physical partitioning, but the merged top-k is a
+    deterministic function of the data (ties break by
+    (key_micro DESC, doc_id) in both phases), so any partitioning
+    yields identical output.  Re-runs reproduce the same sample with
+    no seed exchange — the hash IS the randomness, exactly like
+    t08's stratified quota draw (this is its weighted sibling)."""
+    from .base import two_phase_topk
+
     keyed = t(spark, sf, "documents").select(
         "doc_id",
         F.col("n_chars").cast("long").alias("weight"),
@@ -3130,29 +3134,19 @@ def t32(spark, sf):
             " + 1) / 4294967296.0) / greatest(n_chars, 1)) AS BIGINT)"
         ).alias("key_micro"),
     )
-    s = keyed.select(
-        F.struct(
-            (-F.col("key_micro")).alias("nk"),
-            "doc_id",
-            "weight",
-            "key_micro",
-        ).alias("s")
+    ranked = two_phase_topk(
+        keyed,
+        _T32_K,
+        "key_micro",
+        "doc_id",
+        "sample_rank",
+        extras=("weight", "key_micro"),
     )
-    p1 = s.groupBy(F.spark_partition_id().alias("pid")).agg(
-        F.slice(F.sort_array(F.collect_list("s")), 1, _T32_K).alias("part")
-    )
-    p2 = p1.groupBy().agg(
-        F.slice(
-            F.sort_array(F.flatten(F.collect_list("part"))), 1, _T32_K
-        ).alias("top")
-    )
-    return p2.select(
-        F.posexplode("top").alias("pos", "s")
-    ).select(
-        F.col("s.doc_id").alias("doc_id"),
-        F.col("s.weight").alias("weight"),
-        F.col("s.key_micro").alias("key_micro"),
-        (F.col("pos") + 1).cast("int").alias("sample_rank"),
+    return ranked.select(
+        "doc_id",
+        "weight",
+        "key_micro",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
     )
 
 

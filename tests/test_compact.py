@@ -74,3 +74,46 @@ def test_compaction_multi_file_target(spark, tmp_path):
     counts = data_file_counts(out)
     assert all(v <= 2 for v in counts.values()), counts
     assert _spans_by_doc(read_output(spark, out)) == before
+
+
+def test_compaction_recovers_from_crash_states(spark, tmp_path):
+    """Every state a crashed compaction can leave behind is repaired by
+    the next invocation: missing data + precompact present (mid-swap),
+    leftover precompact beside live data (mid-cleanup), leftover
+    staging tree (mid-write)."""
+    import os
+    import shutil
+
+    from pdf_ocr_spark.extract.checkpoint import read_output, run_resumable
+    from pdf_ocr_spark.extract.compact import compact_output
+    from pdf_ocr_spark.sources.synthetic import write_corpus_table
+
+    src = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_corpus_table(spark, src, n_docs=12, skew_docs=0)
+    run_resumable(
+        spark, spark.read.parquet(src), out, n_buckets=2, chunk_buckets=1
+    )
+    rows = sorted(
+        r["doc_id"] for r in read_output(spark, out).collect()
+    )
+
+    # crash between the two swap renames: data gone, precompact intact
+    os.rename(f"{out}/data", f"{out}/data_precompact")
+    stats = compact_output(spark, out, files_per_bucket=1)
+    assert stats["n_rows"] == len(rows)
+    assert sorted(
+        r["doc_id"] for r in read_output(spark, out).collect()
+    ) == rows
+
+    # crash during cleanup: stale precompact beside the live tree
+    shutil.copytree(f"{out}/data", f"{out}/data_precompact")
+    # crash mid-write: stale staging tree too
+    shutil.copytree(f"{out}/data", f"{out}/data_compacting")
+    stats = compact_output(spark, out, files_per_bucket=1)
+    assert stats["n_rows"] == len(rows)
+    assert not os.path.exists(f"{out}/data_precompact")
+    assert not os.path.exists(f"{out}/data_compacting")
+    assert sorted(
+        r["doc_id"] for r in read_output(spark, out).collect()
+    ) == rows

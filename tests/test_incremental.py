@@ -109,3 +109,48 @@ def test_incremental_noop_when_nothing_changed(spark, corpora):
     assert _spans_by_doc(
         read_output(spark, f"{corpora}/out3")
     ) == _spans_by_doc(read_output(spark, f"{corpora}/out1"))
+
+
+def test_reused_out_dir_does_not_resurrect_deleted_buckets(
+    spark, corpora
+):
+    """A full-snapshot rewrite into a previously used out_dir must not
+    keep stale bucket files (the session default is DYNAMIC partition
+    overwrite, which only replaces buckets present in the new data —
+    incremental.py forces static overwrite for its snapshot write)."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_spark.extract.checkpoint import read_output
+    from pdf_ocr_spark.extract.incremental import run_incremental
+
+    a = spark.read.parquet(f"{corpora}/base")
+    out_x = f"{corpora}/reuse_x"
+    out_y = f"{corpora}/reuse_y"
+    run_incremental(spark, a, out_x, n_buckets=4)
+    n_a = a.count()
+    assert read_output(spark, out_x).count() == n_a
+    # shrink the corpus to 2 docs (most buckets become empty), ping-pong
+    # through out_y and back into the REUSED out_x
+    small = a.orderBy("doc_id").limit(2)
+    run_incremental(spark, small, out_y, prev_dir=out_x, n_buckets=4)
+    m = run_incremental(spark, small, out_x, prev_dir=out_y, n_buckets=4)
+    got = read_output(spark, out_x)
+    assert got.count() == 2, (
+        "stale bucket files resurrected deleted docs"
+    )
+    assert m["n_total"] == 2
+    assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in small.select("doc_id").collect()
+    )
+
+
+def test_path_alias_cannot_bypass_in_place_guard(spark, corpora):
+    import pytest as _pytest
+
+    from pdf_ocr_spark.extract.incremental import run_incremental
+
+    a = spark.read.parquet(f"{corpora}/base")
+    with _pytest.raises(ValueError, match="must differ"):
+        run_incremental(
+            spark, a, f"{corpora}/out1", prev_dir=f"{corpora}/./out1/"
+        )

@@ -329,42 +329,46 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
 # --------------------------------------------------------------------
 # Round-4 de-globalization contracts: the four former single-partition
 # window plans (s12/t32/t35/v15) must never again move a corpus-grain
-# row stream through one partition.  A "global window" is a Window
-# whose spec has no partition key — every token in its
-# windowspecdefinition (before the frame spec) carries an ASC/DESC
-# ordering direction.
-def _window_specs(plan: str) -> list[str]:
-    return re.findall(
-        r"windowspecdefinition\((.*?)specifiedwindowframe", plan
-    )
+# row stream through one partition.  The global-window detector is
+# SHARED with the registry-wide audit (tools/audit_plans.py) — one
+# implementation, so the contract tests and the audit can never
+# disagree on what counts as a global window.
+from tools.audit_plans import (  # noqa: E402
+    global_window_specs as _global_window_specs,
+    window_specs as _window_specs,
+)
 
 
-def _global_window_specs(plan: str) -> list[str]:
-    bad = []
-    for spec in _window_specs(plan):
-        toks = [x.strip() for x in spec.split(",") if x.strip()]
-        if not any(" ASC" not in x and " DESC" not in x for x in toks):
-            bad.append(spec)
-    return bad
+def _assert_partition_local_windows_only(plan: str) -> None:
+    """Every Window in the plan must be partitioned (the
+    two_phase_topk phase-1 partitions by a projected
+    spark_partition_id column: sort-based, spillable, bounded per
+    task) — never a global window over the row stream."""
+    assert _global_window_specs(plan) == [], _global_window_specs(plan)
+    assert _window_specs(plan), "expected the phase-1 windows"
+    # the partition key is the projected spark_partition_id column
+    assert "SPARK_PARTITION_ID" in plan.upper(), "phase-1 key missing"
 
 
 def test_s12_arm_ranking_is_two_phase_topk(spark):
-    """s12's per-arm top-100 is partition-local top-k + one bounded
-    merge: the plan must contain NO Window node at all (the old shape
-    was a global row_number over every scored doc)."""
+    """s12's per-arm top-100 is the shared two-phase top-k: phase 1 is
+    a spark_partition_id-partitioned (spillable) window, phase 2 a
+    bounded merge — never a global row_number over every scored
+    doc."""
     from pdf_ocr_spark.queries import FULL_QUERIES
 
     plan = _plan(FULL_QUERIES["s12_hybrid_rrf"](spark, SF))
-    assert _window_specs(plan) == [], _window_specs(plan)
+    _assert_partition_local_windows_only(plan)
 
 
 def test_t32_weighted_sample_is_two_phase_topk(spark):
-    """t32's A-ES global top-k is the s09 two-phase merge — no Window
-    node (the old shape was a global row_number over the corpus)."""
+    """t32's A-ES global top-k is the shared two-phase merge — only
+    spark_partition_id-partitioned windows, no global sort of the
+    corpus."""
     from pdf_ocr_spark.queries import FULL_QUERIES
 
     plan = _plan(FULL_QUERIES["t32_weighted_sample"](spark, SF))
-    assert _window_specs(plan) == [], _window_specs(plan)
+    _assert_partition_local_windows_only(plan)
 
 
 def test_t35_prefix_sums_are_chunk_partitioned(spark):

@@ -776,8 +776,13 @@ def test_s17_graph_beam_matches_python_reference(spark):
                 ((-cos(vecs[c][1], qv), c) for c in cand)
             )
             beam = [c for _s, c in scored[:8]]
+        # engine contract: self-match excluded from the emitted top-5,
+        # survivors re-ranked (the query stays in the beam)
         expect = [
-            (i + 1, c) for i, (_s, c) in enumerate(scored[:5])
+            (i + 1, c)
+            for i, c in enumerate(
+                [c for _s, c in scored if c != qid][:5]
+            )
         ]
         assert sorted(got[qid]) == expect, qid
         exact = {
@@ -789,16 +794,16 @@ def test_s17_graph_beam_matches_python_reference(spark):
         n_hit += len(exact & {c for _r, c in expect})
         n_tot += 5
     assert set(got) == set(qids)
-    # the seeded build trades the N^2 exact graph (30/30 here) for
-    # equi-join candidate generation; measured 24/30 on this corpus
-    assert n_hit / n_tot >= 0.75, f"recall@5 too low: {n_hit}/{n_tot}"
+    # seeded build + self-excluded results: 30/30 measured here (the
+    # exact-graph oracle's own score); floor at 0.9 for headroom
+    assert n_hit / n_tot >= 0.9, f"recall@5 too low: {n_hit}/{n_tot}"
 
 
 def test_s18_metrics_match_python_reference(spark):
     """s18: nDCG@5 / MRR / DCG over the s17 ranking match a pure-Python
     recomputation from the collected s17 rows and the exact cosine
     ranking (self-match excluded, like the engine); the sf0.01
-    corpus exercises non-perfect rows (the seeded s17 build is 23/30
+    corpus exercises non-perfect rows (the seeded s17 build is 27/30
     there)."""
     import duckdb
 

@@ -139,8 +139,15 @@ def main() -> int:
         # strict (driver-canon) hash for driver-registered entries;
         # permissive (array-stringifying) hash for fine-grained ones
         permissive = name not in driver_names
-        sh = value_hash(srows, permissive)
-        oh = value_hash(orows, permissive)
+        try:
+            sh = value_hash(srows, permissive)
+            oh = value_hash(orows, permissive)
+        except TypeError as e:
+            # a driver entry emitting array/map cells: report and keep
+            # walking (the sweep must cover the remaining queries)
+            failures.append(name)
+            print(f"FAIL {name}: canon error: {str(e)[:200]}")
+            continue
         ok_hash = sh == oh
         status = "PASS" if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
