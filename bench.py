@@ -117,6 +117,7 @@ HEADLINE = [
     "t32_weighted_sample",
     "t33_script_profile",
     "t34_url_canonicalize",
+    "t38_special_token_scrub",
     "v13_fd_audit",
     "x20_shard_manifest",
     "s15_colbert_maxsim",

@@ -1055,6 +1055,11 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t34.canon_url AS url_canon,
        t34.n_sharing AS url_n_sharing,
        t34.url_keeper AS url_keeper,
+       t38.n_special AS spec_n,
+       t38.n_kinds AS spec_kinds,
+       t38.first_kind AS spec_first,
+       t38.clean_hash AS spec_clean_hash,
+       t38.spec_keep,
        t35.cum_tok AS vg_cum_tok,
        t35.cum_vocab AS vg_cum_vocab,
        t35.n_new_types AS vg_new_types,
@@ -1119,6 +1124,8 @@ JOIN {_sub(textstats, "t33_script_profile")} t33
   ON t33.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t34_url_canonicalize")} t34
   ON t34.doc_id = t1.doc_id
+JOIN {_sub(textstats, "t38_special_token_scrub")} t38
+  ON t38.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t35_vocab_growth")} t35
   ON t35.doc_id = t1.doc_id
 JOIN {_sub(textstats, "t09_repetition_profile")} t9 ON t9.doc_id = t1.doc_id
@@ -1168,7 +1175,10 @@ def t01_suite(spark, sf):
     outside the weighted sample), script-mixing/homoglyph profile
     (t33; scr_nonlatin/scr_confusable/scr_mixed/scr_keep), URL
     canonicalization + URL-keyed dedup prep (t34;
-    url_canon/url_n_sharing/url_keeper), the Heaps-law vocabulary
+    url_canon/url_n_sharing/url_keeper), the tokenizer special-token
+    scrub (t38: spec_n/spec_kinds/spec_first + the scrubbed-text md5
+    and keep verdict — the control-sequence poisoning defense), the
+    Heaps-law vocabulary
     growth curve (t35; vg_* cumulative columns), Gopher-style
     repetition signals (t09), PII scrub counts + masked text (t10),
     FH5/VH6 color semantics (f02: header color, exception-color
@@ -1242,6 +1252,14 @@ def t01_suite(spark, sf):
         F.col("canon_url").alias("url_canon"),
         F.col("n_sharing").alias("url_n_sharing"),
         "url_keeper",
+    )
+    t38 = textstats.QUERIES["t38_special_token_scrub"](spark, sf).select(
+        "doc_id",
+        F.col("n_special").alias("spec_n"),
+        F.col("n_kinds").alias("spec_kinds"),
+        F.col("first_kind").alias("spec_first"),
+        F.col("clean_hash").alias("spec_clean_hash"),
+        "spec_keep",
     )
     t35 = textstats.QUERIES["t35_vocab_growth"](spark, sf).select(
         "doc_id",
@@ -1370,6 +1388,7 @@ def t01_suite(spark, sf):
         )
         .join(t33, "doc_id")
         .join(t34, "doc_id")
+        .join(t38, "doc_id")
         .join(t35, "doc_id")
         .join(t9, "doc_id")
         .join(t10, "doc_id")

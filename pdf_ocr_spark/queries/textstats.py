@@ -3693,3 +3693,133 @@ def t37(spark, sf):
             "score_milli",
         )
     )
+
+
+# ------------------------------------------------------------- t38
+# Special-token scrub (public: the C4/RefinedWeb-class filter against
+# tokenizer control sequences embedded in web text — "<|endoftext|>"
+# and friends inside a training document truncate or poison training
+# and are a prompt-injection vector; every production pipeline strips
+# or rejects them).  The synthetic corpus is clean, so the firing
+# population is injected DETERMINISTICALLY from doc_id (the t10/t11
+# decoration pattern, identical expression in both engines):
+#   doc_id % 7 == 0  -> ' ' + TOKENS[doc_id % 5] appended
+#   doc_id % 11 == 0 -> ' ' + TOKENS[(doc_id + 2) % 5] appended
+# (doc_id % 77 == 0 docs carry two tokens -> n_kinds branch live).
+# Detection is replace/length arithmetic — no regex, so the literal
+# tokens need no escaping and both engines share the exact strings.
+_T38_TOKENS = ("<|endoftext|>", "<|im_start|>", "</s>", "<mask>", "[CLS]")
+
+
+def _t38_tok_sql(i: int) -> str:
+    return "'" + _T38_TOKENS[i].replace("'", "''") + "'"
+
+
+def _t38_decor() -> str:
+    arm1 = " ".join(
+        f"WHEN doc_id % 5 = {i} THEN {_t38_tok_sql(i)}"
+        for i in range(5)
+    )
+    arm2 = " ".join(
+        f"WHEN (doc_id + 2) % 5 = {i} THEN {_t38_tok_sql(i)}"
+        for i in range(5)
+    )
+    return (
+        "text"
+        f" || CASE WHEN doc_id % 7 = 0 THEN ' ' || CASE {arm1} END"
+        "    ELSE '' END"
+        f" || CASE WHEN doc_id % 11 = 0 THEN ' ' || CASE {arm2} END"
+        "    ELSE '' END"
+    )
+
+
+def _t38_counts(col: str) -> list[str]:
+    # occurrences of token i = removed-length / token-length
+    return [
+        f"(length({col}) - length(replace({col}, {_t38_tok_sql(i)}, '')))"
+        f" // {len(_T38_TOKENS[i])}"
+        for i in range(5)
+    ]
+
+
+def _t38_scrub(col: str) -> str:
+    out = col
+    for i in range(5):
+        out = f"replace({out}, {_t38_tok_sql(i)}, '')"
+    return out
+
+
+_T38_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_t38_decor()} AS t FROM documents),
+c AS (
+  SELECT doc_id, t,
+         {", ".join(f"CAST({c} AS BIGINT) AS c{i}"
+                    for i, c in enumerate(_t38_counts("t")))}
+  FROM d
+)
+SELECT doc_id,
+       CAST(c0 + c1 + c2 + c3 + c4 AS BIGINT) AS n_special,
+       CAST((CASE WHEN c0 > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN c1 > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN c2 > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN c3 > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN c4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kinds,
+       CASE {" ".join(f"WHEN c{i} > 0 THEN {_t38_tok_sql(i)}"
+                      for i in range(5))}
+            ELSE '' END AS first_kind,
+       md5({_t38_scrub("t")}) AS clean_hash,
+       c0 + c1 + c2 + c3 + c4 = 0 AS spec_keep
+FROM c
+"""
+
+
+@q("t38_special_token_scrub", oracle=_T38_ORACLE)
+def t38(spark, sf):
+    """Tokenizer special-token scrub: per document the count of
+    embedded control sequences ("<|endoftext|>", "<|im_start|>",
+    "</s>", "<mask>", "[CLS]"), how many distinct kinds fired, the
+    first kind in fixed list order, the md5 of the scrubbed text (the
+    auditable artifact a production scrub writes), and the keep
+    verdict — the C4/RefinedWeb-class defense against training
+    poisoning / prompt injection via control tokens in web text.
+    Tokens are injected deterministically from doc_id (module
+    comment) so detection, multi-kind, and clean branches all fire in
+    any corpus slice.
+
+    Scale shape: pure replace/length arithmetic over the scan — zero
+    shuffle, no regex (literal tokens need no escaping and both
+    engines share the exact strings); at production the token list is
+    the tokenizer's actual special-token vocabulary, same plan."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.expr(_t38_decor()).alias("tx")
+    )
+    counts = [
+        c.replace("//", "div") for c in _t38_counts("tx")
+    ]
+    c = d.select(
+        "doc_id",
+        "tx",
+        *[
+            F.expr(cc).cast("long").alias(f"c{i}")
+            for i, cc in enumerate(counts)
+        ],
+    )
+    total = sum(F.col(f"c{i}") for i in range(5))
+    kinds = sum(
+        F.when(F.col(f"c{i}") > 0, 1).otherwise(0) for i in range(5)
+    )
+    first = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN c{i} > 0 THEN {_t38_tok_sql(i)}" for i in range(5)
+        )
+        + " ELSE '' END"
+    )
+    return c.select(
+        "doc_id",
+        total.cast("long").alias("n_special"),
+        kinds.cast("long").alias("n_kinds"),
+        first.alias("first_kind"),
+        F.md5(F.expr(_t38_scrub("tx"))).alias("clean_hash"),
+        (total == 0).alias("spec_keep"),
+    )

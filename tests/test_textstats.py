@@ -1722,3 +1722,57 @@ def test_t37_rake_matches_python_reference(spark):
         assert sorted(got.get(doc_id, [])) == expect, doc_id
         n_multi += sum(1 for _r, p, _s in expect if " " in p)
     assert n_multi > len(rows), "multi-word phrases must dominate"
+
+
+def test_t38_special_token_scrub_reference(spark):
+    """t38: counts, kinds, first-kind, scrubbed hash, and keep verdict
+    match a pure-Python replication of the deterministic injection +
+    replace-scrub over the raw parquet rows."""
+    import hashlib
+
+    import duckdb
+
+    from pdf_ocr_spark.queries.textstats import _T38_TOKENS, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (
+            r["n_special"], r["n_kinds"], r["first_kind"],
+            r["clean_hash"], r["spec_keep"],
+        )
+        for r in QUERIES["t38_special_token_scrub"](
+            spark, sf
+        ).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    n_inject = n_multi = 0
+    for doc_id, text in rows:
+        t = text
+        if doc_id % 7 == 0:
+            t += " " + _T38_TOKENS[doc_id % 5]
+        if doc_id % 11 == 0:
+            t += " " + _T38_TOKENS[(doc_id + 2) % 5]
+        counts = [t.count(tok) for tok in _T38_TOKENS]
+        clean = t
+        for tok in _T38_TOKENS:
+            clean = clean.replace(tok, "")
+        first = next(
+            (tok for tok, c in zip(_T38_TOKENS, counts) if c > 0), ""
+        )
+        expect = (
+            sum(counts),
+            sum(1 for c in counts if c > 0),
+            first,
+            hashlib.md5(clean.encode()).hexdigest(),
+            sum(counts) == 0,
+        )
+        assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
+        if expect[0]:
+            n_inject += 1
+        if expect[1] > 1:
+            n_multi += 1
+    assert len(got) == len(rows)
+    # every branch live: injected docs, multi-kind docs, clean docs
+    assert n_inject > 0 and n_multi > 0 and n_inject < len(rows)
