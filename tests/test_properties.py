@@ -204,3 +204,56 @@ def test_sequence_matches_property(spark, rows, pattern):
         if hits:
             expect[u] = (len(hits), hits[0])
     assert got == expect, (rows, pattern)
+
+
+# ------------------------------------------------------- round-4 algebra
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=120),
+    b=st.integers(2, 9),
+)
+def test_v15_ntile_rank_range_formula(vals, b):
+    """The closed-form ntile bucket formula v15 inlines into BOTH
+    engines (bucket of 1-based rank r with q = n div b base-size
+    tiles, first n mod b tiles one larger) reproduces the sort-based
+    ntile's per-bucket sizes and value bounds for ANY multiset and
+    tie layout."""
+    n = len(vals)
+    q, m = divmod(n, b)
+
+    def bucket(r):  # the SQL CASE, 0-based
+        if r <= (q + 1) * m:
+            return (r - 1) // (q + 1)
+        return m + (r - 1 - (q + 1) * m) // max(q, 1)
+
+    # reference: literal ntile over the sorted values
+    svals = sorted(vals)
+    ref = {}
+    i = 0
+    for tile in range(b):
+        size = q + (1 if tile < m else 0)
+        if size == 0:
+            continue
+        chunk = svals[i : i + size]
+        i += size
+        ref[tile] = (size, chunk[0], chunk[-1])
+
+    # the v15 construction: per distinct value, its cumulative rank
+    # range [cum-c+1, cum] spans buckets bucket(lo)..bucket(hi)
+    from collections import Counter
+
+    got_bounds = {}
+    cum = 0
+    for v in sorted(Counter(vals)):
+        c = Counter(vals)[v]
+        lo_r, hi_r = cum + 1, cum + c
+        cum += c
+        for t in range(bucket(lo_r), bucket(hi_r) + 1):
+            lo, hi = got_bounds.get(t, (v, v))
+            got_bounds[t] = (min(lo, v), max(hi, v))
+    got = {
+        t: (q + (1 if t < m else 0), lo, hi)
+        for t, (lo, hi) in got_bounds.items()
+    }
+    assert got == ref

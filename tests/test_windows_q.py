@@ -549,3 +549,42 @@ def test_q56_triangles_match_python_reference(spark):
     # fully-closed nodes exist alongside degree-1 leaves
     assert any(c == 1_000_000 for _d, _t, c in got.values())
     assert any(d == 1 for d, _t, _c in got.values())
+
+
+def test_two_phase_topk_partition_invariant_and_exact(spark):
+    """base.two_phase_topk: identical output under any physical
+    partitioning, equal to the naive global sort top-k (score DESC,
+    id ASC), ranks 1..k dense, extras carried through."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_spark.queries.base import two_phase_topk
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 37 % 101).alias("score"),  # heavy ties
+        (F.col("id") % 7).alias("tag"),
+    )
+    naive = [
+        (r["doc_id"], r["tag"], i + 1)
+        for i, r in enumerate(
+            df.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(25)
+            .collect()
+        )
+    ]
+    outs = []
+    for parts in (1, 3, 8, 32):
+        got = sorted(
+            (r["doc_id"], r["tag"], r["rk"])
+            for r in two_phase_topk(
+                df.repartition(parts),
+                25,
+                "score",
+                "doc_id",
+                "rk",
+                extras=("tag",),
+            ).collect()
+        )
+        outs.append(got)
+    assert all(o == outs[0] for o in outs)
+    assert outs[0] == sorted(naive)
