@@ -83,6 +83,14 @@ def compact_output(
     _recover(out_dir)
     data = f"{out_dir}/data"
     before = data_file_counts(out_dir)
+    if sum(before.values()) == 0:
+        # an empty tree would otherwise fail opaquely downstream
+        # (max(bucket) -> NULL -> 'NoneType + int'; a zero-file read
+        # errors outright) — nothing to compact is a clear no-op/error
+        raise ValueError(
+            f"compact_output: no bucket parquet files under {data} — "
+            "nothing to compact (run extraction first)"
+        )
     df = spark.read.parquet(data)
     n_rows = df.count()
     n_buckets = df.select(F.max("bucket")).collect()[0][0] + 1

@@ -58,13 +58,26 @@ def run_incremental(
     n_buckets: int = 32,
     big_doc_threshold: int = BIG_DOC_THRESHOLD,
     salt_partitions: int | None = None,
+    check_unique: bool = False,
 ) -> dict:
     """Extract ``input_df`` into ``out_dir``, reusing ``prev_dir``'s
     output for documents whose input fingerprint is unchanged.
 
     With ``prev_dir=None`` (or a missing manifest) every document is
     treated as changed — the cold-start run that seeds the manifest.
-    Returns {n_total, n_carried, n_reextracted, n_deleted}."""
+    Returns {n_total, n_carried, n_reextracted, n_deleted}.
+
+    PRECONDITION: ``input_df`` must be doc_id-unique (one row per
+    document — the corpus-snapshot grain every entry point in this
+    package shares; resume makes the same assumption).  Duplicate
+    doc_ids would fan out the semi joins and write duplicate
+    manifest/output rows, silently corrupting n_carried/n_deleted on
+    the NEXT run.  Because this is the entry point fed raw CDC
+    batches, pass ``check_unique=True`` to fail fast instead: one
+    extra count over the thin (doc_id) projection — cheap at test
+    scale, a deliberate opt-in full scan at corpus scale (dedup the
+    CDC batch upstream with a groupBy-latest instead of paying it
+    per refresh)."""
     import os
 
     if prev_dir is not None and os.path.realpath(
@@ -76,6 +89,20 @@ def run_incremental(
             "(production alternates snapshot directories / Iceberg "
             "snapshots)"
         )
+    if check_unique:
+        dup = (
+            input_df.groupBy("doc_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "run_incremental: input_df is not doc_id-unique "
+                f"(e.g. doc_id={dup[0]['doc_id']} appears "
+                f"{dup[0]['count']}x) — dedup the CDC batch first"
+            )
     fp_new = input_fingerprint(input_df)
     prev_m = read_manifest(spark, prev_dir) if prev_dir else None
 

@@ -3789,7 +3789,20 @@ def t38(spark, sf):
     Scale shape: pure replace/length arithmetic over the scan — zero
     shuffle, no regex (literal tokens need no escaping and both
     engines share the exact strings); at production the token list is
-    the tokenizer's actual special-token vocabulary, same plan."""
+    the tokenizer's actual special-token vocabulary, same plan.
+
+    Known limitation (audit finding, kept deliberately): the scrub is
+    ONE sequential replace pass in fixed list order, so interleaved
+    tokens can reconstruct an earlier-listed one ('<ma[CLS]sk>'
+    scrubs to '<mask>', which survives in clean_hash), and the
+    per-token counts are computed independently on the raw text.
+    Both engines share the exact same pass order so the twin gate is
+    honest about what it checks; a production scrub closes the
+    bypass with a SINGLE-pass alternation regex (one scan matching
+    any token, no re-scan of produced text) or by iterating the
+    replace passes to a fixed point — neither is expressible
+    identically in both engines without regex escaping divergence,
+    so the audited single pass is what ships here."""
     d = t(spark, sf, "documents").select(
         "doc_id", F.expr(_t38_decor()).alias("tx")
     )

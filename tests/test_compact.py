@@ -117,3 +117,21 @@ def test_compaction_recovers_from_crash_states(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in read_output(spark, out).collect()
     ) == rows
+
+
+def test_compact_empty_tree_raises_clearly(spark, tmp_path):
+    """An empty/missing data tree is a clear ValueError, not an opaque
+    'NoneType + int' from max(bucket) -> NULL (audit finding)."""
+    import os
+
+    import pytest
+
+    from pdf_ocr_spark.extract.compact import compact_output
+
+    out = str(tmp_path / "empty_out")
+    os.makedirs(f"{out}/data")
+    with pytest.raises(ValueError, match="nothing to compact"):
+        compact_output(spark, out)
+    os.makedirs(f"{out}/data/bucket=0")  # bucket dir, zero files
+    with pytest.raises(ValueError, match="nothing to compact"):
+        compact_output(spark, out)

@@ -154,3 +154,24 @@ def test_path_alias_cannot_bypass_in_place_guard(spark, corpora):
         run_incremental(
             spark, a, f"{corpora}/out1", prev_dir=f"{corpora}/./out1/"
         )
+
+
+def test_incremental_check_unique_rejects_duplicate_doc_ids(
+    spark, corpora, tmp_path
+):
+    """check_unique=True fails fast on a CDC batch that violates the
+    doc_id-uniqueness precondition (audit finding: duplicates would
+    fan out the semi joins and corrupt the next run's accounting)."""
+    from pdf_ocr_spark.extract.incremental import run_incremental
+
+    a = spark.read.parquet(f"{corpora}/base")
+    dup = a.unionByName(a.limit(1))
+    with pytest.raises(ValueError, match="not doc_id-unique"):
+        run_incremental(
+            spark, dup, str(tmp_path / "dup_out"), check_unique=True
+        )
+    # the clean batch passes with the check enabled
+    m = run_incremental(
+        spark, a, str(tmp_path / "ok_out"), check_unique=True
+    )
+    assert m["n_total"] == a.count()

@@ -410,3 +410,18 @@ def test_s17_build_has_no_all_pairs_crossjoin(spark):
         assert frag.lstrip().startswith("F.broadcast("), frag[:60]
     plan = _plan(FULL_QUERIES["s17_graph_beam_search"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_audit_splitter_sees_nested_commas():
+    """The audit's windowspec splitter must split on TOP-LEVEL commas
+    only: 'coalesce(a, b) DESC' is ONE ordering token, not a partition
+    key + a dangling token — a bare comma split would let a genuinely
+    global window pass the audit (audit finding)."""
+    # global window ordered by a nested call: NO partition key anywhere
+    spec = "coalesce(a#1, b#2) DESC NULLS LAST, "
+    plan = f"windowspecdefinition({spec}specifiedwindowframe"
+    assert _global_window_specs(plan), "nested-comma global missed"
+    # partitioned window with the same nested ordering: not flagged
+    spec2 = "part#3, coalesce(a#1, b#2) DESC NULLS LAST, "
+    plan2 = f"windowspecdefinition({spec2}specifiedwindowframe"
+    assert _global_window_specs(plan2) == []

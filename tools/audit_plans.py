@@ -31,10 +31,31 @@ def window_specs(plan: str) -> list[str]:
     return re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", plan)
 
 
+def _split_top_level(spec: str) -> list[str]:
+    """Split a windowspec token list on TOP-LEVEL commas only: a bare
+    split would break 'coalesce(a, b) DESC' into a token without
+    ASC/DESC that reads as a partition key — a genuinely global window
+    would then silently pass the audit (false negative in the
+    permanent regression guard)."""
+    toks, depth, cur = [], 0, []
+    for ch in spec:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            toks.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    toks.append("".join(cur).strip())
+    return [t for t in toks if t]
+
+
 def global_window_specs(plan: str) -> list[str]:
     bad = []
     for spec in window_specs(plan):
-        toks = [x.strip() for x in spec.split(",") if x.strip()]
+        toks = _split_top_level(spec)
         if not any(" ASC" not in x and " DESC" not in x for x in toks):
             bad.append(spec.strip()[:90])
     return bad
