@@ -3425,11 +3425,14 @@ def t35(spark, sf):
     TWO-LEVEL scan, never a global window: docs chunk by doc_id
     value (``doc_id div _T35_CHUNK``), a PARTITIONED window computes
     the prefix inside each chunk in parallel, and the cross-chunk
-    offsets come from the chunk-grain totals (|chunks| rows — at
-    10^12 docs pick a ~2^20 chunk width so the totals stay
-    driver-bounded), prefix-summed once and broadcast-joined back.
-    The chunk key is a pure function of doc_id, so the decomposition
-    is deterministic under any physical partitioning."""
+    offsets come from the chunk-grain totals (|chunks| rows),
+    prefix-summed by the SAME decomposition one level up — a
+    super-chunk-partitioned window plus a broadcast inequality join
+    over the super-chunk totals (|corpus| / CHUNK^2 rows, bounded) —
+    and broadcast-joined back.  Fully distributed: no driver-side
+    fold anywhere (the round-4 bounded collect is gone).  The chunk
+    key is a pure function of doc_id, so the decomposition is
+    deterministic under any physical partitioning."""
     from pyspark.sql import Window as W
 
     from .dedup import _tokens
@@ -3462,21 +3465,49 @@ def t35(spark, sf):
         F.sum("n_tok").over(wloc).alias("loc_tok"),
         F.sum("n_new").over(wloc).alias("loc_new"),
     )
-    # chunk-grain totals -> exclusive prefix offsets (driver-side over
-    # the bounded totals relation; the "broadcast prefix offsets" leg)
-    totals = sorted(
+    # chunk-grain totals -> exclusive prefix offsets, fully
+    # distributed (no driver fold): the same two-level trick one
+    # level up.  Chunk totals group into SUPER-chunks (chunk div
+    # _T35_CHUNK); a super-partitioned window gives each chunk its
+    # exclusive prefix INSIDE its super-chunk, and the cross-super
+    # offsets come from a broadcast inequality join over the
+    # super-chunk totals — a relation of |corpus| / CHUNK^2 rows
+    # (~1 row at 10^12 docs with the production 2^20 chunk width),
+    # so the BroadcastNestedLoopJoin's quadratic term is over a
+    # provably bounded input, never corpus-grain.
+    tot = (
         j.groupBy("chunk")
         .agg(F.sum("n_tok").alias("ct"), F.sum("n_new").alias("cn"))
-        .collect(),
-        key=lambda r: r["chunk"],
+        .withColumn("sup", F.expr(f"chunk div {_T35_CHUNK}"))
     )
-    offs, acc_t, acc_n = [], 0, 0
-    for r in totals:
-        offs.append((r["chunk"], acc_t, acc_n))
-        acc_t += r["ct"]
-        acc_n += r["cn"]
-    off = spark.createDataFrame(
-        offs or [(0, 0, 0)], "chunk long, off_tok long, off_new long"
+    w2 = (
+        W.partitionBy("sup")
+        .orderBy("chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    loc2 = tot.select(
+        "chunk",
+        "sup",
+        F.coalesce(F.sum("ct").over(w2), F.lit(0)).alias("l_off_t"),
+        F.coalesce(F.sum("cn").over(w2), F.lit(0)).alias("l_off_n"),
+    )
+    sup_tot = tot.groupBy("sup").agg(
+        F.sum("ct").alias("st"), F.sum("cn").alias("sn")
+    )
+    prior = sup_tot.select(F.col("sup").alias("b_sup"), "st", "sn")
+    sup_off = (
+        sup_tot.select("sup")
+        .join(F.broadcast(prior), F.col("b_sup") < F.col("sup"), "left")
+        .groupBy("sup")
+        .agg(
+            F.coalesce(F.sum("st"), F.lit(0)).alias("s_off_t"),
+            F.coalesce(F.sum("sn"), F.lit(0)).alias("s_off_n"),
+        )
+    )
+    off = loc2.join(F.broadcast(sup_off), "sup").select(
+        "chunk",
+        (F.col("s_off_t") + F.col("l_off_t")).alias("off_tok"),
+        (F.col("s_off_n") + F.col("l_off_n")).alias("off_new"),
     )
     cum_tok = F.col("off_tok") + F.col("loc_tok")
     cum_voc = F.col("off_new") + F.col("loc_new")
