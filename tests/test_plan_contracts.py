@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -425,3 +427,35 @@ def test_audit_splitter_sees_nested_commas():
     spec2 = "part#3, coalesce(a#1, b#2) DESC NULLS LAST, "
     plan2 = f"windowspecdefinition({spec2}specifiedwindowframe"
     assert _global_window_specs(plan2) == []
+
+
+@pytest.mark.slow
+def test_registry_wide_plan_audit(spark):
+    """CI fold of tools/audit_plans.py (round-4 verdict ask): every
+    FULL_QUERIES entry renders an executed plan with no global
+    (unpartitioned) window beyond the reviewed BOUNDED_GLOBAL_WINDOWS
+    allowlist and no CartesianProduct — a new scale-killer anywhere
+    in the registry is a CI failure, not a review finding.  The
+    detector and the allowlist are imported from the audit tool: one
+    implementation, one reviewed place to argue exceptions."""
+    from pdf_ocr_spark.queries import FULL_QUERIES
+    from tools.audit_plans import BOUNDED_GLOBAL_WINDOWS
+
+    failures = []
+    for name, fn in FULL_QUERIES.items():
+        try:
+            plan = _plan(fn(spark, SF))
+        except Exception as e:  # noqa: BLE001 — collect, report once
+            failures.append(f"{name}: ERR {type(e).__name__}: {e}")
+            continue
+        gw = _global_window_specs(plan)
+        cart = plan.count("CartesianProduct")
+        allowed = BOUNDED_GLOBAL_WINDOWS.get(name, 0)
+        if cart:
+            failures.append(f"{name}: {cart} CartesianProduct node(s)")
+        if len(gw) > allowed:
+            failures.append(
+                f"{name}: {len(gw)} global window(s), "
+                f"allowlisted {allowed}: {gw}"
+            )
+    assert not failures, "\n".join(failures)
