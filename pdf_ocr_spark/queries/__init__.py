@@ -71,8 +71,7 @@ DRIVER_REGISTRY = [
     "q22_word_stats",
     "q23_token_explode_top20",
     "q24_arrays_overlap_langs",
-    "q25_distinct_counts",
-    "q26_approx_distinct",
+    "q25_distinct_suite",
     # scalar functions (§2.8)
     "q27_normalize_text",
     "q28_cell_type_suite",
@@ -105,6 +104,8 @@ DRIVER_REGISTRY = [
     "q36_melt_part_metrics",
     "x03_dedup_survivors",
     "x05_dedup_components",
+    # operational layer: incremental refresh + compaction (round 5)
+    "x21_incremental_refresh",
     # validation / schema mapping / classification
     "v01_validation_suite",
     "r01_report_date_suite",

@@ -700,3 +700,172 @@ def x19_extracted_pairs(spark, sf):
 
 QUERIES["x19_extracted_pairs"] = x19_extracted_pairs
 ORACLE["x19_extracted_pairs"] = _X19_ORACLE
+
+
+# ---------------------------------------------------------------- x21
+# Incremental refresh + compaction under the DRIVER GATE (round-4
+# verdict ask #2): the pytest pin (incremental == full re-extraction,
+# tests/test_incremental.py) promoted to a DuckDB-twinned rows+hash
+# entry.  The corpus mutates deterministically by doc number —
+#   V1 = docs with n % 13 != 0               (n % 13 == 0: ADDED in V2)
+#   V2 = docs with n % 11 != 0               (n % 11 == 0: DELETED)
+#   docs with n % 7 == 0 in V2 get one appended 'revision note
+#   updated' span                            (CHANGED — and fp-visible)
+# — then the entry runs the REAL operational path: cold-start
+# extraction of V1 (seeds the content-hash manifest), incremental
+# refresh to V2 against it (extract/incremental.py: only
+# added/changed docs touch the kernels), small-file compaction of the
+# refreshed output (extract/compact.py, rename-swap), and emits the
+# POST-COMPACTION on-disk rows exploded to span grain with each doc's
+# CDC status (derived from the ACTUAL manifest diff, not arithmetic)
+# and the run's accounting counters as constant columns.  The DuckDB
+# twin computes full-extraction-of-V2 truth directly from the
+# documents parquet via the x01 layout algebra + the mutation rule —
+# so a hash match proves refresh + compaction together reproduce the
+# full re-extraction bit-for-bit, and that the router classified /
+# counted every doc correctly.  Appended span text is plain letters
+# ('revision note updated') so the x01 identity-transform argument
+# (extract_q.py:82) covers it unchanged.
+_X21_ORACLE = """
+WITH v2 AS (
+  SELECT doc_id AS n, text FROM documents WHERE doc_id % 11 <> 0
+),
+base AS (
+  SELECT 'mixed-' || CAST(n AS VARCHAR) AS doc_id, n,
+         string_split(text, ' ') AS ws
+  FROM v2
+),
+nn AS (
+  SELECT doc_id, n, ws,
+         CAST(ceil(len(ws) / 8.0) AS INT) AS n_chunks
+  FROM base
+),
+spans AS (
+  SELECT doc_id, n, n_chunks, 0 AS off, 'text' AS kind,
+         'title: doc ' || doc_id AS text, '' AS media_ref
+  FROM nn
+  UNION ALL
+  SELECT doc_id, n, n_chunks, g.i + 1 AS off,
+         CASE WHEN g.i % 4 = 3 THEN 'media' ELSE 'text' END AS kind,
+         CASE WHEN g.i % 4 = 3 THEN ''
+              ELSE array_to_string(ws[g.i * 8 + 1 : g.i * 8 + 8], ' ')
+         END AS text,
+         CASE WHEN g.i % 4 = 3 THEN 'img://' || doc_id || '/' || g.i
+              ELSE ''
+         END AS media_ref
+  FROM nn, LATERAL unnest(generate_series(0, n_chunks - 1)) AS g(i)
+  UNION ALL
+  SELECT doc_id, n, n_chunks, n_chunks + 1 AS off, 'text',
+         'revision note updated', ''
+  FROM nn WHERE n % 7 = 0
+),
+acct AS (
+  SELECT
+    CAST(sum(CASE WHEN n % 13 <> 0 AND n % 7 <> 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+    CAST(sum(CASE WHEN n % 13 = 0 OR n % 7 = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_reextracted
+  FROM v2
+),
+del AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_deleted FROM documents
+  WHERE doc_id % 13 <> 0 AND doc_id % 11 = 0
+)
+SELECT s.doc_id,
+       CASE WHEN s.n % 13 = 0 THEN 'added'
+            WHEN s.n % 7 = 0 THEN 'changed'
+            ELSE 'carried' END AS status,
+       s.n_chunks + 1
+         + (CASE WHEN s.n % 7 = 0 THEN 1 ELSE 0 END) AS spans_in,
+       s.n_chunks + 1
+         + (CASE WHEN s.n % 7 = 0 THEN 1 ELSE 0 END) AS spans_out,
+       0 AS dropped,
+       s.kind, s.text, s.media_ref, s.off AS offset,
+       acct.n_carried, acct.n_reextracted, del.n_deleted
+FROM spans s, acct, del
+"""
+
+
+def x21_incremental_refresh(spark, sf):
+    """Incremental re-extraction + compaction, driver-gated: run the
+    cold-start V1 extraction, the content-hash incremental refresh to
+    the mutated V2 corpus, and small-file compaction of the refreshed
+    output, then emit the post-compaction rows at span grain with the
+    manifest-diff CDC status and the run's accounting counters.  The
+    oracle recomputes full-extraction-of-V2 truth directly, so the
+    hash match IS the incremental==full guarantee under the external
+    gate (module comment above for the mutation rule).
+
+    Scale shape: everything here is the operational layer's own
+    documented shape — fingerprint scan + manifest equi-join diff
+    (cost ∝ corpus, thin columns), kernels touch |changed| docs only,
+    compaction one hash-routed repartition per bucket — plus one
+    doc_id equi-join to attach status at the end."""
+    import tempfile
+
+    from ..extract.checkpoint import read_output
+    from ..extract.compact import compact_output
+    from ..extract.incremental import input_fingerprint, run_incremental
+
+    inp = _doc_spans_from_documents(spark, sf)
+    num = F.expr("CAST(substring(doc_id, 7) AS BIGINT)")
+    v1 = inp.filter(num % 13 != 0)
+    mut = F.expr(
+        "concat(spans, array(named_struct("
+        "'kind', 'text', 'text', 'revision note updated',"
+        " 'media_ref', '', 'offset', size(spans))))"
+    )
+    v2 = inp.filter(num % 11 != 0).withColumn(
+        "spans", F.when(num % 7 == 0, mut).otherwise(F.col("spans"))
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_x21_")
+    d1, d2 = f"{root}/v1", f"{root}/v2"
+    run_incremental(spark, v1, d1, n_buckets=8)
+    m2 = run_incremental(spark, v2, d2, prev_dir=d1, n_buckets=8)
+    compact_output(spark, d2, files_per_bucket=1)
+    man1 = spark.read.parquet(f"{d1}/_manifest").select(
+        F.col("doc_id").alias("p_id"), F.col("fp").alias("p_fp")
+    )
+    status = (
+        input_fingerprint(v2)
+        .join(man1, F.col("doc_id") == F.col("p_id"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("p_fp").isNull(), "added")
+            .when(F.col("fp") != F.col("p_fp"), "changed")
+            .otherwise("carried")
+            .alias("status"),
+        )
+    )
+    out = read_output(spark, d2)
+    return (
+        out.join(status, "doc_id")
+        .select(
+            "doc_id",
+            "status",
+            F.col("metrics.spans_in").alias("spans_in"),
+            F.col("metrics.spans_out").alias("spans_out"),
+            F.col("metrics.dropped").alias("dropped"),
+            F.explode("spans").alias("span"),
+        )
+        .select(
+            "doc_id",
+            "status",
+            "spans_in",
+            "spans_out",
+            "dropped",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+            F.lit(m2["n_carried"]).cast("long").alias("n_carried"),
+            F.lit(m2["n_reextracted"]).cast("long").alias(
+                "n_reextracted"
+            ),
+            F.lit(m2["n_deleted"]).cast("long").alias("n_deleted"),
+        )
+    )
+
+
+QUERIES["x21_incremental_refresh"] = x21_incremental_refresh
+ORACLE["x21_incremental_refresh"] = _X21_ORACLE

@@ -2636,3 +2636,26 @@ def t06_term_mining_suite(spark, sf):
         a.unionByName(b).unionByName(c).unionByName(d)
         .unionByName(e).unionByName(f)
     )
+
+
+# ====================================================== q25 suite
+# q25 exact distinct-cardinality stats + q26 HLL validation — both
+# one row per l_returnflag over lineitem, wide-joined (round-5
+# registry merge: frees the driver slot x21_incremental_refresh
+# takes; the members stay individually registered/benched).
+@q(
+    "q25_distinct_suite",
+    oracle=f"""
+SELECT a.l_returnflag, a.n_parts, a.n_supps, a.n_rows,
+       b.exact_parts, b.hll_within_10pct
+FROM {_sub(setops_arrays, "q25_distinct_counts")} a
+JOIN {_sub(setops_arrays, "q26_approx_distinct")} b
+  ON b.l_returnflag = a.l_returnflag
+""",
+)
+def q25_suite(spark, sf):
+    """q25 exact distinct counts + q26 approx-distinct validation,
+    wide-joined on l_returnflag (3 rows)."""
+    a = setops_arrays.QUERIES["q25_distinct_counts"](spark, sf)
+    b = setops_arrays.QUERIES["q26_approx_distinct"](spark, sf)
+    return a.join(b, "l_returnflag")
