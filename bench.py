@@ -145,6 +145,7 @@ HEADLINE = [
     "x01_extract_documents",
     "x16_contract_e2e",
     "x17_curation_shards",
+    "x21_incremental_refresh",
 ]
 
 
@@ -198,6 +199,22 @@ def main() -> None:
     # SLOWER estimate. Set SPARK_GRAFT_BENCH_ROUNDS=2 for deep runs.
     rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "1"))
     times: dict[str, float] = {}
+
+    # Host-load probe (machine-checkable weather record, BENCH/
+    # BASELINE.md discipline): q01 is the probe query — its quiet
+    # floor on this host is known (~0.5 s), so probe_sec >> floor
+    # flags a co-tenant-loaded round and probes bracket the run to
+    # catch weather changes mid-run.  loadavg is the 1/5/15-min OS
+    # reading at the same instants.
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        ALL_QUERIES["q01_pricing_summary"](spark, SF_DIR).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    probe_start = _probe()
+    load_start = list(os.getloadavg())
     # x20 audits the x17 funnel output and s18 audits the s17 ranking;
     # production computes the upstream relation ONCE and feeds both
     # the writer and the audit (the v01/s01 suite paths). Bench the
@@ -243,6 +260,9 @@ def main() -> None:
                 dt = round(time.perf_counter() - t0, 3)
                 times[name] = min(times.get(name, float("inf")), dt)
 
+    probe_end = _probe()
+    load_end = list(os.getloadavg())
+
     total = round(sum(times.values()), 3)
     extract_sec = times.get("x01_extract_documents", 0.0)
     contract_sec = times.get("x16_contract_e2e", 0.0)
@@ -271,6 +291,11 @@ def main() -> None:
                 )
                 if contract_sec
                 else None,
+                "probe_sec": {"start": probe_start, "end": probe_end},
+                "loadavg": {
+                    "start": [round(x, 2) for x in load_start],
+                    "end": [round(x, 2) for x in load_end],
+                },
             }
         )
     )
