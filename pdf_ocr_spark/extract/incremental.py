@@ -134,14 +134,24 @@ def run_incremental(
         ).select("doc_id")
         from .checkpoint import read_output
 
+        deleted_ids = prev_m.join(
+            fp_new, prev_m.p_doc_id == fp_new.doc_id, "anti"
+        ).select(F.col("p_doc_id").alias("doc_id"))
+        # Carried rows = previous output MINUS the Δ-grain exclude set
+        # (changed ∪ deleted), as an ANTI join — not a semi join
+        # against the corpus-grain unchanged set.  The exclude side is
+        # |Δ| rows (the 0.1%-refresh case at production), so AQE
+        # converts the join to a broadcast at runtime and the
+        # corpus-grain span rows never shuffle (measured: the semi
+        # variant's carried leg scaled 1.04x N->4N because it moved
+        # the whole previous output through an exchange; the anti leg
+        # is scan + broadcast filter).  When Δ IS corpus-sized (a
+        # full-churn batch) AQE falls back to the shuffle join — the
+        # same plan the semi had, so this is never worse.
         carried = read_output(spark, prev_dir).join(
-            unchanged_ids, "doc_id", "semi"
+            changed_ids.unionByName(deleted_ids), "doc_id", "anti"
         )
-        n_deleted = (
-            prev_m.join(
-                fp_new, prev_m.p_doc_id == fp_new.doc_id, "anti"
-            ).count()
-        )
+        n_deleted = deleted_ids.count()
         # carried-row accounting from the THIN manifest diff, not a
         # second read of the previous output: a run's output holds
         # exactly its manifest's docs (the invariant every writer in
