@@ -92,8 +92,14 @@ def compact_output(
             "nothing to compact (run extraction first)"
         )
     df = spark.read.parquet(data)
-    n_rows = df.count()
-    n_buckets = df.select(F.max("bucket")).collect()[0][0] + 1
+    # one action for both stats (row count + bucket ceiling) — the
+    # count resolves from parquet footer metadata, and collapsing the
+    # two collects halves this job's fixed serial action cost
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"), F.max("bucket").alias("mb")
+    ).collect()[0]
+    n_rows = int(stats["n"])
+    n_buckets = int(stats["mb"]) + 1
     keys = ["bucket"]
     if files_per_bucket > 1:
         df = df.withColumn(

@@ -129,9 +129,6 @@ def run_incremental(
         changed_ids = diff.filter(
             F.col("p_fp").isNull() | (F.col("fp") != F.col("p_fp"))
         ).select("doc_id")
-        unchanged_ids = diff.filter(
-            F.col("fp") == F.col("p_fp")
-        ).select("doc_id")
         from .checkpoint import read_output
 
         deleted_ids = prev_m.join(
@@ -151,13 +148,32 @@ def run_incremental(
         carried = read_output(spark, prev_dir).join(
             changed_ids.unionByName(deleted_ids), "doc_id", "anti"
         )
-        n_deleted = deleted_ids.count()
-        # carried-row accounting from the THIN manifest diff, not a
-        # second read of the previous output: a run's output holds
+        # Accounting in ONE action: a full-outer join of the two THIN
+        # manifests yields deleted (new side null) and unchanged
+        # (fingerprints equal) in a single aggregation — the refresh
+        # job is a sequential chain of Spark actions, and every
+        # collapsed action removes a fixed serial cost that otherwise
+        # caps N->4N scaling (each count was separately re-joining
+        # the manifests).  |unchanged| == |carried| without
+        # re-scanning corpus-grain span rows: a run's output holds
         # exactly its manifest's docs (the invariant every writer in
-        # this package maintains), so |unchanged_ids| == |carried|
-        # without re-scanning corpus-grain span rows.
-        n_unchanged = unchanged_ids.count()
+        # this package maintains).
+        acct = (
+            fp_new.join(
+                prev_m, fp_new.doc_id == prev_m.p_doc_id, "full"
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("doc_id").isNull(), 1).otherwise(0)
+                ).alias("n_del"),
+                F.sum(
+                    F.when(F.col("fp") == F.col("p_fp"), 1).otherwise(0)
+                ).alias("n_unch"),
+            )
+            .collect()[0]
+        )
+        n_deleted = int(acct["n_del"] or 0)
+        n_unchanged = int(acct["n_unch"] or 0)
 
     changed = input_df.join(changed_ids, "doc_id", "semi")
     new_out = extract(
