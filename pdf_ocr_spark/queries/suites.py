@@ -1060,6 +1060,7 @@ SELECT t1.doc_id, t1.labeled_lang, t1.pred_lang,
        t38.first_kind AS spec_first,
        t38.clean_hash AS spec_clean_hash,
        t38.spec_keep,
+       t38.spec_deep,
        t35.cum_tok AS vg_cum_tok,
        t35.cum_vocab AS vg_cum_vocab,
        t35.n_new_types AS vg_new_types,
@@ -1260,6 +1261,7 @@ def t01_suite(spark, sf):
         F.col("first_kind").alias("spec_first"),
         F.col("clean_hash").alias("spec_clean_hash"),
         "spec_keep",
+        "spec_deep",
     )
     t35 = textstats.QUERIES["t35_vocab_growth"](spark, sf).select(
         "doc_id",

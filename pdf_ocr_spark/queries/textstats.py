@@ -3755,11 +3755,17 @@ def _t38_decor() -> str:
         f"WHEN (doc_id + 2) % 5 = {i} THEN {_t38_tok_sql(i)}"
         for i in range(5)
     )
+    # third arm: an INTERLEAVED token ('<ma[CLS]sk>') — scrubbing
+    # [CLS] reconstructs '<mask>', which a single replace pass has
+    # already passed over; keeps the fixed-point audit branch
+    # (spec_deep below) live on the synthetic corpus
     return (
         "text"
         f" || CASE WHEN doc_id % 7 = 0 THEN ' ' || CASE {arm1} END"
         "    ELSE '' END"
         f" || CASE WHEN doc_id % 11 = 0 THEN ' ' || CASE {arm2} END"
+        "    ELSE '' END"
+        " || CASE WHEN doc_id % 17 = 0 THEN ' <ma[CLS]sk>'"
         "    ELSE '' END"
     )
 
@@ -3799,7 +3805,8 @@ SELECT doc_id,
                       for i in range(5))}
             ELSE '' END AS first_kind,
        md5({_t38_scrub("t")}) AS clean_hash,
-       c0 + c1 + c2 + c3 + c4 = 0 AS spec_keep
+       c0 + c1 + c2 + c3 + c4 = 0 AS spec_keep,
+       {_t38_scrub(_t38_scrub("t"))} = {_t38_scrub("t")} AS spec_deep
 FROM c
 """
 
@@ -3822,18 +3829,21 @@ def t38(spark, sf):
     engines share the exact strings); at production the token list is
     the tokenizer's actual special-token vocabulary, same plan.
 
-    Known limitation (audit finding, kept deliberately): the scrub is
-    ONE sequential replace pass in fixed list order, so interleaved
-    tokens can reconstruct an earlier-listed one ('<ma[CLS]sk>'
-    scrubs to '<mask>', which survives in clean_hash), and the
-    per-token counts are computed independently on the raw text.
-    Both engines share the exact same pass order so the twin gate is
-    honest about what it checks; a production scrub closes the
-    bypass with a SINGLE-pass alternation regex (one scan matching
-    any token, no re-scan of produced text) or by iterating the
-    replace passes to a fixed point — neither is expressible
-    identically in both engines without regex escaping divergence,
-    so the audited single pass is what ships here."""
+    Known limitation (audit finding), now DETECTED rather than just
+    documented: the scrub is ONE sequential replace pass in fixed
+    list order, so interleaved tokens can reconstruct an
+    earlier-listed one ('<ma[CLS]sk>' scrubs to '<mask>', which
+    survives in clean_hash), and the per-token counts are computed
+    independently on the raw text.  The ``spec_deep`` column audits
+    exactly this: TRUE iff a second scrub pass is a fixed point —
+    FALSE flags a document where the single pass was bypassed (the
+    doc_id % 17 injection arm keeps that branch live on the
+    synthetic corpus).  A production scrub closes the bypass with a
+    single-pass alternation regex (no re-scan of produced text);
+    that is not expressible identically in both engines without
+    regex-escaping divergence, so what ships is the audited single
+    pass + the fixed-point flag that quarantines the bypassed
+    residue for a second pass."""
     d = t(spark, sf, "documents").select(
         "doc_id", F.expr(_t38_decor()).alias("tx")
     )
@@ -3866,4 +3876,7 @@ def t38(spark, sf):
         first.alias("first_kind"),
         F.md5(F.expr(_t38_scrub("tx"))).alias("clean_hash"),
         (total == 0).alias("spec_keep"),
+        F.expr(
+            f"{_t38_scrub(_t38_scrub('tx'))} = {_t38_scrub('tx')}"
+        ).alias("spec_deep"),
     )

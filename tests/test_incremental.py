@@ -175,3 +175,29 @@ def test_incremental_check_unique_rejects_duplicate_doc_ids(
         spark, a, str(tmp_path / "ok_out"), check_unique=True
     )
     assert m["n_total"] == a.count()
+
+
+def test_refresh_write_is_hash_distributed(spark, tmp_path):
+    """Round-5 pin: the snapshot write repartitions on the bucket key,
+    so the data tree holds exactly ONE file per non-empty bucket at
+    ANY task parallelism — the small-file count must not grow with
+    cluster width (it measured 2x more files at 4N before the fix)."""
+    import os
+
+    from pdf_ocr_spark.extract.incremental import run_incremental
+    from pdf_ocr_spark.sources.synthetic import write_corpus_table
+
+    src = str(tmp_path / "hd_corpus")
+    write_corpus_table(spark, src, n_docs=40, skew_docs=0)
+    a = spark.read.parquet(src)
+    out = str(tmp_path / "hd_out")
+    run_incremental(spark, a, out, n_buckets=4)
+    for name in os.listdir(f"{out}/data"):
+        if not name.startswith("bucket="):
+            continue
+        files = [
+            f
+            for f in os.listdir(f"{out}/data/{name}")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (name, files)

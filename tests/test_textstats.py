@@ -1738,7 +1738,7 @@ def test_t38_special_token_scrub_reference(spark):
     got = {
         r["doc_id"]: (
             r["n_special"], r["n_kinds"], r["first_kind"],
-            r["clean_hash"], r["spec_keep"],
+            r["clean_hash"], r["spec_keep"], r["spec_deep"],
         )
         for r in QUERIES["t38_special_token_scrub"](
             spark, sf
@@ -1754,10 +1754,15 @@ def test_t38_special_token_scrub_reference(spark):
             t += " " + _T38_TOKENS[doc_id % 5]
         if doc_id % 11 == 0:
             t += " " + _T38_TOKENS[(doc_id + 2) % 5]
+        if doc_id % 17 == 0:
+            t += " <ma[CLS]sk>"
         counts = [t.count(tok) for tok in _T38_TOKENS]
         clean = t
         for tok in _T38_TOKENS:
             clean = clean.replace(tok, "")
+        clean2 = clean
+        for tok in _T38_TOKENS:
+            clean2 = clean2.replace(tok, "")
         first = next(
             (tok for tok, c in zip(_T38_TOKENS, counts) if c > 0), ""
         )
@@ -1767,12 +1772,17 @@ def test_t38_special_token_scrub_reference(spark):
             first,
             hashlib.md5(clean.encode()).hexdigest(),
             sum(counts) == 0,
+            clean2 == clean,
         )
         assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
         if expect[0]:
             n_inject += 1
         if expect[1] > 1:
             n_multi += 1
+        if not expect[5]:
+            assert doc_id % 17 == 0  # only the interleaved arm bypasses
     assert len(got) == len(rows)
-    # every branch live: injected docs, multi-kind docs, clean docs
+    # every branch live: injected docs, multi-kind docs, clean docs,
+    # and at least one single-pass bypass caught by the deep audit
     assert n_inject > 0 and n_multi > 0 and n_inject < len(rows)
+    assert any(not v[5] for v in got.values())
