@@ -801,6 +801,7 @@ def x21_incremental_refresh(spark, sf):
     (cost ∝ corpus, thin columns), kernels touch |changed| docs only,
     compaction one hash-routed repartition per bucket — plus one
     doc_id equi-join to attach status at the end."""
+    import shutil
     import tempfile
 
     from ..extract.checkpoint import read_output
@@ -838,7 +839,7 @@ def x21_incremental_refresh(spark, sf):
         )
     )
     out = read_output(spark, d2)
-    return (
+    res = (
         out.join(status, "doc_id")
         .select(
             "doc_id",
@@ -864,7 +865,13 @@ def x21_incremental_refresh(spark, sf):
             ),
             F.lit(m2["n_deleted"]).cast("long").alias("n_deleted"),
         )
+        # materialize before dropping the scratch trees: the caller
+        # consumes the result lazily, and repeated bench/correctness
+        # invocations must not accumulate temp output snapshots
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return res
 
 
 QUERIES["x21_incremental_refresh"] = x21_incremental_refresh
